@@ -1,0 +1,42 @@
+"""Downstream analysis: latent feature extraction + k-means patient
+clustering (SURVEY.md §2.1 last rows, BASELINE.json config 5).
+
+k-means runs on host via scikit-learn (present in the environment, SURVEY.md
+§7); the latent codes come off-device once per cohort.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def extract_latent(model, data) -> np.ndarray:
+    """Joint latent codes for all samples. ``model`` is any object with the
+    reference-shaped ``transform`` (RBM/DBN/MDBN)."""
+    return np.asarray(model.transform(data))
+
+
+def kmeans_cluster(codes: np.ndarray, n_clusters: int, seed: int = 0,
+                   n_init: int = 10) -> Tuple[np.ndarray, np.ndarray]:
+    """Cluster latent codes; returns (labels, centers)."""
+    from sklearn.cluster import KMeans
+
+    km = KMeans(n_clusters=n_clusters, random_state=seed, n_init=n_init)
+    labels = km.fit_predict(codes)
+    return labels, km.cluster_centers_
+
+
+def cluster_patients(model, modalities: Dict[str, np.ndarray], n_clusters: int,
+                     seed: int = 0) -> np.ndarray:
+    """End-to-end: MDBN joint codes -> k-means patient subgroups."""
+    codes = extract_latent(model, modalities)
+    labels, _ = kmeans_cluster(codes, n_clusters, seed=seed)
+    return labels
+
+
+def adjusted_rand_index(a: np.ndarray, b: np.ndarray) -> float:
+    from sklearn.metrics import adjusted_rand_score
+
+    return float(adjusted_rand_score(a, b))

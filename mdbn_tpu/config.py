@@ -1,0 +1,217 @@
+"""Typed configuration for the mdbn-tpu framework.
+
+The reference (glgerard/MDBN) passes hyperparameters as constructor args /
+notebook cells (SURVEY.md §5 "Config / flag system"); here they are frozen
+dataclasses that are JSON round-trippable so the five graded configs
+(BASELINE.json:6-12) ship as committed files under ``configs/``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+VISIBLE_TYPES = ("bernoulli", "gaussian")
+ERROR_METRICS = ("mse", "xent")
+ENGINES = ("auto", "xla", "pallas")
+
+
+@dataclass(frozen=True)
+class RBMConfig:
+    """One restricted Boltzmann machine + its CD-k training recipe.
+
+    Math follows Hinton's practical guide / the Theano-tutorial lineage the
+    reference descends from (SURVEY.md §0, §3.1):
+
+    - ``P(h|v) = sigmoid(v @ W + c)``; Bernoulli visible
+      ``P(v|h) = sigmoid(h @ W.T + b)``; Gaussian visible (sigma=1, z-scored
+      data) ``v|h ~ N(h @ W.T + b, I)``.
+    - CD-k restarts the Gibbs chain at the data each minibatch; PCD carries a
+      persistent hidden chain state across minibatches.
+    - Update: ``vel = momentum * vel + lr * (grad - l2 * W)`` (decay on W
+      only), ``param += vel``.
+    """
+
+    n_visible: int
+    n_hidden: int
+    visible: str = "bernoulli"
+    # --- CD/PCD ---
+    k: int = 1
+    persistent: bool = False
+    # --- optimizer ---
+    lr: float = 0.1
+    momentum: float = 0.0
+    l2: float = 0.0
+    # --- schedule ---
+    batch_size: int = 20
+    epochs: int = 10
+    shuffle: bool = False  # Theano-tutorial lineage iterates in order
+    # --- sampling choices ---
+    # None -> True for bernoulli (tutorial samples visibles in the chain),
+    # False for gaussian (mean-field negative phase; standard stability
+    # practice for sigma=1 GRBMs on z-scored data).
+    sample_visible: Optional[bool] = None
+    # --- monitoring ---
+    # Reconstruction-error formula is ambiguous in the reference
+    # (SURVEY.md §4 risk note): implement both, default MSE.
+    error_metric: str = "mse"
+    # --- numerics ---
+    param_dtype: str = "float32"
+    compute_dtype: str = "float32"  # set "bfloat16" to run matmuls on the MXU in bf16
+    # --- engine ---
+    engine: str = "auto"  # auto|xla|pallas
+    # --- init ---
+    init_scale: float = 0.01  # N(0, init_scale) weight init (Hinton's guide)
+    seed: int = 0
+
+    def __post_init__(self):
+        if self.visible not in VISIBLE_TYPES:
+            raise ValueError(f"visible must be one of {VISIBLE_TYPES}, got {self.visible!r}")
+        if self.error_metric not in ERROR_METRICS:
+            raise ValueError(f"error_metric must be one of {ERROR_METRICS}, got {self.error_metric!r}")
+        if self.engine not in ENGINES:
+            raise ValueError(f"engine must be one of {ENGINES}, got {self.engine!r}")
+        if self.k < 1:
+            raise ValueError("k must be >= 1")
+
+    @property
+    def resolved_sample_visible(self) -> bool:
+        if self.sample_visible is not None:
+            return self.sample_visible
+        return self.visible == "bernoulli"
+
+    def replace(self, **kw) -> "RBMConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclass(frozen=True)
+class DBNConfig:
+    """Greedy layer-wise stack of RBMs (SURVEY.md §3.2, BASELINE.json config 3).
+
+    ``layer_sizes`` are the hidden widths; layer 0's visible width comes from
+    the data. ``visible`` applies to layer 0 only (continuous data -> gaussian
+    bottom layer); upper layers are always Bernoulli because they consume
+    probabilities in [0, 1].
+    """
+
+    layer_sizes: List[int] = field(default_factory=lambda: [500, 500, 200])
+    visible: str = "bernoulli"
+    # Per-layer overrides of the base RBM recipe; entries may be partial dicts.
+    layer_overrides: List[Dict[str, Any]] = field(default_factory=list)
+    # Base training recipe applied to every layer.
+    k: int = 1
+    persistent: bool = False
+    lr: float = 0.1
+    gaussian_lr: Optional[float] = 0.01  # lower lr for the gaussian bottom layer
+    momentum: float = 0.0
+    l2: float = 0.0
+    batch_size: int = 20
+    epochs: int = 10
+    shuffle: bool = False
+    error_metric: str = "mse"
+    param_dtype: str = "float32"
+    compute_dtype: str = "float32"
+    engine: str = "auto"
+    seed: int = 0
+
+    def rbm_config(self, layer: int, n_visible: int) -> RBMConfig:
+        base = dict(
+            n_visible=n_visible,
+            n_hidden=self.layer_sizes[layer],
+            visible=self.visible if layer == 0 else "bernoulli",
+            k=self.k,
+            persistent=self.persistent,
+            lr=self.lr,
+            momentum=self.momentum,
+            l2=self.l2,
+            batch_size=self.batch_size,
+            epochs=self.epochs,
+            shuffle=self.shuffle,
+            error_metric=self.error_metric,
+            param_dtype=self.param_dtype,
+            compute_dtype=self.compute_dtype,
+            engine=self.engine,
+            seed=self.seed + layer,
+        )
+        if layer == 0 and self.visible == "gaussian" and self.gaussian_lr is not None:
+            base["lr"] = self.gaussian_lr
+        if layer < len(self.layer_overrides):
+            base.update(self.layer_overrides[layer])
+        return RBMConfig(**base)
+
+
+@dataclass(frozen=True)
+class MDBNConfig:
+    """Multimodal DBN: per-modality towers + joint top RBM
+    (SURVEY.md §3.3, BASELINE.json config 4)."""
+
+    towers: Dict[str, DBNConfig]
+    joint: RBMConfig  # n_visible here is ignored; it is the sum of tower top widths
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class TrainRuntimeConfig:
+    """Runtime knobs orthogonal to the model math (SURVEY.md §5)."""
+
+    data_parallel: bool = False
+    mesh_axis: str = "dp"
+    profile: bool = False
+    profile_dir: str = "/tmp/mdbn_tpu_profile"
+    debug_nans: bool = False
+    checkpoint_dir: Optional[str] = None
+    checkpoint_every_epochs: int = 0  # 0 = only at layer boundaries
+    metrics_path: Optional[str] = None  # JSONL metrics stream
+
+
+# ---------------------------------------------------------------------------
+# JSON round-trip
+
+
+def _to_jsonable(obj: Any) -> Any:
+    if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+        d = {f.name: _to_jsonable(getattr(obj, f.name)) for f in dataclasses.fields(obj)}
+        d["__type__"] = type(obj).__name__
+        return d
+    if isinstance(obj, dict):
+        return {k: _to_jsonable(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_to_jsonable(v) for v in obj]
+    return obj
+
+
+_TYPES = {}
+
+
+def _register(cls):
+    _TYPES[cls.__name__] = cls
+    return cls
+
+
+for _cls in (RBMConfig, DBNConfig, MDBNConfig, TrainRuntimeConfig):
+    _register(_cls)
+
+
+def _from_jsonable(obj: Any) -> Any:
+    if isinstance(obj, dict):
+        tname = obj.pop("__type__", None)
+        decoded = {k: _from_jsonable(v) for k, v in obj.items()}
+        if tname is not None:
+            return _TYPES[tname](**decoded)
+        return decoded
+    if isinstance(obj, list):
+        return [_from_jsonable(v) for v in obj]
+    return obj
+
+
+def save_config(cfg: Any, path: str) -> None:
+    with open(path, "w") as f:
+        json.dump(_to_jsonable(cfg), f, indent=2, sort_keys=True)
+        f.write("\n")
+
+
+def load_config(path: str) -> Any:
+    with open(path) as f:
+        return _from_jsonable(json.load(f))

@@ -1,0 +1,144 @@
+"""Deterministic JAX core of the RBM: conditionals, energy, CD-k statistics.
+
+This mirrors ``mdbn_tpu.oracle`` (the CPU reference stand-in) exactly — the
+unit tests inject identical uniforms into both and require matching gradients
+to float32 tolerance (SURVEY.md §4.2). All sampling randomness enters through
+the explicit ``uniforms`` pytree, so this module is pure and fully
+deterministic; RNG plumbing lives in ``mdbn_tpu.ops.cd_step``.
+
+TPU notes: the three matmuls per Gibbs step are the MXU work; they optionally
+run in bfloat16 (``cfg.compute_dtype``) with float32 accumulation via
+``preferred_element_type``. Everything else is VPU elementwise work that XLA
+fuses around them.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RBMConfig
+
+
+class RBMParams(NamedTuple):
+    W: jax.Array  # [n_visible, n_hidden]
+    b: jax.Array  # [n_visible] visible bias
+    c: jax.Array  # [n_hidden] hidden bias
+
+
+def init_params(cfg: RBMConfig, key: jax.Array) -> RBMParams:
+    dtype = jnp.dtype(cfg.param_dtype)
+    W = cfg.init_scale * jax.random.normal(key, (cfg.n_visible, cfg.n_hidden), dtype)
+    return RBMParams(W=W, b=jnp.zeros(cfg.n_visible, dtype), c=jnp.zeros(cfg.n_hidden, dtype))
+
+
+def zero_velocity(params: RBMParams) -> RBMParams:
+    return RBMParams(*(jnp.zeros_like(p) for p in params))
+
+
+def _dot(a: jax.Array, w: jax.Array, compute_dtype) -> jax.Array:
+    """Matmul in compute_dtype with f32 accumulation (MXU-friendly).
+
+    When the user asks for float32 compute we request Precision.HIGHEST so the
+    TPU MXU does a true-f32 (multi-pass bf16) product — required for
+    reconstruction-error parity vs the CPU oracle. compute_dtype="bfloat16" is
+    the single-pass fast path.
+    """
+    cd = jnp.dtype(compute_dtype)
+    precision = jax.lax.Precision.HIGHEST if cd == jnp.float32 else jax.lax.Precision.DEFAULT
+    return jnp.dot(a.astype(cd), w.astype(cd), precision=precision,
+                   preferred_element_type=jnp.float32)
+
+
+def hidden_mean(params: RBMParams, v: jax.Array, cfg: RBMConfig) -> jax.Array:
+    return jax.nn.sigmoid(_dot(v, params.W, cfg.compute_dtype) + params.c)
+
+
+def visible_mean(params: RBMParams, h: jax.Array, cfg: RBMConfig) -> jax.Array:
+    pre = _dot(h, params.W.T, cfg.compute_dtype) + params.b
+    return jax.nn.sigmoid(pre) if cfg.visible == "bernoulli" else pre
+
+
+def free_energy(params: RBMParams, v: jax.Array, cfg: RBMConfig) -> jax.Array:
+    pre = _dot(v, params.W, cfg.compute_dtype) + params.c
+    softplus = jax.nn.softplus(pre).sum(axis=1)
+    if cfg.visible == "bernoulli":
+        return -_dot(v, params.b[:, None], cfg.compute_dtype)[:, 0] - softplus
+    diff = v - params.b
+    return 0.5 * (diff * diff).sum(axis=1) - softplus
+
+
+def recon_error(v0: jax.Array, v1mean: jax.Array, metric: str) -> jax.Array:
+    if metric == "mse":
+        d = v0 - v1mean
+        return jnp.mean(d * d)
+    eps = 1e-7
+    p = jnp.clip(v1mean, eps, 1.0 - eps)
+    return -jnp.mean(jnp.sum(v0 * jnp.log(p) + (1.0 - v0) * jnp.log(1.0 - p), axis=1))
+
+
+def cd_step_stats(
+    params: RBMParams,
+    v0: jax.Array,
+    chain_h: Optional[jax.Array],
+    uniforms: Dict[str, jax.Array],
+    cfg: RBMConfig,
+) -> Tuple[RBMParams, jax.Array, jax.Array]:
+    """One CD-k/PCD step's statistics; mirrors oracle.cd_step_stats.
+
+    Returns (grads, new_chain_h, err). The k-step Gibbs chain is a static
+    Python loop (k is a small compile-time constant; unrolling keeps every
+    matmul visible to XLA for fusion — no scan overhead for k=1).
+    """
+    B = v0.shape[0]
+    dtype = v0.dtype
+    h0p = hidden_mean(params, v0, cfg)
+    h0s = (uniforms["h0"] < h0p).astype(dtype)
+
+    h = chain_h if (cfg.persistent and chain_h is not None) else h0s
+    vs = v0
+    hmean = h0p
+    v1mean = None
+    for t in range(cfg.k):
+        vmean = visible_mean(params, h, cfg)
+        if t == 0:
+            v1mean = vmean
+        if cfg.visible == "bernoulli":
+            vs = (uniforms["v"][t] < vmean).astype(dtype) if cfg.resolved_sample_visible else vmean
+        else:
+            vs = vmean + uniforms["noise"][t] if cfg.resolved_sample_visible else vmean
+        hmean = hidden_mean(params, vs, cfg)
+        h = (uniforms["h"][t] < hmean).astype(dtype)
+
+    inv_b = jnp.asarray(1.0 / B, jnp.float32)
+    grads = RBMParams(
+        W=(_dot(v0.T, h0p, cfg.compute_dtype) - _dot(vs.T, hmean, cfg.compute_dtype)) * inv_b,
+        b=(v0 - vs).mean(axis=0),
+        c=(h0p - hmean).mean(axis=0),
+    )
+    if cfg.persistent and chain_h is not None:
+        v1mean_data = visible_mean(params, h0s, cfg)
+    else:
+        v1mean_data = v1mean
+    err = recon_error(v0, v1mean_data, cfg.error_metric)
+    return grads, h, err
+
+
+def apply_update(
+    params: RBMParams, velocity: RBMParams, grads: RBMParams, cfg: RBMConfig
+) -> Tuple[RBMParams, RBMParams]:
+    """vel = m*vel + lr*(grad - l2*W) (decay on W only); param += vel."""
+    gW = grads.W - cfg.l2 * params.W if cfg.l2 else grads.W
+    new_vel = RBMParams(
+        W=cfg.momentum * velocity.W + cfg.lr * gW,
+        b=cfg.momentum * velocity.b + cfg.lr * grads.b,
+        c=cfg.momentum * velocity.c + cfg.lr * grads.c,
+    )
+    new_params = RBMParams(
+        W=params.W + new_vel.W.astype(params.W.dtype),
+        b=params.b + new_vel.b.astype(params.b.dtype),
+        c=params.c + new_vel.c.astype(params.c.dtype),
+    )
+    return new_params, new_vel

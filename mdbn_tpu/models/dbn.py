@@ -1,0 +1,55 @@
+"""Deep belief network: greedy layer-wise RBM stacking (SURVEY.md §3.2).
+
+The layer loop is a cold host loop (layers train strictly sequentially by
+definition of greedy pretraining); each layer's training is the hot
+whole-epoch-on-device path. Layer l consumes layer l-1's mean-field
+*probabilities* as data (tutorial-lineage behavior).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from ..config import DBNConfig, TrainRuntimeConfig
+from ..ops.transform import stack_transform
+from .rbm import RBM
+
+
+class DBN:
+    """>>> dbn = DBN(DBNConfig(layer_sizes=[400, 200, 50], visible="gaussian"))
+    >>> dbn.train(data)             # greedy layer-wise pretraining
+    >>> codes = dbn.transform(data) # top-layer mean-field code
+    """
+
+    def __init__(self, cfg: DBNConfig):
+        self.cfg = cfg
+        self.layers: List[RBM] = []
+
+    def train(self, data, mesh: Optional[Mesh] = None,
+              runtime: Optional[TrainRuntimeConfig] = None,
+              layer_callback: Optional[Callable[[int, RBM], None]] = None) -> "DBN":
+        reps = jnp.asarray(data, jnp.dtype(self.cfg.param_dtype))
+        key = jax.random.PRNGKey(self.cfg.seed)
+        self.layers = []
+        for l in range(len(self.cfg.layer_sizes)):
+            key, lkey = jax.random.split(key)
+            rbm = RBM(self.cfg.rbm_config(l, reps.shape[1]), key=lkey)
+            rbm.train(reps, mesh=mesh, runtime=runtime)
+            self.layers.append(rbm)
+            if layer_callback is not None:
+                layer_callback(l, rbm)
+            if l + 1 < len(self.cfg.layer_sizes):
+                reps = rbm.transform(reps)
+        return self
+
+    def transform(self, v) -> jax.Array:
+        v = jnp.asarray(v, jnp.dtype(self.cfg.param_dtype))
+        return stack_transform([(r.params, r.cfg) for r in self.layers], v)
+
+    @property
+    def history(self) -> List[list]:
+        return [r.history for r in self.layers]

@@ -1,0 +1,69 @@
+"""Multimodal DBN: per-modality towers + joint top RBM (SURVEY.md §3.3).
+
+``train({modality: matrix})`` trains one DBN tower per modality (greedy,
+independent — towers could run concurrently; kept sequential for determinism),
+concatenates the towers' top-layer mean-field codes, and trains a joint
+Bernoulli RBM on the concatenation. ``transform`` produces the joint latent
+code used downstream for k-means patient clustering (BASELINE.json configs
+4-5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from ..config import MDBNConfig, TrainRuntimeConfig
+from .dbn import DBN
+from .rbm import RBM
+
+
+class MDBN:
+    """>>> mdbn = MDBN(MDBNConfig(towers={...}, joint=RBMConfig(...)))
+    >>> mdbn.train({"ge": ge, "meth": meth, "mirna": mirna})
+    >>> joint_codes = mdbn.transform(modalities)
+    """
+
+    def __init__(self, cfg: MDBNConfig):
+        self.cfg = cfg
+        self.towers: Dict[str, DBN] = {}
+        self.joint: Optional[RBM] = None
+
+    def _tower_codes(self, modalities: Dict[str, jax.Array]) -> jax.Array:
+        missing = set(self.cfg.towers) - set(modalities)
+        if missing:
+            raise ValueError(f"missing modalities: {sorted(missing)}")
+        # deterministic modality order: config insertion order
+        return jnp.concatenate(
+            [self.towers[name].transform(modalities[name]) for name in self.cfg.towers], axis=1
+        )
+
+    def train(self, modalities: Dict[str, jax.Array], mesh: Optional[Mesh] = None,
+              runtime: Optional[TrainRuntimeConfig] = None) -> "MDBN":
+        for name, tower_cfg in self.cfg.towers.items():
+            tower = DBN(tower_cfg)
+            tower.train(modalities[name], mesh=mesh, runtime=runtime)
+            self.towers[name] = tower
+        codes = self._tower_codes(modalities)
+        joint_cfg = dataclasses.replace(
+            self.cfg.joint, n_visible=codes.shape[1], visible="bernoulli"
+        )
+        self.joint = RBM(joint_cfg, key=jax.random.PRNGKey(self.cfg.seed + 997))
+        self.joint.train(codes, mesh=mesh, runtime=runtime)
+        return self
+
+    def transform(self, modalities: Dict[str, jax.Array]) -> jax.Array:
+        if self.joint is None:
+            raise RuntimeError("MDBN.transform called before train")
+        return self.joint.transform(self._tower_codes(modalities))
+
+    @property
+    def history(self) -> dict:
+        h = {name: tower.history for name, tower in self.towers.items()}
+        if self.joint is not None:
+            h["joint"] = self.joint.history
+        return h

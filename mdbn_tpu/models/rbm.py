@@ -1,0 +1,68 @@
+"""User-facing RBM — mirrors the reference notebook's ``RBM`` entry points
+(``train`` / ``transform``, BASELINE.json:5) on top of the TPU-native stack.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from ..config import RBMConfig, TrainRuntimeConfig
+from ..core.rbm_math import RBMParams, free_energy
+from ..core.state import TrainState, init_train_state
+from ..ops import transform as tops
+from ..train.trainer import EpochMetrics, train_rbm
+
+
+class RBM:
+    """Restricted Boltzmann machine (Bernoulli or Gaussian-Bernoulli visible).
+
+    >>> rbm = RBM(RBMConfig(n_visible=784, n_hidden=500, epochs=5))
+    >>> rbm.train(data)              # data: [n_samples, 784]
+    >>> codes = rbm.transform(data)  # mean-field hidden probabilities
+    """
+
+    def __init__(self, cfg: RBMConfig, key: Optional[jax.Array] = None):
+        self.cfg = cfg
+        self.state: TrainState = init_train_state(cfg, key)
+        self.metrics: Optional[EpochMetrics] = None
+
+    # -- reference API ------------------------------------------------------
+
+    def train(self, data, mesh: Optional[Mesh] = None,
+              runtime: Optional[TrainRuntimeConfig] = None, epoch_callback=None) -> "RBM":
+        self.state, self.metrics = train_rbm(
+            data, self.cfg, state=self.state, mesh=mesh, runtime=runtime,
+            epoch_callback=epoch_callback,
+        )
+        return self
+
+    def transform(self, v) -> jax.Array:
+        return tops.transform(self.params, jnp.asarray(v, self._dtype), self.cfg)
+
+    # -- extras -------------------------------------------------------------
+
+    def reconstruct(self, v) -> jax.Array:
+        return tops.reconstruct(self.params, jnp.asarray(v, self._dtype), self.cfg)
+
+    def free_energy(self, v) -> jax.Array:
+        return free_energy(self.params, jnp.asarray(v, self._dtype), self.cfg)
+
+    @property
+    def params(self) -> RBMParams:
+        return self.state.params
+
+    @property
+    def history(self) -> list:
+        return list(self.metrics.errors) if self.metrics else []
+
+    @property
+    def _dtype(self):
+        return jnp.dtype(self.cfg.param_dtype)
+
+    def params_numpy(self) -> dict:
+        return {k: np.asarray(v) for k, v in self.state.params._asdict().items()}

@@ -1,0 +1,215 @@
+"""Pure-NumPy CD-k/PCD RBM oracle — the CPU-reference stand-in.
+
+The reference mount (/root/reference) is empty (SURVEY.md §0), so this oracle
+*is* the "CPU reference" for both graded metrics (BASELINE.json:2): the TPU
+stack must match its reconstruction-error behavior, and bench.py measures the
+TPU throughput multiple against its CD-1 updates/sec on this host's CPU.
+
+It implements the canonical algorithm of SURVEY.md §3.1 exactly (Hinton 2002 /
+practical-guide conventions, Theano-tutorial lineage):
+
+- positive statistics use hidden *probabilities* ``h0p``; *samples* flow
+  through the Gibbs chain; the negative phase's final hidden uses
+  probabilities.
+- CD restarts the chain at the data's hidden sample each minibatch; PCD
+  carries a persistent hidden-sample chain across minibatches.
+- gradient ascent with momentum + L2 decay on W only:
+  ``vel = m*vel + lr*(grad - l2*W)``; ``param += vel``.
+
+Every sampling decision can be driven by caller-injected uniforms (the
+``uniforms`` argument), which is how the JAX/Pallas paths are tested for
+*exact* parity on the deterministic sub-computations (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from .config import RBMConfig
+
+
+def sigmoid(x: np.ndarray) -> np.ndarray:
+    # numerically stable logistic
+    out = np.empty_like(x)
+    pos = x >= 0
+    out[pos] = 1.0 / (1.0 + np.exp(-x[pos]))
+    ex = np.exp(x[~pos])
+    out[~pos] = ex / (1.0 + ex)
+    return out
+
+
+def init_params(cfg: RBMConfig, rng: np.random.Generator) -> Dict[str, np.ndarray]:
+    dtype = np.dtype(cfg.param_dtype)
+    W = (rng.standard_normal((cfg.n_visible, cfg.n_hidden)) * cfg.init_scale).astype(dtype)
+    b = np.zeros(cfg.n_visible, dtype)  # visible bias
+    c = np.zeros(cfg.n_hidden, dtype)  # hidden bias
+    return {"W": W, "b": b, "c": c}
+
+
+def zero_velocity(params: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    return {k: np.zeros_like(v) for k, v in params.items()}
+
+
+def hidden_mean(params, v: np.ndarray) -> np.ndarray:
+    return sigmoid(v @ params["W"] + params["c"])
+
+
+def visible_mean(params, h: np.ndarray, visible: str) -> np.ndarray:
+    pre = h @ params["W"].T + params["b"]
+    return sigmoid(pre) if visible == "bernoulli" else pre
+
+
+def free_energy(params, v: np.ndarray, visible: str) -> np.ndarray:
+    """F(v); Bernoulli: -v.b - sum softplus(vW+c); Gaussian (sigma=1):
+    0.5||v-b||^2 - sum softplus(vW+c)."""
+    pre = v @ params["W"] + params["c"]
+    softplus = np.logaddexp(0.0, pre).sum(axis=1)
+    if visible == "bernoulli":
+        return -(v @ params["b"]) - softplus
+    diff = v - params["b"]
+    return 0.5 * (diff * diff).sum(axis=1) - softplus
+
+
+def recon_error(v0: np.ndarray, v1mean: np.ndarray, metric: str) -> float:
+    if metric == "mse":
+        d = v0 - v1mean
+        return float(np.mean(d * d))
+    eps = 1e-7
+    p = np.clip(v1mean, eps, 1.0 - eps)
+    return float(-np.mean(np.sum(v0 * np.log(p) + (1.0 - v0) * np.log(1.0 - p), axis=1)))
+
+
+def draw_uniforms(cfg: RBMConfig, batch: int, rng: np.random.Generator) -> Dict[str, np.ndarray]:
+    """Draw every random number one CD-k step can consume, in a fixed order."""
+    u = {
+        "h0": rng.random((batch, cfg.n_hidden), dtype=np.float32),
+        "v": rng.random((cfg.k, batch, cfg.n_visible), dtype=np.float32),
+        "h": rng.random((cfg.k, batch, cfg.n_hidden), dtype=np.float32),
+    }
+    if cfg.visible == "gaussian" and cfg.resolved_sample_visible:
+        u["noise"] = rng.standard_normal((cfg.k, batch, cfg.n_visible)).astype(np.float32)
+    return u
+
+
+def cd_step_stats(
+    params: Dict[str, np.ndarray],
+    v0: np.ndarray,
+    chain_h: Optional[np.ndarray],
+    uniforms: Dict[str, np.ndarray],
+    cfg: RBMConfig,
+) -> Tuple[Dict[str, np.ndarray], np.ndarray, float, np.ndarray]:
+    """One CD-k/PCD step's sufficient statistics (no parameter update).
+
+    Returns (grads, new_chain_h, err, v1mean). ``grads`` is the log-likelihood
+    ascent direction (positive minus negative phase, mean over the batch).
+    ``chain_h`` is the persistent hidden sample for PCD; pass None for CD.
+    """
+    B = v0.shape[0]
+    h0p = hidden_mean(params, v0)
+    h0s = (uniforms["h0"] < h0p).astype(v0.dtype)
+
+    h = chain_h if (cfg.persistent and chain_h is not None) else h0s
+    v1mean = None
+    vs = v0
+    hmean = h0p
+    for t in range(cfg.k):
+        vmean = visible_mean(params, h, cfg.visible)
+        if t == 0:
+            v1mean = vmean
+        if cfg.visible == "bernoulli":
+            vs = (uniforms["v"][t] < vmean).astype(v0.dtype) if cfg.resolved_sample_visible else vmean
+        else:
+            vs = vmean + uniforms["noise"][t] if cfg.resolved_sample_visible else vmean
+        hmean = hidden_mean(params, vs)
+        hs = (uniforms["h"][t] < hmean).astype(v0.dtype)
+        h = hs
+
+    grads = {
+        "W": (v0.T @ h0p - vs.T @ hmean) / B,
+        "b": (v0 - vs).mean(axis=0),
+        "c": (h0p - hmean).mean(axis=0),
+    }
+    # For PCD the 1-step reconstruction from the *data* is still the monitor
+    # (the chain's vmean reflects fantasy particles, not the data):
+    if cfg.persistent and chain_h is not None:
+        v1mean_data = visible_mean(params, h0s, cfg.visible)
+    else:
+        v1mean_data = v1mean
+    err = recon_error(v0, v1mean_data, cfg.error_metric)
+    return grads, h, err, v1mean_data
+
+
+def apply_update(
+    params: Dict[str, np.ndarray],
+    velocity: Dict[str, np.ndarray],
+    grads: Dict[str, np.ndarray],
+    cfg: RBMConfig,
+) -> None:
+    """In-place momentum + L2 update (decay on W only): SURVEY.md §2.1."""
+    for name in ("W", "b", "c"):
+        g = grads[name]
+        if name == "W" and cfg.l2:
+            g = g - cfg.l2 * params["W"]
+        velocity[name] = cfg.momentum * velocity[name] + cfg.lr * g
+        params[name] += velocity[name].astype(params[name].dtype)
+
+
+class OracleRBM:
+    """Reference-shaped API: ``train(data)`` / ``transform(v)`` (BASELINE.json:5)."""
+
+    def __init__(self, cfg: RBMConfig):
+        self.cfg = cfg
+        self.rng = np.random.default_rng(cfg.seed)
+        self.params = init_params(cfg, self.rng)
+        self.velocity = zero_velocity(self.params)
+        self.chain_h: Optional[np.ndarray] = None
+        self.history: list = []
+
+    def train_step(self, v0: np.ndarray, uniforms: Optional[Dict[str, np.ndarray]] = None) -> float:
+        if uniforms is None:
+            uniforms = draw_uniforms(self.cfg, v0.shape[0], self.rng)
+        grads, new_chain, err, _ = cd_step_stats(self.params, v0, self.chain_h, uniforms, self.cfg)
+        apply_update(self.params, self.velocity, grads, self.cfg)
+        if self.cfg.persistent:
+            self.chain_h = new_chain
+        return err
+
+    def train(self, data: np.ndarray) -> "OracleRBM":
+        cfg = self.cfg
+        n = (data.shape[0] // cfg.batch_size) * cfg.batch_size
+        for _epoch in range(cfg.epochs):
+            order = self.rng.permutation(data.shape[0])[:n] if cfg.shuffle else np.arange(n)
+            errs = []
+            for s in range(0, n, cfg.batch_size):
+                errs.append(self.train_step(data[order[s : s + cfg.batch_size]]))
+            self.history.append(float(np.mean(errs)))
+        return self
+
+    def transform(self, v: np.ndarray) -> np.ndarray:
+        """Deterministic upward pass (probabilities, not samples): SURVEY.md §3.4."""
+        return hidden_mean(self.params, v)
+
+    def reconstruct(self, v: np.ndarray) -> np.ndarray:
+        return visible_mean(self.params, self.transform(v), self.cfg.visible)
+
+
+class OracleDBN:
+    """Greedy layer-wise stack of OracleRBMs (SURVEY.md §3.2)."""
+
+    def __init__(self, rbm_cfgs):
+        self.layers = [OracleRBM(c) for c in rbm_cfgs]
+
+    def train(self, data: np.ndarray) -> "OracleDBN":
+        reps = data
+        for rbm in self.layers:
+            rbm.train(reps)
+            reps = rbm.transform(reps)  # mean-field probabilities feed the next layer
+        return self
+
+    def transform(self, v: np.ndarray) -> np.ndarray:
+        h = v
+        for rbm in self.layers:
+            h = rbm.transform(h)
+        return h

@@ -1,0 +1,121 @@
+"""Exact oracle<->JAX parity on the deterministic sub-computations
+(SURVEY.md §4.2): identical injected uniforms must give identical
+conditionals, gradients, updates, and errors to float32 tolerance."""
+
+import numpy as np
+import pytest
+
+import mdbn_tpu.oracle as oracle
+from mdbn_tpu.config import RBMConfig
+from mdbn_tpu.core.rbm_math import (
+    RBMParams,
+    apply_update,
+    cd_step_stats,
+    free_energy,
+    hidden_mean,
+    visible_mean,
+    zero_velocity,
+)
+
+TOL = dict(rtol=2e-5, atol=2e-5)
+
+
+def make_case(cfg: RBMConfig, batch=6, seed=0):
+    rng = np.random.default_rng(seed)
+    p_np = oracle.init_params(cfg, rng)
+    # non-trivial biases to exercise every term
+    p_np["b"] = rng.standard_normal(cfg.n_visible).astype(np.float32) * 0.1
+    p_np["c"] = rng.standard_normal(cfg.n_hidden).astype(np.float32) * 0.1
+    p_jx = RBMParams(W=p_np["W"], b=p_np["b"], c=p_np["c"])
+    if cfg.visible == "bernoulli":
+        v0 = (rng.random((batch, cfg.n_visible)) < 0.4).astype(np.float32)
+    else:
+        v0 = rng.standard_normal((batch, cfg.n_visible)).astype(np.float32)
+    uniforms = oracle.draw_uniforms(cfg, batch, rng)
+    chain = (rng.random((batch, cfg.n_hidden)) < 0.5).astype(np.float32)
+    return p_np, p_jx, v0, uniforms, chain
+
+
+CONFIGS = [
+    RBMConfig(n_visible=13, n_hidden=9, visible="bernoulli", k=1),
+    RBMConfig(n_visible=13, n_hidden=9, visible="bernoulli", k=3),
+    RBMConfig(n_visible=13, n_hidden=9, visible="bernoulli", k=2, sample_visible=False),
+    RBMConfig(n_visible=13, n_hidden=9, visible="bernoulli", k=1, persistent=True),
+    RBMConfig(n_visible=13, n_hidden=9, visible="gaussian", k=1),
+    RBMConfig(n_visible=13, n_hidden=9, visible="gaussian", k=2, sample_visible=True),
+    RBMConfig(n_visible=13, n_hidden=9, visible="gaussian", k=1, persistent=True),
+    RBMConfig(n_visible=13, n_hidden=9, visible="bernoulli", k=1, error_metric="xent"),
+]
+
+
+@pytest.mark.parametrize("cfg", CONFIGS, ids=lambda c: f"{c.visible}-k{c.k}-p{int(c.persistent)}-sv{c.sample_visible}-{c.error_metric}")
+def test_cd_step_stats_parity(cfg):
+    p_np, p_jx, v0, uniforms, chain = make_case(cfg)
+    chain_arg = chain if cfg.persistent else None
+    g_np, newchain_np, err_np, _ = oracle.cd_step_stats(p_np, v0, chain_arg, uniforms, cfg)
+    g_jx, newchain_jx, err_jx = cd_step_stats(p_jx, v0, chain_arg, uniforms, cfg)
+    np.testing.assert_allclose(np.asarray(g_jx.W), g_np["W"], **TOL)
+    np.testing.assert_allclose(np.asarray(g_jx.b), g_np["b"], **TOL)
+    np.testing.assert_allclose(np.asarray(g_jx.c), g_np["c"], **TOL)
+    np.testing.assert_allclose(np.asarray(newchain_jx), newchain_np, **TOL)
+    np.testing.assert_allclose(float(err_jx), err_np, **TOL)
+
+
+@pytest.mark.parametrize("visible", ["bernoulli", "gaussian"])
+def test_conditionals_parity(visible):
+    cfg = RBMConfig(n_visible=17, n_hidden=11, visible=visible)
+    p_np, p_jx, v0, uniforms, chain = make_case(cfg)
+    np.testing.assert_allclose(
+        np.asarray(hidden_mean(p_jx, v0, cfg)), oracle.hidden_mean(p_np, v0), **TOL)
+    h = oracle.hidden_mean(p_np, v0).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(visible_mean(p_jx, h, cfg)), oracle.visible_mean(p_np, h, visible), **TOL)
+    np.testing.assert_allclose(
+        np.asarray(free_energy(p_jx, v0, cfg)), oracle.free_energy(p_np, v0, visible),
+        rtol=1e-4, atol=1e-4)
+
+
+def test_momentum_l2_update_parity():
+    cfg = RBMConfig(n_visible=13, n_hidden=9, lr=0.07, momentum=0.9, l2=1e-3)
+    p_np, p_jx, v0, uniforms, _ = make_case(cfg)
+    vel_np = oracle.zero_velocity(p_np)
+    # seed velocity with something nonzero to exercise momentum
+    rng = np.random.default_rng(42)
+    for k in vel_np:
+        vel_np[k] = (rng.standard_normal(vel_np[k].shape) * 0.01).astype(np.float32)
+    vel_jx = RBMParams(W=vel_np["W"].copy(), b=vel_np["b"].copy(), c=vel_np["c"].copy())
+
+    g_np, _, _, _ = oracle.cd_step_stats(p_np, v0, None, uniforms, cfg)
+    g_jx, _, _ = cd_step_stats(p_jx, v0, None, uniforms, cfg)
+
+    p_np_copy = {k: v.copy() for k, v in p_np.items()}
+    oracle.apply_update(p_np_copy, vel_np, g_np, cfg)
+    new_p, new_vel = apply_update(p_jx, vel_jx, g_jx, cfg)
+    for name in ("W", "b", "c"):
+        np.testing.assert_allclose(np.asarray(getattr(new_p, name)), p_np_copy[name], **TOL)
+        np.testing.assert_allclose(np.asarray(getattr(new_vel, name)), vel_np[name], **TOL)
+
+
+def test_multi_step_training_parity():
+    """Run 20 sequential updates through both stacks with shared uniforms —
+    the full training recursion must track exactly."""
+    cfg = RBMConfig(n_visible=16, n_hidden=12, k=1, lr=0.1, momentum=0.5, l2=1e-4,
+                    persistent=True, batch_size=8)
+    rng = np.random.default_rng(7)
+    p_np, p_jx, _, _, chain = make_case(cfg, batch=8, seed=7)
+    vel_np = oracle.zero_velocity(p_np)
+    vel_jx = zero_velocity(p_jx)
+    chain_np = chain.copy()
+    chain_jx = chain.copy()
+    p_np = {k: v.copy() for k, v in p_np.items()}
+
+    for step in range(20):
+        v0 = (rng.random((8, 16)) < 0.4).astype(np.float32)
+        uniforms = oracle.draw_uniforms(cfg, 8, rng)
+        g_np, chain_np, err_np, _ = oracle.cd_step_stats(p_np, v0, chain_np, uniforms, cfg)
+        oracle.apply_update(p_np, vel_np, g_np, cfg)
+        g_jx, chain_jx, err_jx = cd_step_stats(p_jx, v0, chain_jx, uniforms, cfg)
+        p_jx, vel_jx = apply_update(p_jx, vel_jx, g_jx, cfg)
+        np.testing.assert_allclose(float(err_jx), err_np, rtol=1e-4, atol=1e-4)
+
+    np.testing.assert_allclose(np.asarray(p_jx.W), p_np["W"], rtol=1e-3, atol=1e-4)
