@@ -1,0 +1,309 @@
+"""Fused Pallas TPU CD-k training kernel — the framework's hot path.
+
+TPU-native design for the graded metric (CD-1 weight updates/sec per chip,
+BASELINE.json:2,5). The reference's training loop is a Python-per-minibatch
+affair; at batch 20 the three Gibbs matmuls are far too small to amortize any
+per-step dispatch, so here the **entire multi-epoch training run is ONE kernel
+launch**:
+
+- grid = (epochs, num_batches). TPU grid iterations run sequentially, which is
+  exactly SGD's data dependence (update t+1 needs weights from t).
+- Parameters, momentum velocities, and the PCD chain live in VMEM for the
+  whole run (constant-index blocks): weights are read from HBM once and
+  written back once — zero HBM weight traffic per update.
+- Minibatches stream HBM->VMEM via the automatic grid pipeline (double
+  buffered), overlapping the next batch's DMA with this batch's compute. With
+  per-epoch shuffling, the batch *order* is a scalar-prefetched permutation
+  table consulted by the data BlockSpec's index_map (batch-order shuffle; the
+  reference lineage doesn't shuffle at all).
+- Each Gibbs step fuses both matmuls, the sigmoids, and on-chip-PRNG
+  Bernoulli/Gaussian sampling (pltpu.prng_*), then the momentum+L2 update —
+  one pass over VMEM-resident weights (the north-star kernel of
+  BASELINE.json:5).
+- Per-epoch mean reconstruction error is the only per-epoch output.
+
+Sampling-dependent math is validated distributionally against the NumPy
+oracle; deterministic sub-paths are validated exactly via the shared XLA
+engine (SURVEY.md §4.2). ``make_pallas_train_fn`` returns None when the VMEM
+footprint doesn't fit (very wide omics layers) and the trainer falls back to
+the XLA engine.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import RBMConfig
+from ..core.rbm_math import RBMParams
+from ..core.state import TrainState
+
+# Conservative budget for params+velocities+activations; v5e VMEM ~128 MiB.
+_VMEM_BUDGET = 100 * 1024 * 1024
+
+
+def estimate_vmem_bytes(cfg: RBMConfig) -> int:
+    f = 4  # float32
+    w = cfg.n_visible * cfg.n_hidden * f
+    batch = cfg.batch_size * (cfg.n_visible + cfg.n_hidden) * f
+    # W+velW (plus their input copies) + biases + ~8 batch-sized temps
+    return 4 * w + 4 * (cfg.n_visible + cfg.n_hidden) * f + 8 * batch
+
+
+def _uniform_from_bits(shape) -> jax.Array:
+    """U[0,1) from the on-chip PRNG via the mantissa bit-trick.
+
+    Mosaic can't cast uint32->float32, so: keep 23 random mantissa bits, OR in
+    the exponent of 1.0, bitcast to a float in [1,2), subtract 1.
+    """
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.int32)
+    fbits = jax.lax.bitwise_or(
+        jax.lax.bitwise_and(bits, jnp.int32(0x007FFFFF)), jnp.int32(0x3F800000)
+    )
+    return pltpu.bitcast(fbits, jnp.float32) - 1.0
+
+
+def _normal_from_bits(shape) -> jax.Array:
+    """N(0,1) via Box-Muller from two uniform draws."""
+    u1 = _uniform_from_bits(shape)
+    u2 = _uniform_from_bits(shape)
+    r = jnp.sqrt(-2.0 * jnp.log(1.0 - u1 + 1e-12))
+    return r * jnp.cos((2.0 * jnp.pi) * u2)
+
+
+def _dot_nt(a, b):  # a @ b
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _dot_tt(a, b):  # a @ b.T without materializing the transpose
+    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _dot_tn(a, b):  # a.T @ b without materializing the transpose
+    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _cd_train_kernel(
+    # scalar prefetch
+    seed_ref,  # SMEM (2,) int32
+    perm_ref,  # SMEM (perm_epochs, nb) int32 batch-order table (consumed by index_map)
+    # pipelined input
+    batch_ref,  # VMEM (1, B, V) — current minibatch
+    # initial values (constant-index: loaded once)
+    W_in, b_in, c_in, vW_in, vb_in, vc_in, chain_in,
+    # outputs (constant-index: VMEM-resident across the whole grid)
+    W, b, c, vW, vb, vc, chain, err_ref,
+    *,
+    cfg: RBMConfig,
+):
+    e = pl.program_id(0)
+    i = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(e == 0, i == 0))
+    def _load_state():
+        W[:] = W_in[:]
+        b[:] = b_in[:]
+        c[:] = c_in[:]
+        vW[:] = vW_in[:]
+        vb[:] = vb_in[:]
+        vc[:] = vc_in[:]
+        chain[:] = chain_in[:]
+
+    @pl.when(i == 0)
+    def _zero_epoch_err():
+        err_ref[e, 0] = jnp.float32(0.0)
+
+    # distinct PRNG stream per (run, epoch, step); prng_seed takes <=2 values
+    pltpu.prng_seed(seed_ref[0], e * pl.num_programs(1) + i)
+
+    B = cfg.batch_size
+    inv_b = jnp.float32(1.0 / B)
+    v0 = batch_ref[0]  # [B, V]
+    Wv = W[:]
+
+    # positive phase
+    h0p = jax.nn.sigmoid(_dot_nt(v0, Wv) + c[0])  # [B, H]
+    h0s = (_uniform_from_bits(h0p.shape) < h0p).astype(jnp.float32)
+
+    h = chain[:] if cfg.persistent else h0s
+    vs = v0
+    hmean = h0p
+    v1mean_cd = None
+    for t in range(cfg.k):
+        pre_v = _dot_tt(h, Wv) + b[0]  # [B, V]
+        vmean = jax.nn.sigmoid(pre_v) if cfg.visible == "bernoulli" else pre_v
+        if t == 0:
+            v1mean_cd = vmean
+        if cfg.visible == "bernoulli":
+            vs = ((_uniform_from_bits(vmean.shape) < vmean).astype(jnp.float32)
+                  if cfg.resolved_sample_visible else vmean)
+        else:
+            vs = (vmean + _normal_from_bits(vmean.shape)
+                  if cfg.resolved_sample_visible else vmean)
+        hmean = jax.nn.sigmoid(_dot_nt(vs, Wv) + c[0])
+        h = (_uniform_from_bits(hmean.shape) < hmean).astype(jnp.float32)
+
+    if cfg.persistent:
+        chain[:] = h
+        pre_vd = _dot_tt(h0s, Wv) + b[0]
+        v1mean = jax.nn.sigmoid(pre_vd) if cfg.visible == "bernoulli" else pre_vd
+    else:
+        v1mean = v1mean_cd
+
+    # gradients (log-likelihood ascent direction, batch mean)
+    gW = (_dot_tn(v0, h0p) - _dot_tn(vs, hmean)) * inv_b  # [V, H]
+    gb = jnp.sum(v0 - vs, axis=0, keepdims=True) * inv_b  # [1, V]
+    gc = jnp.sum(h0p - hmean, axis=0, keepdims=True) * inv_b  # [1, H]
+
+    # momentum + L2 (decay on W only) update, fused
+    if cfg.l2:
+        gW = gW - jnp.float32(cfg.l2) * Wv
+    m = jnp.float32(cfg.momentum)
+    lr = jnp.float32(cfg.lr)
+    nvW = m * vW[:] + lr * gW
+    nvb = m * vb[:] + lr * gb
+    nvc = m * vc[:] + lr * gc
+    vW[:] = nvW
+    vb[:] = nvb
+    vc[:] = nvc
+    W[:] = Wv + nvW
+    b[:] = b[:] + nvb
+    c[:] = c[:] + nvc
+
+    # reconstruction-error monitor (the graded parity metric), per-epoch mean
+    if cfg.error_metric == "mse":
+        d = v0 - v1mean
+        step_err = jnp.sum(d * d) * jnp.float32(1.0 / (B * cfg.n_visible))
+    else:
+        eps = 1e-7
+        p = jnp.clip(v1mean, eps, 1.0 - eps)
+        step_err = -jnp.sum(v0 * jnp.log(p) + (1.0 - v0) * jnp.log(1.0 - p)) * inv_b
+    err_ref[e, 0] = err_ref[e, 0] + step_err * jnp.float32(1.0 / pl.num_programs(1))
+
+
+def _build_pallas_call(cfg: RBMConfig, n_epochs: int, nb: int, shuffle: bool,
+                       interpret):
+    if interpret is True:
+        # the generic interpreter lacks pltpu.prng_*; use the TPU interpreter
+        # (NB: it stubs prng_random_bits to zeros — structure-only testing)
+        interpret = pltpu.InterpretParams()
+    V, H, B = cfg.n_visible, cfg.n_hidden, cfg.batch_size
+    f32 = jnp.float32
+
+    def const(shape):
+        return pl.BlockSpec(shape, lambda e, i, seed, perm: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    if shuffle:
+        data_index = lambda e, i, seed, perm: (perm[e, i], 0, 0)
+    else:
+        data_index = lambda e, i, seed, perm: (perm[0, i], 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # seed, perm
+        grid=(n_epochs, nb),
+        in_specs=[
+            pl.BlockSpec((1, B, V), data_index, memory_space=pltpu.VMEM),  # batches
+            const((V, H)), const((1, V)), const((1, H)),  # W, b, c
+            const((V, H)), const((1, V)), const((1, H)),  # velocities
+            const((B, H)),  # chain
+        ],
+        out_specs=[
+            const((V, H)), const((1, V)), const((1, H)),
+            const((V, H)), const((1, V)), const((1, H)),
+            const((B, H)),
+            pl.BlockSpec((n_epochs, 1), lambda e, i, seed, perm: (0, 0),
+                         memory_space=pltpu.SMEM),  # per-epoch err (scalars)
+        ],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((V, H), f32), jax.ShapeDtypeStruct((1, V), f32),
+        jax.ShapeDtypeStruct((1, H), f32),
+        jax.ShapeDtypeStruct((V, H), f32), jax.ShapeDtypeStruct((1, V), f32),
+        jax.ShapeDtypeStruct((1, H), f32),
+        jax.ShapeDtypeStruct((B, H), f32),
+        jax.ShapeDtypeStruct((n_epochs, 1), f32),
+    ]
+    steps = n_epochs * nb
+    flops_step = 2 * B * V * H * (2 + 2 * cfg.k)
+    return pl.pallas_call(
+        functools.partial(_cd_train_kernel, cfg=cfg),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        # params/velocities/chain update in place:
+        # operands: 0=seed 1=perm 2=batches 3..9=state -> outputs 0..6
+        input_output_aliases={i + 3: i for i in range(7)},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),  # strictly sequential SGD
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=steps * flops_step,
+            bytes_accessed=steps * B * V * 4 + 2 * 4 * (V * H + V + H),
+            transcendentals=steps * B * (H * (1 + cfg.k) + V * cfg.k),
+        ),
+        interpret=interpret,
+    )
+
+
+def make_pallas_train_fn(cfg: RBMConfig, n_epochs: int,
+                         interpret: Optional[bool] = None):
+    """Build ``fn(state, data) -> (state, errs[n_epochs])`` running ``n_epochs``
+    epochs in ONE kernel launch, or None if the state won't fit in VMEM."""
+    if estimate_vmem_bytes(cfg) > _VMEM_BUDGET:
+        return None
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    def train_fn(state: TrainState, data: jax.Array) -> Tuple[TrainState, jax.Array]:
+        n = data.shape[0]
+        nb = n // cfg.batch_size
+        key, kperm, kepoch = jax.random.split(state.key, 3)
+        batches = data[: nb * cfg.batch_size].reshape(nb, cfg.batch_size, cfg.n_visible)
+        if cfg.shuffle:
+            # batch-order shuffle: one permutation of the nb batch blocks per epoch
+            perm = jax.vmap(lambda k: jax.random.permutation(k, nb))(
+                jax.random.split(kperm, n_epochs)).astype(jnp.int32)
+        else:
+            perm = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)
+        seed = jax.random.randint(kepoch, (2,), 0, jnp.iinfo(jnp.int32).max, jnp.int32)
+
+        call = _build_pallas_call(cfg, n_epochs, nb, cfg.shuffle, interpret)
+        p, vel = state.params, state.velocity
+        W, bb, cc, vW, vb, vc, chain, errs = call(
+            seed, perm, batches,
+            p.W, p.b.reshape(1, -1), p.c.reshape(1, -1),
+            vel.W, vel.b.reshape(1, -1), vel.c.reshape(1, -1),
+            state.chain_h,
+        )
+        new_state = TrainState(
+            params=RBMParams(W=W, b=bb[0], c=cc[0]),
+            velocity=RBMParams(W=vW, b=vb[0], c=vc[0]),
+            chain_h=chain,
+            key=key,
+            epoch=state.epoch + n_epochs,
+        )
+        return new_state, errs[:, 0]
+
+    return jax.jit(train_fn)
+
+
+def make_pallas_epoch_fn(cfg: RBMConfig, interpret: Optional[bool] = None):
+    """Single-epoch variant with the trainer's ``epoch_fn(state, data) ->
+    (state, mean_err)`` signature (used for per-epoch callbacks/checkpoints)."""
+    fn = make_pallas_train_fn(cfg, 1, interpret=interpret)
+    if fn is None:
+        return None
+
+    def epoch_fn(state, data):
+        state, errs = fn(state, data)
+        return state, errs[0]
+
+    return epoch_fn

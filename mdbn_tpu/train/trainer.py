@@ -1,15 +1,20 @@
 """Epoch/batch training driver.
 
 TPU-first design (SURVEY.md §3.5 / §7 hard-part #1): at batch 20 the CD
-matmuls are tiny, so per-step dispatch would dominate. The dataset is uploaded
-once and stays HBM-resident; one **epoch** — the whole minibatch loop — is a
-single device dispatch (`lax.scan` over batches inside jit, or one Pallas
-mega-kernel for the fused engine). Host<->device traffic per epoch is one
-scalar (mean reconstruction error) down.
+matmuls are tiny, so per-step — and on this tunneled setup even per-epoch —
+dispatch would dominate. The dataset is uploaded once and stays HBM-resident,
+and by default the **entire multi-epoch training run is one device dispatch**:
 
-Data parallelism is GSPMD-idiomatic: the epoch fn is jitted over a
+- XLA engine: ``lax.scan`` over epochs of ``lax.scan`` over minibatches.
+- Pallas engine: one fused mega-kernel with grid=(epochs, num_batches) and
+  VMEM-resident parameters (``ops.cd_epoch_pallas``).
+
+Per-epoch dispatch mode kicks in only when the caller needs per-epoch
+callbacks (checkpointing, logging hooks).
+
+Data parallelism is GSPMD-idiomatic: the jitted train fn is sharded over a
 ``Mesh('dp')`` with the batch dimension sharded and params replicated; XLA
-inserts the gradient all-reduce (one psum of the (dW, db, dc) stats per step,
+inserts the per-step gradient all-reduce (one psum of the (dW, db, dc) stats,
 riding ICI) automatically. ``parallel/dp.py`` also provides an explicit
 ``shard_map`` + ``psum`` variant used to validate the semantics on an
 8-device CPU mesh (SURVEY.md §4.5).
@@ -32,10 +37,7 @@ from ..ops.cd_step import draw_uniforms
 
 
 def _epoch_xla(state: TrainState, data: jax.Array, cfg: RBMConfig) -> Tuple[TrainState, jax.Array]:
-    """One epoch, pure-JAX engine: lax.scan over minibatches, all on device.
-
-    ``data``: [n_samples, n_visible], HBM-resident. Returns (state, mean_err).
-    """
+    """One epoch, pure-JAX engine: lax.scan over minibatches, all on device."""
     n = data.shape[0]
     nb = n // cfg.batch_size
     key, kperm, kepoch = jax.random.split(state.key, 3)
@@ -60,44 +62,62 @@ def _epoch_xla(state: TrainState, data: jax.Array, cfg: RBMConfig) -> Tuple[Trai
     return TrainState(params, vel, chain, key, state.epoch + 1), errs.mean()
 
 
-def _make_epoch_fn(cfg: RBMConfig, mesh: Optional[Mesh], axis: str) -> Callable:
-    """Jit the epoch function, optionally sharded over a dp mesh."""
-    if cfg.engine == "pallas" or (cfg.engine == "auto" and mesh is None
-                                  and jax.default_backend() not in ("cpu",)):
-        try:
-            from ..ops.cd_epoch_pallas import make_pallas_epoch_fn
+def _train_xla_fused(state: TrainState, data: jax.Array, cfg: RBMConfig,
+                     n_epochs: int) -> Tuple[TrainState, jax.Array]:
+    """All epochs in one dispatch: scan over epochs of the epoch scan."""
 
-            fn = make_pallas_epoch_fn(cfg)
-            if fn is not None:
-                return fn
-        except Exception:
-            if cfg.engine == "pallas":
-                raise
-    epoch = partial(_epoch_xla, cfg=cfg)
-    if mesh is None:
-        return jax.jit(epoch)
-    # GSPMD data parallelism: batch dim sharded, state replicated. XLA inserts
-    # the per-step gradient psum over the 'dp' axis (ICI) automatically.
+    def epoch(s, _):
+        s, err = _epoch_xla(s, data, cfg)
+        return s, err
+
+    return jax.lax.scan(epoch, state, None, length=n_epochs)
+
+
+def _pallas_available(cfg: RBMConfig) -> bool:
+    from ..ops.cd_epoch_pallas import estimate_vmem_bytes, _VMEM_BUDGET
+
+    return estimate_vmem_bytes(cfg) <= _VMEM_BUDGET
+
+
+def _use_pallas(cfg: RBMConfig, mesh: Optional[Mesh]) -> bool:
+    """Engine selection. The Pallas mega-kernel is single-chip (it IS the
+    per-chip inner loop); under a dp mesh the XLA engine carries the
+    collectives."""
+    if cfg.engine == "xla":
+        return False
+    if mesh is not None and len(mesh.devices.flatten()) > 1:
+        if cfg.engine == "pallas":
+            raise ValueError("engine='pallas' does not support multi-device meshes yet; "
+                             "use engine='xla' (GSPMD dp) instead")
+        return False
+    if cfg.engine == "pallas":
+        if not _pallas_available(cfg):
+            raise ValueError("model too large for the Pallas VMEM-resident kernel; "
+                             "use engine='xla'")
+        return True
+    # auto: pallas on TPU when it fits
+    return jax.default_backend() == "tpu" and _pallas_available(cfg)
+
+
+def _state_shardings(mesh: Mesh, axis: str) -> TrainState:
     repl = NamedSharding(mesh, P())
-    data_sh = NamedSharding(mesh, P(axis))  # shard samples across dp
-    chain_sh = NamedSharding(mesh, P(axis))  # PCD chains live with the batch shards
-    state_sh = TrainState(
+    return TrainState(
         params=RBMParams(repl, repl, repl),
         velocity=RBMParams(repl, repl, repl),
-        chain_h=chain_sh,
+        chain_h=NamedSharding(mesh, P(axis)),
         key=repl,
         epoch=repl,
     )
-    return jax.jit(epoch, in_shardings=(state_sh, data_sh), out_shardings=(state_sh, repl))
 
 
 class EpochMetrics:
-    __slots__ = ("errors", "updates_per_sec", "wall_seconds")
+    __slots__ = ("errors", "updates_per_sec", "wall_seconds", "engine")
 
-    def __init__(self):
+    def __init__(self, engine: str = "xla"):
         self.errors: List[float] = []
         self.updates_per_sec: List[float] = []
         self.wall_seconds: List[float] = []
+        self.engine = engine
 
 
 def train_rbm(
@@ -108,10 +128,10 @@ def train_rbm(
     runtime: Optional[TrainRuntimeConfig] = None,
     epoch_callback: Optional[Callable[[int, float, TrainState], None]] = None,
 ) -> Tuple[TrainState, EpochMetrics]:
-    """Train one RBM for ``cfg.epochs`` epochs; one device dispatch per epoch.
+    """Train one RBM for ``cfg.epochs`` epochs.
 
-    Mirrors the reference's ``RBM.train`` entry point (BASELINE.json:5) with
-    the epoch loop on the host (cold) and everything else on device (hot).
+    Mirrors the reference's ``RBM.train`` entry point (BASELINE.json:5). One
+    fused dispatch for the whole run unless per-epoch callbacks are needed.
     """
     runtime = runtime or TrainRuntimeConfig()
     axis = runtime.mesh_axis
@@ -122,37 +142,65 @@ def train_rbm(
     if runtime.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
-    epoch_fn = _make_epoch_fn(cfg, mesh, axis)
+    use_pallas = _use_pallas(cfg, mesh)
+    engine_name = "pallas" if use_pallas else "xla"
+
     if mesh is not None:
         data = jax.device_put(data, NamedSharding(mesh, P(axis)))
-        state = jax.device_put(
-            state,
-            TrainState(
-                params=RBMParams(*(NamedSharding(mesh, P()),) * 3),
-                velocity=RBMParams(*(NamedSharding(mesh, P()),) * 3),
-                chain_h=NamedSharding(mesh, P(axis)),
-                key=NamedSharding(mesh, P()),
-                epoch=NamedSharding(mesh, P()),
-            ),
-        )
+        state = jax.device_put(state, _state_shardings(mesh, axis))
 
     nb = data.shape[0] // cfg.batch_size
-    metrics = EpochMetrics()
-    profiling = runtime.profile
-    if profiling:
+    per_epoch = epoch_callback is not None or runtime.checkpoint_every_epochs > 0
+    metrics = EpochMetrics(engine_name)
+
+    if runtime.profile:
         jax.profiler.start_trace(runtime.profile_dir)
     try:
-        for ep in range(cfg.epochs):
+        if per_epoch:
+            if use_pallas:
+                from ..ops.cd_epoch_pallas import make_pallas_epoch_fn
+
+                epoch_fn = make_pallas_epoch_fn(cfg)
+            else:
+                epoch = partial(_epoch_xla, cfg=cfg)
+                if mesh is None:
+                    epoch_fn = jax.jit(epoch)
+                else:
+                    sh = _state_shardings(mesh, axis)
+                    epoch_fn = jax.jit(epoch, in_shardings=(sh, NamedSharding(mesh, P(axis))),
+                                       out_shardings=(sh, NamedSharding(mesh, P())))
+            for ep in range(cfg.epochs):
+                t0 = time.perf_counter()
+                state, err = epoch_fn(state, data)
+                err = float(err)
+                dt = time.perf_counter() - t0
+                metrics.errors.append(err)
+                metrics.wall_seconds.append(dt)
+                metrics.updates_per_sec.append(nb / dt if dt > 0 else float("inf"))
+                if epoch_callback is not None:
+                    epoch_callback(ep, err, state)
+        else:
+            if use_pallas:
+                from ..ops.cd_epoch_pallas import make_pallas_train_fn
+
+                train_fn = make_pallas_train_fn(cfg, cfg.epochs)
+            else:
+                fused = partial(_train_xla_fused, cfg=cfg, n_epochs=cfg.epochs)
+                if mesh is None:
+                    train_fn = jax.jit(fused)
+                else:
+                    sh = _state_shardings(mesh, axis)
+                    train_fn = jax.jit(fused, in_shardings=(sh, NamedSharding(mesh, P(axis))),
+                                       out_shardings=(sh, NamedSharding(mesh, P())))
             t0 = time.perf_counter()
-            state, err = epoch_fn(state, data)
-            err = float(err)
+            state, errs = train_fn(state, data)
+            errs = jax.device_get(errs)
             dt = time.perf_counter() - t0
-            metrics.errors.append(err)
-            metrics.wall_seconds.append(dt)
-            metrics.updates_per_sec.append(nb / dt if dt > 0 else float("inf"))
-            if epoch_callback is not None:
-                epoch_callback(ep, err, state)
+            metrics.errors = [float(e) for e in errs]
+            per = dt / cfg.epochs
+            metrics.wall_seconds = [per] * cfg.epochs
+            metrics.updates_per_sec = [nb / per if per > 0 else float("inf")] * cfg.epochs
     finally:
-        if profiling:
+        if runtime.profile:
             jax.profiler.stop_trace()
     return state, metrics

@@ -1,0 +1,124 @@
+"""Fused Pallas CD kernel tests — REAL TPU ONLY (SURVEY.md §4.2).
+
+Run with ``MDBN_TEST_PLATFORM=axon python -m pytest tests/test_pallas_tpu.py``.
+Skipped on the CPU CI backend: the Pallas TPU *interpreter* stubs
+``prng_random_bits`` to zeros, so sampling-dependent behavior is only
+observable on hardware. The kernel's PRNG can't bit-match the oracle's;
+sampling-dependent paths are tested distributionally: equal-hyperparameter
+training must land at the oracle's reconstruction error within tolerance, and
+the in-kernel uniform/normal generators must pass moment checks.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="Pallas PRNG only runs on real TPU (interpreter returns zero bits)",
+)
+
+from mdbn_tpu.config import RBMConfig
+from mdbn_tpu.core.state import init_train_state
+from mdbn_tpu.data.synthetic import bars_and_stripes, mnist_like, tcga_like
+from mdbn_tpu.oracle import OracleRBM
+from mdbn_tpu.ops.cd_epoch_pallas import estimate_vmem_bytes, make_pallas_train_fn
+
+import jax.numpy as jnp
+
+
+def run_pallas(cfg, data, n_epochs):
+    fn = make_pallas_train_fn(cfg, n_epochs, interpret=False)
+    assert fn is not None
+    state = init_train_state(cfg)
+    state, errs = fn(state, jnp.asarray(data))
+    return state, np.asarray(errs)
+
+
+def test_bernoulli_cd1_matches_oracle_convergence():
+    data = mnist_like(400, seed=2)
+    cfg = RBMConfig(n_visible=784, n_hidden=32, k=1, lr=0.1, epochs=6, batch_size=20, seed=0)
+    state, errs = run_pallas(cfg, data, 6)
+    oracle = OracleRBM(cfg).train(data)
+    # same downward trajectory, matching within a distributional tolerance
+    assert errs[-1] < errs[0] * 0.75
+    np.testing.assert_allclose(errs[-1], oracle.history[-1], rtol=0.12)
+
+
+def test_pcd_momentum_l2():
+    data = bars_and_stripes(320, side=4, seed=5)
+    cfg = RBMConfig(n_visible=16, n_hidden=16, k=1, persistent=True, lr=0.05,
+                    momentum=0.5, l2=1e-4, epochs=12, batch_size=16, seed=1)
+    state, errs = run_pallas(cfg, data, 12)
+    oracle = OracleRBM(cfg).train(data)
+    assert errs[-1] < errs[0]
+    # chain must have evolved away from zeros
+    assert float(np.abs(np.asarray(state.chain_h)).sum()) > 0
+    np.testing.assert_allclose(errs[-1], oracle.history[-1], rtol=0.35, atol=0.02)
+
+
+def test_cdk_k3():
+    data = bars_and_stripes(320, side=4, seed=6)
+    cfg = RBMConfig(n_visible=16, n_hidden=16, k=3, lr=0.1, epochs=8, batch_size=16, seed=2)
+    state, errs = run_pallas(cfg, data, 8)
+    assert errs[-1] < errs[0]
+
+
+def test_gaussian_visible():
+    mods, _ = tcga_like(n_patients=200, dims={"ge": 64, "meth": 16, "mirna": 16}, seed=4)
+    data = mods["ge"]
+    cfg = RBMConfig(n_visible=64, n_hidden=32, visible="gaussian", lr=0.005,
+                    epochs=8, batch_size=20, seed=3)
+    state, errs = run_pallas(cfg, data, 8)
+    oracle = OracleRBM(cfg).train(data)
+    assert np.isfinite(errs).all()
+    assert errs[-1] < errs[0]
+    np.testing.assert_allclose(errs[-1], oracle.history[-1], rtol=0.15)
+
+
+def test_xent_metric():
+    data = bars_and_stripes(160, side=4, seed=7)
+    cfg = RBMConfig(n_visible=16, n_hidden=16, error_metric="xent", epochs=6,
+                    batch_size=16, seed=4)
+    state, errs = run_pallas(cfg, data, 6)
+    oracle = OracleRBM(cfg).train(data)
+    assert errs[-1] < errs[0]
+    np.testing.assert_allclose(errs[-1], oracle.history[-1], rtol=0.2)
+
+
+def test_shuffle_path():
+    data = mnist_like(200, seed=8)
+    cfg = RBMConfig(n_visible=784, n_hidden=16, shuffle=True, epochs=4, batch_size=20, seed=5)
+    state, errs = run_pallas(cfg, data, 4)
+    assert errs[-1] < errs[0]
+
+
+def test_vmem_guard():
+    big = RBMConfig(n_visible=40000, n_hidden=4096, batch_size=20)
+    assert estimate_vmem_bytes(big) > 100 * 1024 * 1024
+    assert make_pallas_train_fn(big, 1, interpret=False) is None
+
+
+def test_kernel_uniform_moments():
+    """In-kernel PRNG produces sane uniforms (mantissa bit-trick)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from mdbn_tpu.ops.cd_epoch_pallas import _normal_from_bits, _uniform_from_bits
+
+    def kern(seed_ref, u_ref, n_ref):
+        pltpu.prng_seed(seed_ref[0], 7)
+        u_ref[:] = _uniform_from_bits((256, 128))
+        n_ref[:] = _normal_from_bits((256, 128))
+
+    u, n = pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((256, 128), jnp.float32)] * 2,
+    )(jnp.array([3, 0], jnp.int32))
+    u, n = np.asarray(u), np.asarray(n)
+    assert 0.0 <= u.min() and u.max() < 1.0
+    assert abs(u.mean() - 0.5) < 0.01
+    assert abs(u.std() - (1 / 12) ** 0.5) < 0.01
+    assert abs(n.mean()) < 0.03 and abs(n.std() - 1.0) < 0.03
