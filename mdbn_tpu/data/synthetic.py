@@ -34,15 +34,16 @@ def mnist_like(
     rng = np.random.default_rng(seed)
     side = int(round(n_features**0.5))
     protos = np.zeros((n_prototypes, side, side), np.float32)
+    lo, hi = min(2, side - 1), max(side - 4, min(2, side - 1) + 1)
     for p in range(n_prototypes):
         # a few random thick strokes per prototype — loosely digit-like structure
         for _ in range(3):
             if rng.random() < 0.5:
-                r = rng.integers(2, side - 4)
-                protos[p, r : r + 2, rng.integers(0, side // 2) :] = 1.0
+                r = rng.integers(lo, hi)
+                protos[p, r : r + 2, rng.integers(0, max(1, side // 2)) :] = 1.0
             else:
-                col = rng.integers(2, side - 4)
-                protos[p, rng.integers(0, side // 2) :, col : col + 2] = 1.0
+                col = rng.integers(lo, hi)
+                protos[p, rng.integers(0, max(1, side // 2)) :, col : col + 2] = 1.0
     protos = protos.reshape(n_prototypes, side * side)[:, :n_features]
     labels = rng.integers(0, n_prototypes, n_samples)
     probs = np.clip(protos[labels] * (1 - 2 * noise) + noise, 0.0, 1.0)

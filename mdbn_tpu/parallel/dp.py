@@ -1,0 +1,121 @@
+"""Explicit data-parallel CD training via ``jax.shard_map`` + ``lax.psum``.
+
+Two DP implementations exist (SURVEY.md §2.4):
+
+1. **GSPMD (default, in train.trainer):** jit the single-device program with
+   the batch dimension sharded; XLA's partitioner inserts the gradient
+   all-reduce. Bit-identical to the single-device program (jax.random draws
+   are sharding-invariant).
+2. **This module:** the same math written with explicit per-shard code and a
+   ``lax.pmean`` per step — the "manual collectives" variant, used to
+   validate DP semantics on an 8-device CPU mesh (SURVEY.md §4.5) and as the
+   template for future Pallas-side collectives.
+
+Both preserve single-chip math: the *global* minibatch (cfg.batch_size) is
+split across shards, and the pmean-of-local-means equals the global batch
+mean, so DP changes throughput, not the update rule.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import RBMConfig
+from ..core.rbm_math import RBMParams, apply_update, cd_step_stats
+from ..core.state import TrainState
+from ..ops.cd_step import draw_uniforms
+
+
+def train_rbm_shard_map(
+    state: TrainState,
+    data: jax.Array,
+    cfg: RBMConfig,
+    mesh: Mesh,
+    n_epochs: int,
+) -> Tuple[TrainState, jax.Array]:
+    """Run ``n_epochs`` epochs of CD-k/PCD with explicit DP collectives.
+
+    ``data``: [n_samples, V]. The global minibatch is split evenly across the
+    mesh's devices; gradients and the error monitor are ``pmean``-allreduced
+    over ICI each step. Returns (state, per-epoch errors [n_epochs]).
+    """
+    axis = mesh.axis_names[0]
+    ndev = mesh.devices.size
+    if cfg.batch_size % ndev != 0:
+        raise ValueError(f"batch_size {cfg.batch_size} not divisible by {ndev} devices")
+    local_b = cfg.batch_size // ndev
+    local_cfg = cfg.replace(batch_size=local_b)
+
+    n = data.shape[0]
+    nb = n // cfg.batch_size
+    V = data.shape[1]
+
+    state_specs = TrainState(
+        params=RBMParams(P(), P(), P()),
+        velocity=RBMParams(P(), P(), P()),
+        chain_h=P(axis),  # PCD chains live with their batch shard
+        key=P(),
+        epoch=P(),
+    )
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(state_specs, P(None, axis, None, None)),
+        out_specs=(state_specs, P()),
+    )
+    def run(st: TrainState, batches: jax.Array):
+        # batches (local view): [nb, 1, local_b, V]
+        my = jax.lax.axis_index(axis)
+
+        def step(carry, xs):
+            params, vel, chain = carry
+            v0 = xs["batch"][0]
+            k = jax.random.fold_in(xs["key"], my)  # distinct stream per shard
+            grads, new_chain, err = cd_step_stats(
+                params, v0, chain if cfg.persistent else None,
+                draw_uniforms(local_cfg, local_b, k), local_cfg)
+            grads = jax.lax.pmean(grads, axis)  # ONE allreduce of (dW, db, dc)
+            err = jax.lax.pmean(err, axis)
+            params, vel = apply_update(params, vel, grads, cfg)
+            return (params, vel, new_chain), err
+
+        def epoch_body(carry, ekey):
+            keys = jax.random.split(ekey, nb)
+            carry, errs = jax.lax.scan(step, carry, {"batch": batches, "key": keys})
+            return carry, errs.mean()
+
+        key, kepochs = jax.random.split(st.key)
+        (params, vel, chain), errs = jax.lax.scan(
+            epoch_body, (st.params, st.velocity, st.chain_h),
+            jax.random.split(kepochs, n_epochs))
+        new_st = TrainState(params, vel, chain, key,
+                            st.epoch + jnp.int32(n_epochs))
+        return new_st, errs
+
+    @jax.jit
+    def fused(st: TrainState, data: jax.Array):
+        usable = nb * cfg.batch_size
+        # [nb, ndev, local_b, V]: shard axis 1 across dp
+        batches = data[:usable].reshape(nb, ndev, local_b, V)
+        return run(st, batches)
+
+    # chain state must be laid out over the mesh before entering shard_map
+    state = jax.device_put(
+        state,
+        TrainState(
+            params=RBMParams(*(NamedSharding(mesh, P()),) * 3),
+            velocity=RBMParams(*(NamedSharding(mesh, P()),) * 3),
+            chain_h=NamedSharding(mesh, P(axis)),
+            key=NamedSharding(mesh, P()),
+            epoch=NamedSharding(mesh, P()),
+        ),
+    )
+    data = jax.device_put(jnp.asarray(data, jnp.dtype(cfg.param_dtype)),
+                          NamedSharding(mesh, P(axis)))
+    return fused(state, data)

@@ -1,0 +1,33 @@
+"""Device-mesh utilities (SURVEY.md §2.3/§2.4).
+
+The rebuild's entire communication layer is XLA collectives over ICI on a 1-D
+``('dp',)`` mesh: one psum of the (dW, db, dc) statistics per CD step plus
+psum of the reconstruction-error scalar. DCN is out of scope (single host).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "dp",
+              devices: Optional[Sequence] = None) -> Mesh:
+    """1-D data-parallel mesh over the first ``n_devices`` devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(f"requested {n_devices} devices, have {len(devices)}")
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def pad_to_shards(n: int, n_shards: int, batch_size: int) -> int:
+    """Largest sample count <= n usable with ``n_shards`` equal shards of
+    whole minibatches."""
+    per = batch_size * n_shards
+    return (n // per) * per

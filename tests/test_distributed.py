@@ -1,0 +1,108 @@
+"""Data-parallel semantics on an 8-virtual-device CPU mesh (SURVEY.md §4.5).
+
+Validates both DP implementations:
+- GSPMD (trainer + mesh): must be numerically equivalent to the single-device
+  program (jax.random draws are sharding-invariant).
+- shard_map + pmean (parallel.dp): per-step allreduce semantics checked
+  exactly against a host-side reconstruction of the same math.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mdbn_tpu.config import RBMConfig
+from mdbn_tpu.core.rbm_math import RBMParams, cd_step_stats
+from mdbn_tpu.core.state import init_train_state
+from mdbn_tpu.data.synthetic import mnist_like
+from mdbn_tpu.ops.cd_step import draw_uniforms
+from mdbn_tpu.oracle import OracleRBM
+from mdbn_tpu.parallel.dp import train_rbm_shard_map
+from mdbn_tpu.parallel.mesh import make_mesh
+from mdbn_tpu.train.trainer import train_rbm
+
+pytestmark = pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+
+
+CFG = RBMConfig(n_visible=784, n_hidden=32, k=1, lr=0.1, epochs=4,
+                batch_size=32, seed=0, engine="xla")
+DATA = mnist_like(320, seed=3)
+
+
+def test_gspmd_dp_matches_single_device():
+    state1, m1 = train_rbm(DATA, CFG)
+    mesh = make_mesh(8)
+    state8, m8 = train_rbm(DATA, CFG, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(state8.params.W), np.asarray(state1.params.W),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(m8.errors, m1.errors, rtol=1e-4, atol=1e-5)
+
+
+def test_shard_map_dp_converges():
+    mesh = make_mesh(8)
+    state = init_train_state(CFG)
+    state, errs = train_rbm_shard_map(state, jnp.asarray(DATA), CFG, mesh, n_epochs=4)
+    errs = np.asarray(errs)
+    assert errs.shape == (4,)
+    assert np.isfinite(errs).all()
+    assert errs[-1] < errs[0] * 0.85
+    # distributional agreement with the oracle at equal hyperparameters
+    oracle = OracleRBM(CFG).train(DATA)
+    np.testing.assert_allclose(errs[-1], oracle.history[-1], rtol=0.15)
+
+
+def test_shard_map_pcd_chain_sharded():
+    cfg = CFG.replace(persistent=True, epochs=2)
+    mesh = make_mesh(8)
+    state = init_train_state(cfg)
+    state, errs = train_rbm_shard_map(state, jnp.asarray(DATA), cfg, mesh, n_epochs=2)
+    chain = np.asarray(state.chain_h)
+    assert chain.shape == (cfg.batch_size, cfg.n_hidden)
+    assert np.abs(chain).sum() > 0  # chains evolved away from zeros
+
+
+def test_batch_not_divisible_raises():
+    mesh = make_mesh(8)
+    cfg = CFG.replace(batch_size=20)  # 20 % 8 != 0
+    state = init_train_state(cfg)
+    with pytest.raises(ValueError, match="not divisible"):
+        train_rbm_shard_map(state, jnp.asarray(DATA), cfg, mesh, n_epochs=1)
+
+
+def test_pmean_of_local_means_is_global_mean():
+    """The DP invariant: pmean over shards of local-batch-mean stats equals
+    the global-batch-mean stats (so DP does not change the update rule)."""
+    cfg = CFG.replace(batch_size=32)
+    rng = np.random.default_rng(0)
+    params = RBMParams(
+        W=jnp.asarray(rng.standard_normal((784, 32)).astype(np.float32) * 0.01),
+        b=jnp.zeros(784, jnp.float32), c=jnp.zeros(32, jnp.float32))
+    v0 = jnp.asarray(DATA[:32])
+    key = jax.random.PRNGKey(7)
+    local_cfg = cfg.replace(batch_size=4)
+
+    # host-side reconstruction: 8 local shards, same per-shard fold_in streams
+    shard_grads = []
+    for i in range(8):
+        k = jax.random.fold_in(key, i)
+        g, _, _ = cd_step_stats(params, v0[i * 4:(i + 1) * 4], None,
+                                draw_uniforms(local_cfg, 4, k), local_cfg)
+        shard_grads.append(g)
+    gW_manual = np.mean([np.asarray(g.W) for g in shard_grads], axis=0)
+
+    # shard_map run of the identical step
+    from functools import partial
+    from jax.sharding import PartitionSpec as P
+    mesh = make_mesh(8)
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P(), P("dp")), out_specs=P())
+    def one_step(p, v):
+        my = jax.lax.axis_index("dp")
+        k = jax.random.fold_in(key, my)
+        g, _, _ = cd_step_stats(p, v, None, draw_uniforms(local_cfg, 4, k), local_cfg)
+        return jax.lax.pmean(g, "dp")
+
+    g_dp = one_step(params, v0)
+    np.testing.assert_allclose(np.asarray(g_dp.W), gW_manual, rtol=1e-5, atol=1e-6)
