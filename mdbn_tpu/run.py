@@ -1,0 +1,132 @@
+"""CLI runner: ``python -m mdbn_tpu.run --config configs/<name>.json``.
+
+An experiment config is a JSON dict with:
+  - "model": an RBMConfig / DBNConfig / MDBNConfig (tagged by __type__)
+  - "data": synthetic-data spec ({"kind": "mnist_like"|"tcga_like", ...})
+  - "analysis" (optional): {"kmeans": k} — latent extraction + clustering
+    (graded config 5, BASELINE.json:11)
+
+The five graded configs (BASELINE.json:6-12) ship in configs/.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+import numpy as np
+
+from .analysis.cluster import adjusted_rand_index, extract_latent, kmeans_cluster
+from .config import DBNConfig, MDBNConfig, RBMConfig, TrainRuntimeConfig, load_config
+from .data import synthetic
+from .models.dbn import DBN
+from .models.mdbn import MDBN
+from .models.rbm import RBM
+from .utils.metrics import MetricsWriter, get_logger
+
+log = get_logger("mdbn_tpu.run")
+
+
+def build_data(spec: dict):
+    kind = spec.get("kind", "mnist_like")
+    kw = {k: v for k, v in spec.items() if k != "kind"}
+    if kind == "mnist_like":
+        return synthetic.mnist_like(**kw), None
+    if kind == "bars_and_stripes":
+        return synthetic.bars_and_stripes(**kw), None
+    if kind == "tcga_like":
+        mods, labels = synthetic.tcga_like(**kw)
+        return mods, labels
+    raise ValueError(f"unknown data kind {kind!r}")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="mdbn-tpu experiment runner")
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--epochs", type=int, default=None, help="override epochs")
+    ap.add_argument("--engine", choices=["auto", "xla", "pallas"], default=None)
+    ap.add_argument("--metrics", default=None, help="JSONL metrics output path")
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--profile", action="store_true")
+    ap.add_argument("--debug-nans", action="store_true")
+    args = ap.parse_args(argv)
+
+    exp = load_config(args.config)
+    model_cfg = exp["model"]
+    data, labels = build_data(exp.get("data", {"kind": "mnist_like"}))
+    if isinstance(data, dict) and "modality" in exp:
+        data = data[exp["modality"]]  # single-modality configs on multi-omics data
+
+    def override(cfg):
+        kw = {}
+        if args.epochs is not None:
+            kw["epochs"] = args.epochs
+        if args.engine is not None:
+            kw["engine"] = args.engine
+        return dataclasses.replace(cfg, **kw) if kw else cfg
+
+    runtime = TrainRuntimeConfig(
+        profile=args.profile, debug_nans=args.debug_nans,
+        checkpoint_dir=args.checkpoint_dir, metrics_path=args.metrics,
+    )
+
+    with MetricsWriter(args.metrics) as mw:
+        if isinstance(model_cfg, RBMConfig):
+            model = RBM(override(model_cfg))
+            model.train(data, runtime=runtime)
+            for ep, (err, ups) in enumerate(zip(model.metrics.errors,
+                                                model.metrics.updates_per_sec)):
+                mw.write({"kind": "epoch", "epoch": ep, "recon_error": err,
+                          "updates_per_sec": ups, "engine": model.metrics.engine})
+            log.info("RBM trained (%s engine): err %.5f -> %.5f",
+                     model.metrics.engine, model.history[0], model.history[-1])
+        elif isinstance(model_cfg, DBNConfig):
+            if args.epochs is not None or args.engine is not None:
+                kw = {}
+                if args.epochs is not None:
+                    kw["epochs"] = args.epochs
+                if args.engine is not None:
+                    kw["engine"] = args.engine
+                model_cfg = dataclasses.replace(model_cfg, **kw)
+            model = DBN(model_cfg)
+
+            def layer_cb(l, rbm):
+                mw.write({"kind": "layer", "layer": l, "errors": rbm.history,
+                          "engine": rbm.metrics.engine})
+                log.info("layer %d trained (%s): err %.5f -> %.5f", l,
+                         rbm.metrics.engine, rbm.history[0], rbm.history[-1])
+                if args.checkpoint_dir:
+                    from .checkpoint import LayerCheckpointer
+                    LayerCheckpointer(args.checkpoint_dir).save_layer(
+                        f"layer{l}", rbm.state, rbm.cfg)
+
+            model.train(data, runtime=runtime, layer_callback=layer_cb)
+        elif isinstance(model_cfg, MDBNConfig):
+            model = MDBN(model_cfg)
+            model.train(data, runtime=runtime)
+            for name, hist in model.history.items():
+                mw.write({"kind": "tower", "name": name, "history": hist})
+                log.info("%s trained", name)
+        else:
+            raise TypeError(f"unsupported model config {type(model_cfg)}")
+
+        analysis = exp.get("analysis")
+        if analysis and "kmeans" in analysis:
+            k = int(analysis["kmeans"])
+            codes = extract_latent(model, data)
+            pred, _ = kmeans_cluster(codes, k, seed=0)
+            rec = {"kind": "kmeans", "k": k,
+                   "cluster_sizes": np.bincount(pred, minlength=k).tolist()}
+            if labels is not None:
+                rec["ari_vs_planted"] = adjusted_rand_index(labels, pred)
+                log.info("k-means ARI vs planted clusters: %.3f", rec["ari_vs_planted"])
+            mw.write(rec)
+            print(json.dumps(rec))
+
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,117 @@
+"""Checkpoint/resume + config round-trip + CLI smoke tests (SURVEY.md §5)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mdbn_tpu.checkpoint import LayerCheckpointer, restore_state, save_state
+from mdbn_tpu.config import (DBNConfig, MDBNConfig, RBMConfig, load_config,
+                             save_config)
+from mdbn_tpu.core.state import init_train_state
+from mdbn_tpu.data.synthetic import mnist_like
+from mdbn_tpu.train.trainer import train_rbm
+
+
+def test_state_roundtrip(tmp_path):
+    cfg = RBMConfig(n_visible=32, n_hidden=16, persistent=True, momentum=0.5,
+                    epochs=2, batch_size=8, engine="xla")
+    data = mnist_like(64, n_features=32, seed=0)
+    state, _ = train_rbm(data, cfg)
+    path = str(tmp_path / "ckpt")
+    save_state(state, path)
+    restored = restore_state(path)
+    np.testing.assert_array_equal(np.asarray(restored.params.W), np.asarray(state.params.W))
+    np.testing.assert_array_equal(np.asarray(restored.velocity.W), np.asarray(state.velocity.W))
+    np.testing.assert_array_equal(np.asarray(restored.chain_h), np.asarray(state.chain_h))
+    np.testing.assert_array_equal(np.asarray(restored.key), np.asarray(state.key))
+    assert int(restored.epoch) == int(state.epoch)
+
+
+def test_resume_continues_identically(tmp_path):
+    """train(4 epochs) == train(2) -> checkpoint -> restore -> train(2)."""
+    cfg = RBMConfig(n_visible=32, n_hidden=16, epochs=2, batch_size=8, engine="xla")
+    data = mnist_like(64, n_features=32, seed=0)
+
+    s_full, _ = train_rbm(data, cfg.replace(epochs=4))
+
+    s_half, _ = train_rbm(data, cfg)
+    path = str(tmp_path / "ckpt")
+    save_state(s_half, path)
+    s_resumed, _ = train_rbm(data, cfg, state=restore_state(path))
+
+    np.testing.assert_allclose(np.asarray(s_resumed.params.W), np.asarray(s_full.params.W),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_layer_checkpointer(tmp_path):
+    cfg = RBMConfig(n_visible=32, n_hidden=16, epochs=1, batch_size=8, engine="xla")
+    state = init_train_state(cfg)
+    ck = LayerCheckpointer(str(tmp_path / "dbn"))
+    assert ck.completed() == []
+    ck.save_layer("layer0", state, cfg)
+    assert ck.has_layer("layer0")
+    restored, rcfg = ck.load_layer("layer0")
+    assert rcfg == cfg
+    np.testing.assert_array_equal(np.asarray(restored.params.W), np.asarray(state.params.W))
+
+
+def test_config_json_roundtrip(tmp_path):
+    cfg = MDBNConfig(
+        towers={"ge": DBNConfig(layer_sizes=[8, 4], visible="gaussian", epochs=1)},
+        joint=RBMConfig(n_visible=4, n_hidden=2),
+    )
+    p = str(tmp_path / "cfg.json")
+    save_config(cfg, p)
+    loaded = load_config(p)
+    assert loaded == cfg
+
+
+def test_graded_configs_load():
+    here = os.path.join(os.path.dirname(__file__), "..", "configs")
+    names = sorted(os.listdir(here))
+    assert len(names) == 5
+    for n in names:
+        exp = load_config(os.path.join(here, n))
+        assert "model" in exp and "data" in exp
+
+
+def test_cli_rbm(tmp_path):
+    from mdbn_tpu.run import main
+
+    save_config({
+        "model": RBMConfig(n_visible=784, n_hidden=16, epochs=2, batch_size=20,
+                           engine="xla", seed=0),
+        "data": {"kind": "mnist_like", "n_samples": 100, "seed": 2},
+    }, str(tmp_path / "exp.json"))
+    metrics = str(tmp_path / "m.jsonl")
+    assert main(["--config", str(tmp_path / "exp.json"), "--metrics", metrics]) == 0
+    records = [json.loads(l) for l in open(metrics)]
+    assert len(records) == 2
+    assert records[-1]["recon_error"] < records[0]["recon_error"]
+
+
+def test_cli_mdbn_kmeans(tmp_path):
+    from mdbn_tpu.run import main
+
+    save_config({
+        "model": MDBNConfig(
+            towers={m: DBNConfig(layer_sizes=[16, 8], visible="gaussian",
+                                 epochs=2, batch_size=10, engine="xla", seed=i)
+                    for i, m in enumerate(["ge", "meth", "mirna"])},
+            joint=RBMConfig(n_visible=1, n_hidden=8, epochs=2, batch_size=10,
+                            engine="xla"),
+        ),
+        "data": {"kind": "tcga_like", "n_patients": 80, "n_clusters": 3,
+                 "dims": {"ge": 40, "meth": 30, "mirna": 20}, "seed": 1,
+                 "signal": 3.0},
+        "analysis": {"kmeans": 3},
+    }, str(tmp_path / "exp.json"))
+    metrics = str(tmp_path / "m.jsonl")
+    assert main(["--config", str(tmp_path / "exp.json"), "--metrics", metrics]) == 0
+    records = [json.loads(l) for l in open(metrics)]
+    km = [r for r in records if r["kind"] == "kmeans"]
+    assert km and km[0]["ari_vs_planted"] > 0.5
