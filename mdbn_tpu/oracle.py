@@ -213,3 +213,35 @@ class OracleDBN:
         for rbm in self.layers:
             h = rbm.transform(h)
         return h
+
+
+class OracleMDBN:
+    """Per-modality OracleDBN towers + joint OracleRBM (SURVEY.md §3.3).
+
+    ``tower_cfgs``: {modality: [RBMConfig, ...]}; ``joint_cfg.n_visible`` is
+    replaced by the concatenated tower-code width at train time.
+    """
+
+    def __init__(self, tower_cfgs: Dict[str, list], joint_cfg: RBMConfig):
+        self.towers = {m: OracleDBN(cfgs) for m, cfgs in tower_cfgs.items()}
+        self._joint_cfg = joint_cfg
+        self.joint: Optional[OracleRBM] = None
+
+    def _tower_codes(self, modalities: Dict[str, np.ndarray]) -> np.ndarray:
+        return np.concatenate(
+            [self.towers[m].transform(modalities[m]) for m in self.towers], axis=1)
+
+    def train(self, modalities: Dict[str, np.ndarray]) -> "OracleMDBN":
+        for m, tower in self.towers.items():
+            tower.train(modalities[m])
+        codes = self._tower_codes(modalities)
+        import dataclasses
+
+        self.joint = OracleRBM(dataclasses.replace(
+            self._joint_cfg, n_visible=codes.shape[1], visible="bernoulli"))
+        self.joint.train(codes)
+        return self
+
+    def transform(self, modalities: Dict[str, np.ndarray]) -> np.ndarray:
+        assert self.joint is not None, "train first"
+        return self.joint.transform(self._tower_codes(modalities))
