@@ -6,21 +6,24 @@ affair; at batch 20 the three Gibbs matmuls are far too small to amortize any
 per-step dispatch, so here the **entire multi-epoch training run is ONE kernel
 launch**:
 
-- grid = (epochs, num_batches). TPU grid iterations run sequentially, which is
-  exactly SGD's data dependence (update t+1 needs weights from t).
+- grid = (epochs, num_batches / U). TPU grid iterations run sequentially,
+  which is exactly SGD's data dependence (update t+1 needs weights from t);
+  each grid step additionally unrolls U consecutive minibatch updates to
+  amortize the ~3 us fixed per-grid-step cost (measured on v5e) U-fold.
 - Parameters, momentum velocities, and the PCD chain live in VMEM for the
   whole run (constant-index blocks): weights are read from HBM once and
   written back once — zero HBM weight traffic per update.
 - Minibatches stream HBM->VMEM via the automatic grid pipeline (double
-  buffered), overlapping the next batch's DMA with this batch's compute. With
-  per-epoch shuffling, the batch *order* is a scalar-prefetched permutation
-  table consulted by the data BlockSpec's index_map (batch-order shuffle; the
-  reference lineage doesn't shuffle at all).
-- Each Gibbs step fuses both matmuls, the sigmoids, and on-chip-PRNG
-  Bernoulli/Gaussian sampling (pltpu.prng_*), then the momentum+L2 update —
-  one pass over VMEM-resident weights (the north-star kernel of
-  BASELINE.json:5).
-- Per-epoch mean reconstruction error is the only per-epoch output.
+  buffered), overlapping the next super-batch's DMA with this one's compute.
+  With per-epoch shuffling, the batch *order* is a scalar-prefetched
+  permutation table consulted by the data BlockSpec's index_map (batch-order
+  shuffle; the reference lineage doesn't shuffle at all).
+- Each Gibbs step fuses both matmuls (MXU; optionally bf16 with f32
+  accumulation via cfg.compute_dtype), the sigmoids, on-chip-PRNG
+  Bernoulli/Gaussian sampling (pltpu.prng_*), the momentum+L2 update, and the
+  reconstruction-error monitor — one pass over VMEM-resident weights (the
+  north-star kernel of BASELINE.json:5). With momentum=0 (the default) the
+  velocity buffers are elided from the recursion to halve update traffic.
 
 Sampling-dependent math is validated distributionally against the NumPy
 oracle; deterministic sub-paths are validated exactly via the shared XLA
@@ -45,14 +48,26 @@ from ..core.state import TrainState
 
 # Conservative budget for params+velocities+activations; v5e VMEM ~128 MiB.
 _VMEM_BUDGET = 100 * 1024 * 1024
+_MAX_UNROLL = 8  # minibatch updates fused per grid step
 
 
-def estimate_vmem_bytes(cfg: RBMConfig) -> int:
+def _pick_unroll(nb: int, cfg: RBMConfig) -> int:
+    """Largest divisor of nb <= _MAX_UNROLL whose data block stays small."""
+    budget_rows = max(1, (2 * 1024 * 1024) // max(1, 4 * cfg.n_visible))  # ~2MB block
+    max_u = max(1, min(_MAX_UNROLL, budget_rows // max(1, cfg.batch_size)))
+    for u in range(max_u, 0, -1):
+        if nb % u == 0:
+            return u
+    return 1
+
+
+def estimate_vmem_bytes(cfg: RBMConfig, unroll: int = _MAX_UNROLL) -> int:
     f = 4  # float32
     w = cfg.n_visible * cfg.n_hidden * f
     batch = cfg.batch_size * (cfg.n_visible + cfg.n_hidden) * f
+    data_block = 2 * unroll * cfg.batch_size * cfg.n_visible * f  # double-buffered
     # W+velW (plus their input copies) + biases + ~8 batch-sized temps
-    return 4 * w + 4 * (cfg.n_visible + cfg.n_hidden) * f + 8 * batch
+    return 4 * w + 4 * (cfg.n_visible + cfg.n_hidden) * f + 8 * batch + data_block
 
 
 def _uniform_from_bits(shape) -> jax.Array:
@@ -76,33 +91,35 @@ def _normal_from_bits(shape) -> jax.Array:
     return r * jnp.cos((2.0 * jnp.pi) * u2)
 
 
-def _dot_nt(a, b):  # a @ b
-    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+def _dot_nt(a, b, cd=jnp.float32):  # a @ b, f32 accumulation
+    return jax.lax.dot_general(a.astype(cd), b.astype(cd), (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
 
 
-def _dot_tt(a, b):  # a @ b.T without materializing the transpose
-    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+def _dot_tt(a, b, cd=jnp.float32):  # a @ b.T without materializing the transpose
+    return jax.lax.dot_general(a.astype(cd), b.astype(cd), (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
 
 
-def _dot_tn(a, b):  # a.T @ b without materializing the transpose
-    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+def _dot_tn(a, b, cd=jnp.float32):  # a.T @ b without materializing the transpose
+    return jax.lax.dot_general(a.astype(cd), b.astype(cd), (((0,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
 
 
 def _cd_train_kernel(
     # scalar prefetch
     seed_ref,  # SMEM (2,) int32
-    perm_ref,  # SMEM (perm_epochs, nb) int32 batch-order table (consumed by index_map)
+    perm_ref,  # SMEM (perm_epochs, nsteps) int32 super-batch order (used by index_map)
     # pipelined input
-    batch_ref,  # VMEM (1, B, V) — current minibatch
+    batch_ref,  # VMEM (1, U, B, V) — U consecutive minibatches
     # initial values (constant-index: loaded once)
     W_in, b_in, c_in, vW_in, vb_in, vc_in, chain_in,
     # outputs (constant-index: VMEM-resident across the whole grid)
     W, b, c, vW, vb, vc, chain, err_ref,
     *,
     cfg: RBMConfig,
+    unroll: int,
+    nb: int,  # total minibatches per epoch (= num grid steps * unroll)
 ):
     e = pl.program_id(0)
     i = pl.program_id(1)
@@ -121,97 +138,138 @@ def _cd_train_kernel(
     def _zero_epoch_err():
         err_ref[e, 0] = jnp.float32(0.0)
 
-    # distinct PRNG stream per (run, epoch, step); prng_seed takes <=2 values
+    # distinct PRNG stream per (run, epoch, grid step); the stream advances
+    # across the unrolled updates within the step. prng_seed takes <=2 values.
     pltpu.prng_seed(seed_ref[0], e * pl.num_programs(1) + i)
 
     B = cfg.batch_size
     inv_b = jnp.float32(1.0 / B)
-    v0 = batch_ref[0]  # [B, V]
-    Wv = W[:]
-
-    # positive phase
-    h0p = jax.nn.sigmoid(_dot_nt(v0, Wv) + c[0])  # [B, H]
-    h0s = (_uniform_from_bits(h0p.shape) < h0p).astype(jnp.float32)
-
-    h = chain[:] if cfg.persistent else h0s
-    vs = v0
-    hmean = h0p
-    v1mean_cd = None
-    for t in range(cfg.k):
-        pre_v = _dot_tt(h, Wv) + b[0]  # [B, V]
-        vmean = jax.nn.sigmoid(pre_v) if cfg.visible == "bernoulli" else pre_v
-        if t == 0:
-            v1mean_cd = vmean
-        if cfg.visible == "bernoulli":
-            vs = ((_uniform_from_bits(vmean.shape) < vmean).astype(jnp.float32)
-                  if cfg.resolved_sample_visible else vmean)
-        else:
-            vs = (vmean + _normal_from_bits(vmean.shape)
-                  if cfg.resolved_sample_visible else vmean)
-        hmean = jax.nn.sigmoid(_dot_nt(vs, Wv) + c[0])
-        h = (_uniform_from_bits(hmean.shape) < hmean).astype(jnp.float32)
-
-    if cfg.persistent:
-        chain[:] = h
-        pre_vd = _dot_tt(h0s, Wv) + b[0]
-        v1mean = jax.nn.sigmoid(pre_vd) if cfg.visible == "bernoulli" else pre_vd
-    else:
-        v1mean = v1mean_cd
-
-    # gradients (log-likelihood ascent direction, batch mean)
-    gW = (_dot_tn(v0, h0p) - _dot_tn(vs, hmean)) * inv_b  # [V, H]
-    gb = jnp.sum(v0 - vs, axis=0, keepdims=True) * inv_b  # [1, V]
-    gc = jnp.sum(h0p - hmean, axis=0, keepdims=True) * inv_b  # [1, H]
-
-    # momentum + L2 (decay on W only) update, fused
-    if cfg.l2:
-        gW = gW - jnp.float32(cfg.l2) * Wv
-    m = jnp.float32(cfg.momentum)
+    cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     lr = jnp.float32(cfg.lr)
-    nvW = m * vW[:] + lr * gW
-    nvb = m * vb[:] + lr * gb
-    nvc = m * vc[:] + lr * gc
-    vW[:] = nvW
-    vb[:] = nvb
-    vc[:] = nvc
-    W[:] = Wv + nvW
-    b[:] = b[:] + nvb
-    c[:] = c[:] + nvc
+    is_last_step = jnp.logical_and(e == pl.num_programs(0) - 1,
+                                   i == pl.num_programs(1) - 1)
 
-    # reconstruction-error monitor (the graded parity metric), per-epoch mean
-    if cfg.error_metric == "mse":
-        d = v0 - v1mean
-        step_err = jnp.sum(d * d) * jnp.float32(1.0 / (B * cfg.n_visible))
-    else:
-        eps = 1e-7
-        p = jnp.clip(v1mean, eps, 1.0 - eps)
-        step_err = -jnp.sum(v0 * jnp.log(p) + (1.0 - v0) * jnp.log(1.0 - p)) * inv_b
-    err_ref[e, 0] = err_ref[e, 0] + step_err * jnp.float32(1.0 / pl.num_programs(1))
+    # Pre-generate every random draw for all `unroll` updates in <=3 PRNG
+    # calls: each prng_random_bits call costs ~0.3us of fixed latency on v5e,
+    # so per-sample calls would dominate the tiny per-update compute.
+    V, H = cfg.n_visible, cfg.n_hidden
+    u_h0 = _uniform_from_bits((unroll * B, H))
+    u_h = _uniform_from_bits((cfg.k * unroll * B, H))
+    u_v = None
+    n_v = None
+    if cfg.resolved_sample_visible:
+        if cfg.visible == "bernoulli":
+            u_v = _uniform_from_bits((cfg.k * unroll * B, V))
+        else:
+            n_v = _normal_from_bits((cfg.k * unroll * B, V))
+
+    err_acc = jnp.float32(0.0)
+    for u in range(unroll):
+        v0 = batch_ref[0, u]  # [B, V]
+        Wv = W[:]
+        Wc = Wv.astype(cd)
+
+        # positive phase
+        h0p = jax.nn.sigmoid(_dot_nt(v0, Wc, cd) + c[0])  # [B, H]
+        h0s = (u_h0[u * B:(u + 1) * B] < h0p).astype(jnp.float32)
+
+        h = chain[:] if cfg.persistent else h0s
+        vs = v0
+        hmean = h0p
+        v1mean_cd = None
+        for t in range(cfg.k):
+            r = (u * cfg.k + t) * B  # row offset into the pre-drawn blocks
+            pre_v = _dot_tt(h, Wc, cd) + b[0]  # [B, V]
+            vmean = jax.nn.sigmoid(pre_v) if cfg.visible == "bernoulli" else pre_v
+            if t == 0:
+                v1mean_cd = vmean
+            if cfg.visible == "bernoulli":
+                vs = ((u_v[r:r + B] < vmean).astype(jnp.float32)
+                      if cfg.resolved_sample_visible else vmean)
+            else:
+                vs = (vmean + n_v[r:r + B]
+                      if cfg.resolved_sample_visible else vmean)
+            hmean = jax.nn.sigmoid(_dot_nt(vs, Wc, cd) + c[0])
+            h = (u_h[r:r + B] < hmean).astype(jnp.float32)
+
+        if cfg.persistent:
+            chain[:] = h
+            pre_vd = _dot_tt(h0s, Wc, cd) + b[0]
+            v1mean = jax.nn.sigmoid(pre_vd) if cfg.visible == "bernoulli" else pre_vd
+        else:
+            v1mean = v1mean_cd
+
+        # gradients (log-likelihood ascent direction, batch mean)
+        gW = (_dot_tn(v0, h0p, cd) - _dot_tn(vs, hmean, cd)) * inv_b  # [V, H]
+        gb = jnp.sum(v0 - vs, axis=0, keepdims=True) * inv_b  # [1, V]
+        gc = jnp.sum(h0p - hmean, axis=0, keepdims=True) * inv_b  # [1, H]
+
+        # momentum + L2 (decay on W only) update, fused
+        if cfg.l2:
+            gW = gW - jnp.float32(cfg.l2) * Wv
+        if cfg.momentum:
+            # full momentum path: velocity buffers read+written every update
+            m = jnp.float32(cfg.momentum)
+            nvW = m * vW[:] + lr * gW
+            nvb = m * vb[:] + lr * gb
+            nvc = m * vc[:] + lr * gc
+            vW[:] = nvW
+            vb[:] = nvb
+            vc[:] = nvc
+            W[:] = Wv + nvW
+            b[:] = b[:] + nvb
+            c[:] = c[:] + nvc
+        else:
+            # momentum=0 (default): velocity = lr*grad is not part of the
+            # recursion; skip its per-update traffic. Write it only at the very
+            # last update for state parity with the XLA engine.
+            W[:] = Wv + lr * gW
+            b[:] = b[:] + lr * gb
+            c[:] = c[:] + lr * gc
+            if u == unroll - 1:
+                @pl.when(is_last_step)
+                def _final_vel():
+                    vW[:] = lr * gW
+                    vb[:] = lr * gb
+                    vc[:] = lr * gc
+
+        # reconstruction-error monitor (the graded parity metric)
+        if cfg.error_metric == "mse":
+            d = v0 - v1mean
+            err_acc += jnp.sum(d * d) * jnp.float32(1.0 / (B * cfg.n_visible))
+        else:
+            eps = 1e-7
+            p = jnp.clip(v1mean, eps, 1.0 - eps)
+            err_acc += -jnp.sum(v0 * jnp.log(p) + (1.0 - v0) * jnp.log(1.0 - p)) * inv_b
+
+    err_ref[e, 0] = err_ref[e, 0] + err_acc * jnp.float32(1.0 / nb)
 
 
-def _build_pallas_call(cfg: RBMConfig, n_epochs: int, nb: int, shuffle: bool,
-                       interpret):
+def _build_pallas_call(cfg: RBMConfig, n_epochs: int, nb: int, unroll: int,
+                       shuffle: bool, interpret):
     if interpret is True:
         # the generic interpreter lacks pltpu.prng_*; use the TPU interpreter
         # (NB: it stubs prng_random_bits to zeros — structure-only testing)
         interpret = pltpu.InterpretParams()
     V, H, B = cfg.n_visible, cfg.n_hidden, cfg.batch_size
     f32 = jnp.float32
+    nsteps = nb // unroll
 
     def const(shape):
         return pl.BlockSpec(shape, lambda e, i, seed, perm: (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
     if shuffle:
-        data_index = lambda e, i, seed, perm: (perm[e, i], 0, 0)
+        data_index = lambda e, i, seed, perm: (perm[e, i], 0, 0, 0)
     else:
-        data_index = lambda e, i, seed, perm: (perm[0, i], 0, 0)
+        data_index = lambda e, i, seed, perm: (perm[0, i], 0, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # seed, perm
-        grid=(n_epochs, nb),
+        grid=(n_epochs, nsteps),
         in_specs=[
-            pl.BlockSpec((1, B, V), data_index, memory_space=pltpu.VMEM),  # batches
+            pl.BlockSpec((1, unroll, B, V), data_index,
+                         memory_space=pltpu.VMEM),  # super-batches
             const((V, H)), const((1, V)), const((1, H)),  # W, b, c
             const((V, H)), const((1, V)), const((1, H)),  # velocities
             const((B, H)),  # chain
@@ -235,7 +293,7 @@ def _build_pallas_call(cfg: RBMConfig, n_epochs: int, nb: int, shuffle: bool,
     steps = n_epochs * nb
     flops_step = 2 * B * V * H * (2 + 2 * cfg.k)
     return pl.pallas_call(
-        functools.partial(_cd_train_kernel, cfg=cfg),
+        functools.partial(_cd_train_kernel, cfg=cfg, unroll=unroll, nb=nb),
         grid_spec=grid_spec,
         out_shape=out_shape,
         # params/velocities/chain update in place:
@@ -265,17 +323,21 @@ def make_pallas_train_fn(cfg: RBMConfig, n_epochs: int,
     def train_fn(state: TrainState, data: jax.Array) -> Tuple[TrainState, jax.Array]:
         n = data.shape[0]
         nb = n // cfg.batch_size
+        unroll = _pick_unroll(nb, cfg)
+        nsteps = nb // unroll
         key, kperm, kepoch = jax.random.split(state.key, 3)
-        batches = data[: nb * cfg.batch_size].reshape(nb, cfg.batch_size, cfg.n_visible)
+        batches = data[: nb * cfg.batch_size].reshape(
+            nsteps, unroll, cfg.batch_size, cfg.n_visible)
         if cfg.shuffle:
-            # batch-order shuffle: one permutation of the nb batch blocks per epoch
-            perm = jax.vmap(lambda k: jax.random.permutation(k, nb))(
+            # super-batch-order shuffle: one permutation of the nsteps blocks
+            # per epoch (the reference lineage doesn't shuffle at all)
+            perm = jax.vmap(lambda k: jax.random.permutation(k, nsteps))(
                 jax.random.split(kperm, n_epochs)).astype(jnp.int32)
         else:
-            perm = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)
+            perm = jax.lax.broadcasted_iota(jnp.int32, (1, nsteps), 1)
         seed = jax.random.randint(kepoch, (2,), 0, jnp.iinfo(jnp.int32).max, jnp.int32)
 
-        call = _build_pallas_call(cfg, n_epochs, nb, cfg.shuffle, interpret)
+        call = _build_pallas_call(cfg, n_epochs, nb, unroll, cfg.shuffle, interpret)
         p, vel = state.params, state.velocity
         W, bb, cc, vW, vb, vc, chain, errs = call(
             seed, perm, batches,
