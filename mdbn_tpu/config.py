@@ -14,7 +14,7 @@ from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional
 
 VISIBLE_TYPES = ("bernoulli", "gaussian")
-ERROR_METRICS = ("mse", "xent")
+ERROR_METRICS = ("mse", "xent", "pseudo")
 ENGINES = ("auto", "xla", "pallas")
 
 
@@ -44,6 +44,9 @@ class RBMConfig:
     lr: float = 0.1
     momentum: float = 0.0
     l2: float = 0.0
+    # elementwise gradient clip to [-grad_clip, +grad_clip]; stability guard
+    # for Gaussian-RBM training (SURVEY.md §7 hard-part 4). None = off.
+    grad_clip: Optional[float] = None
     # --- schedule ---
     batch_size: int = 20
     epochs: int = 10

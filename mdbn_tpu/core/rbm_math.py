@@ -122,14 +122,31 @@ def cd_step_stats(
         v1mean_data = visible_mean(params, h0s, cfg)
     else:
         v1mean_data = v1mean
-    err = recon_error(v0, v1mean_data, cfg.error_metric)
+    metric = cfg.error_metric if cfg.error_metric in ("mse", "xent") else "mse"
+    err = recon_error(v0, v1mean_data, metric)
     return grads, h, err
+
+
+def pseudo_likelihood(params: RBMParams, v: jax.Array, bit_index,
+                      cfg: RBMConfig) -> jax.Array:
+    """Theano-tutorial stochastic pseudo-likelihood proxy (Bernoulli visible):
+    flip one (rotating) bit per sample; n_visible * mean log sigmoid(FE(flip)
+    - FE(v)), negated so the monitor decreases as the model improves."""
+    fe = free_energy(params, v, cfg)
+    flip_col = jax.nn.one_hot(bit_index, v.shape[1], dtype=v.dtype)
+    v_flip = v * (1 - flip_col) + (1 - v) * flip_col
+    fe_flip = free_energy(params, v_flip, cfg)
+    n = jnp.asarray(v.shape[1], jnp.float32)
+    return -jnp.mean(n * -jax.nn.softplus(-(fe_flip - fe)))
 
 
 def apply_update(
     params: RBMParams, velocity: RBMParams, grads: RBMParams, cfg: RBMConfig
 ) -> Tuple[RBMParams, RBMParams]:
     """vel = m*vel + lr*(grad - l2*W) (decay on W only); param += vel."""
+    if cfg.grad_clip is not None:
+        clip = cfg.grad_clip
+        grads = RBMParams(*(jnp.clip(g, -clip, clip) for g in grads))
     gW = grads.W - cfg.l2 * params.W if cfg.l2 else grads.W
     new_vel = RBMParams(
         W=cfg.momentum * velocity.W + cfg.lr * gW,

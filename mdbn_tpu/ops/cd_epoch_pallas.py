@@ -205,6 +205,11 @@ def _cd_train_kernel(
         gc = jnp.sum(h0p - hmean, axis=0, keepdims=True) * inv_b  # [1, H]
 
         # momentum + L2 (decay on W only) update, fused
+        if cfg.grad_clip is not None:
+            clip = jnp.float32(cfg.grad_clip)
+            gW = jnp.clip(gW, -clip, clip)
+            gb = jnp.clip(gb, -clip, clip)
+            gc = jnp.clip(gc, -clip, clip)
         if cfg.l2:
             gW = gW - jnp.float32(cfg.l2) * Wv
         if cfg.momentum:

@@ -150,10 +150,26 @@ def apply_update(
     """In-place momentum + L2 update (decay on W only): SURVEY.md §2.1."""
     for name in ("W", "b", "c"):
         g = grads[name]
+        if cfg.grad_clip is not None:
+            g = np.clip(g, -cfg.grad_clip, cfg.grad_clip)
         if name == "W" and cfg.l2:
             g = g - cfg.l2 * params["W"]
         velocity[name] = cfg.momentum * velocity[name] + cfg.lr * g
         params[name] += velocity[name].astype(params[name].dtype)
+
+
+def pseudo_likelihood(params, v: np.ndarray, bit_index: int, visible: str) -> float:
+    """Theano-tutorial stochastic pseudo-likelihood proxy: flip one (rotating)
+    bit per sample; cost = n_visible * mean log sigmoid(FE(v_flip) - FE(v)).
+    Bernoulli-visible only. Higher is better; reported negated so all monitors
+    decrease as the model improves."""
+    fe = free_energy(params, v, visible)
+    v_flip = v.copy()
+    v_flip[:, bit_index] = 1.0 - v_flip[:, bit_index]
+    fe_flip = free_energy(params, v_flip, visible)
+    n = v.shape[1]
+    # log sigmoid(x) = -softplus(-x)
+    return float(-np.mean(n * -np.logaddexp(0.0, -(fe_flip - fe))))
 
 
 class OracleRBM:
@@ -166,14 +182,20 @@ class OracleRBM:
         self.velocity = zero_velocity(self.params)
         self.chain_h: Optional[np.ndarray] = None
         self.history: list = []
+        self._step_count = 0
 
     def train_step(self, v0: np.ndarray, uniforms: Optional[Dict[str, np.ndarray]] = None) -> float:
         if uniforms is None:
             uniforms = draw_uniforms(self.cfg, v0.shape[0], self.rng)
         grads, new_chain, err, _ = cd_step_stats(self.params, v0, self.chain_h, uniforms, self.cfg)
+        if self.cfg.error_metric == "pseudo":
+            err = pseudo_likelihood(self.params, v0,
+                                    self._step_count % self.cfg.n_visible,
+                                    self.cfg.visible)
         apply_update(self.params, self.velocity, grads, self.cfg)
         if self.cfg.persistent:
             self.chain_h = new_chain
+        self._step_count += 1
         return err
 
     def train(self, data: np.ndarray) -> "OracleRBM":

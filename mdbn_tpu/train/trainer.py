@@ -50,15 +50,20 @@ def _epoch_xla(state: TrainState, data: jax.Array, cfg: RBMConfig) -> Tuple[Trai
 
     def step(carry, xs):
         params, vel, chain = carry
-        v0, k = xs
+        v0, k, idx = xs
         grads, new_chain, err = cd_step_stats(params, v0, chain if cfg.persistent else None,
                                               draw_uniforms(cfg, cfg.batch_size, k), cfg)
+        if cfg.error_metric == "pseudo":
+            from ..core.rbm_math import pseudo_likelihood
+
+            err = pseudo_likelihood(params, v0, idx % cfg.n_visible, cfg)
         params, vel = apply_update(params, vel, grads, cfg)
         return (params, vel, new_chain), err
 
     keys = jax.random.split(kepoch, nb)
+    idxs = (state.epoch * nb + jnp.arange(nb)).astype(jnp.int32)
     (params, vel, chain), errs = jax.lax.scan(step, (state.params, state.velocity, state.chain_h),
-                                              (batches, keys))
+                                              (batches, keys, idxs))
     return TrainState(params, vel, chain, key, state.epoch + 1), errs.mean()
 
 
@@ -84,6 +89,11 @@ def _use_pallas(cfg: RBMConfig, mesh: Optional[Mesh]) -> bool:
     per-chip inner loop); under a dp mesh the XLA engine carries the
     collectives."""
     if cfg.engine == "xla":
+        return False
+    if cfg.error_metric == "pseudo":
+        if cfg.engine == "pallas":
+            raise ValueError("error_metric='pseudo' is not implemented in the "
+                             "Pallas kernel; use engine='xla'")
         return False
     if mesh is not None and len(mesh.devices.flatten()) > 1:
         if cfg.engine == "pallas":

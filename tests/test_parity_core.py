@@ -119,3 +119,44 @@ def test_multi_step_training_parity():
         np.testing.assert_allclose(float(err_jx), err_np, rtol=1e-4, atol=1e-4)
 
     np.testing.assert_allclose(np.asarray(p_jx.W), p_np["W"], rtol=1e-3, atol=1e-4)
+
+
+def test_grad_clip_parity():
+    cfg = RBMConfig(n_visible=13, n_hidden=9, visible="gaussian", lr=0.01,
+                    grad_clip=0.05, momentum=0.3)
+    p_np, p_jx, v0, uniforms, _ = make_case(cfg)
+    vel_np = oracle.zero_velocity(p_np)
+    vel_jx = zero_velocity(p_jx)
+    g_np, _, _, _ = oracle.cd_step_stats(p_np, v0, None, uniforms, cfg)
+    g_jx, _, _ = cd_step_stats(p_jx, v0, None, uniforms, cfg)
+    p_np_c = {k: v.copy() for k, v in p_np.items()}
+    oracle.apply_update(p_np_c, vel_np, g_np, cfg)
+    new_p, new_vel = apply_update(p_jx, vel_jx, g_jx, cfg)
+    for name in ("W", "b", "c"):
+        np.testing.assert_allclose(np.asarray(getattr(new_p, name)), p_np_c[name], **TOL)
+
+
+def test_pseudo_likelihood_parity():
+    from mdbn_tpu.core.rbm_math import pseudo_likelihood as pl_jx
+
+    cfg = RBMConfig(n_visible=13, n_hidden=9, error_metric="pseudo")
+    p_np, p_jx, v0, _, _ = make_case(cfg)
+    for bit in (0, 5, 12):
+        a = oracle.pseudo_likelihood(p_np, v0, bit, "bernoulli")
+        b = float(pl_jx(p_jx, v0, bit, cfg))
+        np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-4)
+
+
+def test_pseudo_monitor_decreases_in_training():
+    from mdbn_tpu.data.synthetic import bars_and_stripes
+    from mdbn_tpu.train.trainer import train_rbm
+
+    data = bars_and_stripes(256, side=4, seed=3)
+    cfg = RBMConfig(n_visible=16, n_hidden=16, lr=0.3, epochs=12, batch_size=16,
+                    error_metric="pseudo", engine="xla")
+    ocfg = cfg
+    o = oracle.OracleRBM(ocfg).train(data)
+    state, metrics = train_rbm(data, cfg)
+    assert metrics.errors[-1] < metrics.errors[0]
+    assert o.history[-1] < o.history[0]
+    np.testing.assert_allclose(metrics.errors[-1], o.history[-1], rtol=0.3, atol=0.5)
