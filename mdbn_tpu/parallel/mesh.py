@@ -26,6 +26,18 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "dp",
     return Mesh(np.asarray(devices), (axis,))
 
 
+def make_mesh_2d(dp: int, tp: int, axes=("dp", "tp"),
+                 devices: Optional[Sequence] = None) -> Mesh:
+    """2-D mesh: batch data-parallel x tensor-parallel (W sharded over the
+    hidden dim — the optional stretch for very wide omics layers, SURVEY.md
+    §2.3). GSPMD inserts the psum over 'tp' for the h @ W.T contraction."""
+    if devices is None:
+        devices = jax.devices()
+    if dp * tp > len(devices):
+        raise ValueError(f"requested {dp}x{tp} devices, have {len(devices)}")
+    return Mesh(np.asarray(devices[: dp * tp]).reshape(dp, tp), axes)
+
+
 def pad_to_shards(n: int, n_shards: int, batch_size: int) -> int:
     """Largest sample count <= n usable with ``n_shards`` equal shards of
     whole minibatches."""

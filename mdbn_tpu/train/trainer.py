@@ -110,11 +110,18 @@ def _use_pallas(cfg: RBMConfig, mesh: Optional[Mesh]) -> bool:
 
 
 def _state_shardings(mesh: Mesh, axis: str) -> TrainState:
+    """dp: batch sharded, params replicated. If the mesh also has a 'tp' axis,
+    W/c/velocities shard over the hidden dim (tensor parallel for very wide
+    layers); GSPMD adds the tp-psum for the h @ W.T contraction."""
     repl = NamedSharding(mesh, P())
+    tp = "tp" if "tp" in mesh.axis_names and axis != "tp" else None
+    w_sh = NamedSharding(mesh, P(None, tp)) if tp else repl
+    c_sh = NamedSharding(mesh, P(tp)) if tp else repl
+    chain_sh = NamedSharding(mesh, P(axis, tp)) if tp else NamedSharding(mesh, P(axis))
     return TrainState(
-        params=RBMParams(repl, repl, repl),
-        velocity=RBMParams(repl, repl, repl),
-        chain_h=NamedSharding(mesh, P(axis)),
+        params=RBMParams(W=w_sh, b=repl, c=c_sh),
+        velocity=RBMParams(W=w_sh, b=repl, c=c_sh),
+        chain_h=chain_sh,
         key=repl,
         epoch=repl,
     )

@@ -106,3 +106,34 @@ def test_pmean_of_local_means_is_global_mean():
 
     g_dp = one_step(params, v0)
     np.testing.assert_allclose(np.asarray(g_dp.W), gW_manual, rtol=1e-5, atol=1e-6)
+
+
+def test_tp_2d_mesh_matches_single_device():
+    """dp x tp mesh (W sharded over hidden dim) must reproduce single-device
+    training: GSPMD only changes layout, not math."""
+    from mdbn_tpu.parallel.mesh import make_mesh_2d
+
+    cfg = RBMConfig(n_visible=256, n_hidden=128, visible="gaussian", lr=0.005,
+                    k=1, epochs=3, batch_size=16, seed=0, engine="xla")
+    rng = np.random.default_rng(5)
+    data = rng.standard_normal((160, 256)).astype(np.float32)
+
+    state1, m1 = train_rbm(data, cfg)
+    mesh = make_mesh_2d(2, 4)
+    state8, m8 = train_rbm(data, cfg, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(state8.params.W), np.asarray(state1.params.W),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(m8.errors, m1.errors, rtol=1e-4, atol=1e-5)
+
+
+def test_tp_only_mesh():
+    """Pure tensor parallel: mesh ('dp','tp') = (1, 8)."""
+    from mdbn_tpu.parallel.mesh import make_mesh_2d
+
+    cfg = RBMConfig(n_visible=256, n_hidden=128, lr=0.1, epochs=2,
+                    batch_size=16, seed=0, engine="xla")
+    data = (np.random.default_rng(6).random((128, 256)) < 0.4).astype(np.float32)
+    state1, m1 = train_rbm(data, cfg)
+    state8, m8 = train_rbm(data, cfg, mesh=make_mesh_2d(1, 8))
+    np.testing.assert_allclose(np.asarray(state8.params.W), np.asarray(state1.params.W),
+                               rtol=1e-4, atol=1e-5)
