@@ -1,0 +1,115 @@
+"""End-to-end demo: the reference notebook's flow, TPU-native.
+
+Replicates the glgerard/MDBN notebook experience (SURVEY.md §1 L6) on
+synthetic data: train a Bernoulli RBM on MNIST-like digits, train a
+3-modality MDBN on TCGA-like multi-omics, extract joint latent codes,
+cluster patients with k-means, and save figures.
+
+    python examples/demo.py [--outdir demo_out]
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from mdbn_tpu import DBN, MDBN, RBM, DBNConfig, MDBNConfig, RBMConfig
+from mdbn_tpu.analysis.cluster import adjusted_rand_index, extract_latent
+from mdbn_tpu.analysis.kmeans_jax import kmeans_cluster_jax
+from mdbn_tpu.data.synthetic import mnist_like, tcga_like
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--outdir", default="demo_out")
+    ap.add_argument("--epochs", type=int, default=15)
+    args = ap.parse_args()
+    os.makedirs(args.outdir, exist_ok=True)
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    # ---- 1. Bernoulli RBM on binarized MNIST-like digits -------------------
+    print("[1/3] Bernoulli RBM on MNIST-like data ...")
+    data = mnist_like(2000, seed=2)
+    rbm = RBM(RBMConfig(n_visible=784, n_hidden=100, k=1, lr=0.1,
+                        epochs=args.epochs, batch_size=20, seed=0))
+    rbm.train(data)
+    print(f"    engine={rbm.metrics.engine}  err {rbm.history[0]:.4f} -> {rbm.history[-1]:.4f}")
+
+    fig, axes = plt.subplots(1, 3, figsize=(12, 4))
+    axes[0].plot(rbm.history)
+    axes[0].set(title="RBM reconstruction error", xlabel="epoch", ylabel="MSE")
+    axes[1].imshow(np.asarray(data[0]).reshape(28, 28), cmap="gray")
+    axes[1].set(title="input sample")
+    axes[2].imshow(np.asarray(rbm.reconstruct(data[:1]))[0].reshape(28, 28), cmap="gray")
+    axes[2].set(title="1-step reconstruction")
+    fig.tight_layout()
+    fig.savefig(os.path.join(args.outdir, "rbm_mnist.png"), dpi=100)
+
+    # receptive fields of the first 25 hidden units
+    W = rbm.params_numpy()["W"]
+    fig, axes = plt.subplots(5, 5, figsize=(8, 8))
+    for i, ax in enumerate(axes.ravel()):
+        ax.imshow(W[:, i].reshape(28, 28), cmap="RdBu")
+        ax.axis("off")
+    fig.suptitle("RBM filters (first 25 hidden units)")
+    fig.savefig(os.path.join(args.outdir, "rbm_filters.png"), dpi=100)
+
+    # ---- 2. 3-modality MDBN on TCGA-like multi-omics -----------------------
+    print("[2/3] 3-modality MDBN on TCGA-like data ...")
+    mods, labels = tcga_like(n_patients=400, n_clusters=3, seed=1)
+    towers = {
+        "ge": DBNConfig(layer_sizes=[400, 100], visible="gaussian",
+                        gaussian_lr=0.005, epochs=args.epochs, batch_size=20, seed=1),
+        "meth": DBNConfig(layer_sizes=[400, 100], visible="gaussian",
+                          gaussian_lr=0.005, epochs=args.epochs, batch_size=20, seed=2),
+        "mirna": DBNConfig(layer_sizes=[100, 50], visible="gaussian",
+                           gaussian_lr=0.005, epochs=args.epochs, batch_size=20, seed=3),
+    }
+    mdbn = MDBN(MDBNConfig(
+        towers=towers,
+        joint=RBMConfig(n_visible=1, n_hidden=100, lr=0.05, epochs=args.epochs,
+                        batch_size=20, seed=0)))
+    mdbn.train(mods)
+
+    fig, ax = plt.subplots(figsize=(7, 4))
+    for name, hist in mdbn.history.items():
+        if isinstance(hist[0], list):
+            ax.plot(hist[-1], label=f"{name} (top layer)")
+        else:
+            ax.plot(hist, label=name)
+    ax.set(title="MDBN training", xlabel="epoch", ylabel="reconstruction error")
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(os.path.join(args.outdir, "mdbn_training.png"), dpi=100)
+
+    # ---- 3. Latent extraction + k-means patient clustering -----------------
+    print("[3/3] joint latent codes -> on-device k-means ...")
+    codes = extract_latent(mdbn, mods)
+    pred, _ = kmeans_cluster_jax(codes, 3, seed=0)
+    ari = adjusted_rand_index(labels, pred)
+    print(f"    ARI vs planted clusters: {ari:.3f}")
+
+    # 2-D PCA view of the joint codes, colored by predicted cluster
+    codes_c = codes - codes.mean(0)
+    _, _, vt = np.linalg.svd(codes_c, full_matrices=False)
+    xy = codes_c @ vt[:2].T
+    fig, axes = plt.subplots(1, 2, figsize=(10, 4))
+    for ax, col, title in ((axes[0], pred, "k-means clusters"),
+                           (axes[1], labels, "planted (true) groups")):
+        ax.scatter(xy[:, 0], xy[:, 1], c=col, cmap="tab10", s=12)
+        ax.set(title=f"joint latent codes — {title}")
+    fig.suptitle(f"patient stratification, ARI={ari:.3f}")
+    fig.tight_layout()
+    fig.savefig(os.path.join(args.outdir, "clusters.png"), dpi=100)
+
+    print(f"figures saved to {args.outdir}/")
+
+
+if __name__ == "__main__":
+    main()
