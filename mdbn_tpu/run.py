@@ -51,7 +51,17 @@ def main(argv=None):
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--profile", action="store_true")
     ap.add_argument("--debug-nans", action="store_true")
+    ap.add_argument("--dp", type=int, default=0,
+                    help="data-parallel mesh width (0 = no mesh)")
+    ap.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel mesh width (with --dp)")
     args = ap.parse_args(argv)
+
+    mesh = None
+    if args.dp:
+        from .parallel.mesh import make_mesh, make_mesh_2d
+
+        mesh = make_mesh_2d(args.dp, args.tp) if args.tp > 1 else make_mesh(args.dp)
 
     exp = load_config(args.config)
     model_cfg = exp["model"]
@@ -75,7 +85,7 @@ def main(argv=None):
     with MetricsWriter(args.metrics) as mw:
         if isinstance(model_cfg, RBMConfig):
             model = RBM(override(model_cfg))
-            model.train(data, runtime=runtime)
+            model.train(data, mesh=mesh, runtime=runtime)
             for ep, (err, ups) in enumerate(zip(model.metrics.errors,
                                                 model.metrics.updates_per_sec)):
                 mw.write({"kind": "epoch", "epoch": ep, "recon_error": err,
@@ -102,10 +112,10 @@ def main(argv=None):
                     LayerCheckpointer(args.checkpoint_dir).save_layer(
                         f"layer{l}", rbm.state, rbm.cfg)
 
-            model.train(data, runtime=runtime, layer_callback=layer_cb)
+            model.train(data, mesh=mesh, runtime=runtime, layer_callback=layer_cb)
         elif isinstance(model_cfg, MDBNConfig):
             model = MDBN(model_cfg)
-            model.train(data, runtime=runtime)
+            model.train(data, mesh=mesh, runtime=runtime)
             for name, hist in model.history.items():
                 mw.write({"kind": "tower", "name": name, "history": hist})
                 log.info("%s trained", name)

@@ -137,3 +137,16 @@ def test_tp_only_mesh():
     state8, m8 = train_rbm(data, cfg, mesh=make_mesh_2d(1, 8))
     np.testing.assert_allclose(np.asarray(state8.params.W), np.asarray(state1.params.W),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_cli_with_dp_mesh(tmp_path):
+    from mdbn_tpu.config import save_config
+    from mdbn_tpu.run import main
+
+    save_config({
+        "model": RBMConfig(n_visible=784, n_hidden=16, epochs=2, batch_size=32,
+                           engine="xla", seed=0),
+        "data": {"kind": "mnist_like", "n_samples": 160, "seed": 2},
+    }, str(tmp_path / "exp.json"))
+    assert main(["--config", str(tmp_path / "exp.json"), "--dp", "8"]) == 0
+    assert main(["--config", str(tmp_path / "exp.json"), "--dp", "4", "--tp", "2"]) == 0
