@@ -122,3 +122,57 @@ def test_kernel_uniform_moments():
     assert abs(u.mean() - 0.5) < 0.01
     assert abs(u.std() - (1 / 12) ** 0.5) < 0.01
     assert abs(n.mean()) < 0.03 and abs(n.std() - 1.0) < 0.03
+
+
+def test_kernel_uniform_ks():
+    """Kolmogorov-Smirnov test of the in-kernel uniform generator
+    (SURVEY.md §4.2: distributional testing of sampling paths)."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from scipy import stats
+
+    from mdbn_tpu.ops.cd_epoch_pallas import _uniform_from_bits
+
+    def kern(seed_ref, u_ref):
+        pltpu.prng_seed(seed_ref[0], 11)
+        u_ref[:] = _uniform_from_bits((512, 128))
+
+    u = pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((512, 128), jnp.float32),
+    )(jnp.array([17, 0], jnp.int32))
+    sample = np.asarray(u).ravel()[:20000]
+    stat, pvalue = stats.kstest(sample, "uniform")
+    assert pvalue > 1e-3, (stat, pvalue)
+
+
+def test_kernel_bernoulli_calibration():
+    """Sampled hidden units must match their probabilities: train 0 epochs,
+    instead sample h ~ Bernoulli(p) in-kernel for a fixed p grid and check
+    empirical frequencies."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from mdbn_tpu.ops.cd_epoch_pallas import _uniform_from_bits
+
+    probs = np.tile(np.linspace(0.05, 0.95, 128, dtype=np.float32), (2048, 1))
+
+    def kern(seed_ref, p_ref, out_ref):
+        pltpu.prng_seed(seed_ref[0], 3)
+        u = _uniform_from_bits(p_ref.shape)
+        out_ref[:] = (u < p_ref[:]).astype(jnp.float32)
+
+    s = pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(probs.shape, jnp.float32),
+    )(jnp.array([23, 0], jnp.int32), jnp.asarray(probs))
+    freq = np.asarray(s).mean(axis=0)
+    # binomial std at n=2048 is <= 0.011; allow 5 sigma
+    np.testing.assert_allclose(freq, probs[0], atol=0.06)
