@@ -53,3 +53,31 @@ class DBN:
     @property
     def history(self) -> List[list]:
         return [r.history for r in self.layers]
+
+    # -- persistence ---------------------------------------------------------
+
+    def save(self, directory: str) -> None:
+        import json
+        import os
+
+        os.makedirs(directory, exist_ok=True)
+        for l, rbm in enumerate(self.layers):
+            rbm.save(os.path.join(directory, f"layer{l}"))
+        from ..config import save_config
+
+        save_config(self.cfg, os.path.join(directory, "dbn.config.json"))
+        with open(os.path.join(directory, "stack.json"), "w") as f:
+            json.dump({"n_layers": len(self.layers)}, f)
+
+    @classmethod
+    def load(cls, directory: str) -> "DBN":
+        import json
+        import os
+
+        from ..config import load_config
+
+        dbn = cls(load_config(os.path.join(directory, "dbn.config.json")))
+        with open(os.path.join(directory, "stack.json")) as f:
+            n = json.load(f)["n_layers"]
+        dbn.layers = [RBM.load(os.path.join(directory, f"layer{l}")) for l in range(n)]
+        return dbn

@@ -61,6 +61,41 @@ class MDBN:
             raise RuntimeError("MDBN.transform called before train")
         return self.joint.transform(self._tower_codes(modalities))
 
+    # -- persistence ---------------------------------------------------------
+
+    def save(self, directory: str) -> None:
+        import json
+        import os
+
+        os.makedirs(directory, exist_ok=True)
+        for name, tower in self.towers.items():
+            tower.save(os.path.join(directory, f"tower_{name}"))
+        if self.joint is not None:
+            self.joint.save(os.path.join(directory, "joint"))
+        from ..config import save_config
+
+        save_config(self.cfg, os.path.join(directory, "mdbn.config.json"))
+        with open(os.path.join(directory, "structure.json"), "w") as f:
+            json.dump({"towers": list(self.towers), "has_joint": self.joint is not None}, f)
+
+    @classmethod
+    def load(cls, directory: str) -> "MDBN":
+        import json
+        import os
+
+        from ..config import load_config
+        from .dbn import DBN
+        from .rbm import RBM
+
+        mdbn = cls(load_config(os.path.join(directory, "mdbn.config.json")))
+        with open(os.path.join(directory, "structure.json")) as f:
+            meta = json.load(f)
+        for name in meta["towers"]:
+            mdbn.towers[name] = DBN.load(os.path.join(directory, f"tower_{name}"))
+        if meta["has_joint"]:
+            mdbn.joint = RBM.load(os.path.join(directory, "joint"))
+        return mdbn
+
     @property
     def history(self) -> dict:
         h = {name: tower.history for name, tower in self.towers.items()}

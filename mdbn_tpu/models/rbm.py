@@ -66,3 +66,25 @@ class RBM:
 
     def params_numpy(self) -> dict:
         return {k: np.asarray(v) for k, v in self.state.params._asdict().items()}
+
+    # -- persistence ---------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        """Save full train state (orbax dir) + config JSON next to it."""
+        from ..checkpoint import save_state
+        from ..config import save_config
+
+        save_state(self.state, path)
+        save_config(self.cfg, path.rstrip("/") + ".config.json")
+
+    @classmethod
+    def load(cls, path: str) -> "RBM":
+        from ..checkpoint import restore_state
+        from ..config import load_config
+
+        cfg = load_config(path.rstrip("/") + ".config.json")
+        rbm = cls.__new__(cls)
+        rbm.cfg = cfg
+        rbm.state = restore_state(path)
+        rbm.metrics = None
+        return rbm

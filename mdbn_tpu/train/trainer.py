@@ -186,6 +186,7 @@ def train_rbm(
                     sh = _state_shardings(mesh, axis)
                     epoch_fn = jax.jit(epoch, in_shardings=(sh, NamedSharding(mesh, P(axis))),
                                        out_shardings=(sh, NamedSharding(mesh, P())))
+            ck_every = runtime.checkpoint_every_epochs
             for ep in range(cfg.epochs):
                 t0 = time.perf_counter()
                 state, err = epoch_fn(state, data)
@@ -196,6 +197,11 @@ def train_rbm(
                 metrics.updates_per_sec.append(nb / dt if dt > 0 else float("inf"))
                 if epoch_callback is not None:
                     epoch_callback(ep, err, state)
+                if (runtime.checkpoint_dir and ck_every > 0
+                        and (ep + 1) % ck_every == 0):
+                    from ..checkpoint import save_state
+
+                    save_state(state, f"{runtime.checkpoint_dir}/epoch{ep + 1:05d}")
         else:
             if use_pallas:
                 from ..ops.cd_epoch_pallas import make_pallas_train_fn

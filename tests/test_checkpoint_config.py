@@ -115,3 +115,36 @@ def test_cli_mdbn_kmeans(tmp_path):
     records = [json.loads(l) for l in open(metrics)]
     km = [r for r in records if r["kind"] == "kmeans"]
     assert km and km[0]["ari_vs_planted"] > 0.5
+
+
+def test_periodic_epoch_checkpoints(tmp_path):
+    from mdbn_tpu.config import TrainRuntimeConfig
+
+    cfg = RBMConfig(n_visible=32, n_hidden=8, epochs=4, batch_size=8, engine="xla")
+    data = mnist_like(64, n_features=32, seed=0)
+    runtime = TrainRuntimeConfig(checkpoint_dir=str(tmp_path / "ck"),
+                                 checkpoint_every_epochs=2)
+    state, _ = train_rbm(data, cfg, runtime=runtime)
+    assert (tmp_path / "ck" / "epoch00002").exists()
+    assert (tmp_path / "ck" / "epoch00004").exists()
+    restored = restore_state(str(tmp_path / "ck" / "epoch00004"))
+    np.testing.assert_array_equal(np.asarray(restored.params.W), np.asarray(state.params.W))
+
+
+def test_mdbn_save_load(tmp_path):
+    from mdbn_tpu.data.synthetic import tcga_like
+    from mdbn_tpu.models.mdbn import MDBN
+
+    mods, _ = tcga_like(n_patients=64, dims={"ge": 20, "meth": 12, "mirna": 8}, seed=0)
+    cfg = MDBNConfig(
+        towers={m: DBNConfig(layer_sizes=[8, 4], visible="gaussian", epochs=1,
+                             batch_size=8, engine="xla", seed=i)
+                for i, m in enumerate(mods)},
+        joint=RBMConfig(n_visible=1, n_hidden=4, epochs=1, batch_size=8, engine="xla"),
+    )
+    mdbn = MDBN(cfg).train(mods)
+    codes = np.asarray(mdbn.transform(mods))
+    mdbn.save(str(tmp_path / "model"))
+    loaded = MDBN.load(str(tmp_path / "model"))
+    codes2 = np.asarray(loaded.transform(mods))
+    np.testing.assert_allclose(codes2, codes, rtol=1e-6, atol=1e-7)
