@@ -78,6 +78,9 @@ class RBMConfig:
             raise ValueError(f"engine must be one of {ENGINES}, got {self.engine!r}")
         if self.k < 1:
             raise ValueError("k must be >= 1")
+        if self.error_metric == "pseudo" and self.visible != "bernoulli":
+            raise ValueError("error_metric='pseudo' (free-energy bit flips) is "
+                             "only defined for bernoulli visible units")
 
     @property
     def resolved_sample_visible(self) -> bool:

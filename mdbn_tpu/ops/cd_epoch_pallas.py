@@ -52,9 +52,12 @@ _MAX_UNROLL = 8  # minibatch updates fused per grid step
 
 
 def _pick_unroll(nb: int, cfg: RBMConfig) -> int:
-    """Largest divisor of nb <= _MAX_UNROLL whose data block stays small."""
+    """Largest divisor of nb <= _MAX_UNROLL whose data block stays small and
+    whose total footprint fits the VMEM budget."""
     budget_rows = max(1, (2 * 1024 * 1024) // max(1, 4 * cfg.n_visible))  # ~2MB block
     max_u = max(1, min(_MAX_UNROLL, budget_rows // max(1, cfg.batch_size)))
+    while max_u > 1 and estimate_vmem_bytes(cfg, max_u) > _VMEM_BUDGET:
+        max_u -= 1
     for u in range(max_u, 0, -1):
         if nb % u == 0:
             return u
@@ -320,8 +323,8 @@ def make_pallas_train_fn(cfg: RBMConfig, n_epochs: int,
                          interpret: Optional[bool] = None):
     """Build ``fn(state, data) -> (state, errs[n_epochs])`` running ``n_epochs``
     epochs in ONE kernel launch, or None if the state won't fit in VMEM."""
-    if estimate_vmem_bytes(cfg) > _VMEM_BUDGET:
-        return None
+    if estimate_vmem_bytes(cfg, unroll=1) > _VMEM_BUDGET:
+        return None  # even the unroll=1 footprint doesn't fit
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 

@@ -37,9 +37,3 @@ def make_mesh_2d(dp: int, tp: int, axes=("dp", "tp"),
         raise ValueError(f"requested {dp}x{tp} devices, have {len(devices)}")
     return Mesh(np.asarray(devices[: dp * tp]).reshape(dp, tp), axes)
 
-
-def pad_to_shards(n: int, n_shards: int, batch_size: int) -> int:
-    """Largest sample count <= n usable with ``n_shards`` equal shards of
-    whole minibatches."""
-    per = batch_size * n_shards
-    return (n // per) * per

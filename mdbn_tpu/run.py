@@ -14,6 +14,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 import sys
 
 import numpy as np
@@ -70,6 +71,13 @@ def main(argv=None):
         data = data[exp["modality"]]  # single-modality configs on multi-omics data
 
     def override(cfg):
+        """Apply --epochs/--engine to any model config (recursing into MDBN)."""
+        if isinstance(cfg, MDBNConfig):
+            return dataclasses.replace(
+                cfg,
+                towers={m: override(t) for m, t in cfg.towers.items()},
+                joint=override(cfg.joint),
+            )
         kw = {}
         if args.epochs is not None:
             kw["epochs"] = args.epochs
@@ -79,7 +87,10 @@ def main(argv=None):
 
     runtime = TrainRuntimeConfig(
         profile=args.profile, debug_nans=args.debug_nans,
-        checkpoint_dir=args.checkpoint_dir, metrics_path=args.metrics,
+        checkpoint_dir=args.checkpoint_dir,
+        # --checkpoint-dir implies per-epoch state checkpoints for flat RBM
+        # runs; DBN/MDBN checkpoint at layer boundaries / on completion.
+        checkpoint_every_epochs=1 if args.checkpoint_dir else 0,
     )
 
     with MetricsWriter(args.metrics) as mw:
@@ -93,14 +104,7 @@ def main(argv=None):
             log.info("RBM trained (%s engine): err %.5f -> %.5f",
                      model.metrics.engine, model.history[0], model.history[-1])
         elif isinstance(model_cfg, DBNConfig):
-            if args.epochs is not None or args.engine is not None:
-                kw = {}
-                if args.epochs is not None:
-                    kw["epochs"] = args.epochs
-                if args.engine is not None:
-                    kw["engine"] = args.engine
-                model_cfg = dataclasses.replace(model_cfg, **kw)
-            model = DBN(model_cfg)
+            model = DBN(override(model_cfg))
 
             def layer_cb(l, rbm):
                 mw.write({"kind": "layer", "layer": l, "errors": rbm.history,
@@ -114,11 +118,16 @@ def main(argv=None):
 
             model.train(data, mesh=mesh, runtime=runtime, layer_callback=layer_cb)
         elif isinstance(model_cfg, MDBNConfig):
-            model = MDBN(model_cfg)
-            model.train(data, mesh=mesh, runtime=runtime)
+            model = MDBN(override(model_cfg))
+            # per-epoch checkpointing inside towers would thrash; save the
+            # complete model once trained instead
+            mdbn_runtime = dataclasses.replace(runtime, checkpoint_every_epochs=0)
+            model.train(data, mesh=mesh, runtime=mdbn_runtime)
             for name, hist in model.history.items():
                 mw.write({"kind": "tower", "name": name, "history": hist})
                 log.info("%s trained", name)
+            if args.checkpoint_dir:
+                model.save(os.path.join(args.checkpoint_dir, "mdbn_final"))
         else:
             raise TypeError(f"unsupported model config {type(model_cfg)}")
 

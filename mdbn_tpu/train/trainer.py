@@ -81,7 +81,7 @@ def _train_xla_fused(state: TrainState, data: jax.Array, cfg: RBMConfig,
 def _pallas_available(cfg: RBMConfig) -> bool:
     from ..ops.cd_epoch_pallas import estimate_vmem_bytes, _VMEM_BUDGET
 
-    return estimate_vmem_bytes(cfg) <= _VMEM_BUDGET
+    return estimate_vmem_bytes(cfg, unroll=1) <= _VMEM_BUDGET
 
 
 def _use_pallas(cfg: RBMConfig, mesh: Optional[Mesh]) -> bool:
@@ -156,6 +156,7 @@ def train_rbm(
         state = init_train_state(cfg)
     data = jnp.asarray(data, jnp.dtype(cfg.param_dtype))
 
+    prev_debug_nans = jax.config.jax_debug_nans
     if runtime.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
@@ -226,4 +227,14 @@ def train_rbm(
     finally:
         if runtime.profile:
             jax.profiler.stop_trace()
+        if runtime.debug_nans:
+            jax.config.update("jax_debug_nans", prev_debug_nans)
+    # runtime.metrics_path: stream per-epoch records for programmatic users
+    if runtime.metrics_path:
+        from ..utils.metrics import MetricsWriter
+
+        with MetricsWriter(runtime.metrics_path) as mw:
+            for ep, (err, ups) in enumerate(zip(metrics.errors, metrics.updates_per_sec)):
+                mw.write({"kind": "epoch", "epoch": ep, "recon_error": err,
+                          "updates_per_sec": ups, "engine": metrics.engine})
     return state, metrics

@@ -67,3 +67,83 @@ def test_dbn_trains_with_overrides():
     codes = dbn.transform(data)
     assert codes.shape == (64, 8)
     assert np.isfinite(np.asarray(codes)).all()
+
+
+def test_pseudo_gaussian_rejected():
+    with pytest.raises(ValueError, match="pseudo"):
+        RBMConfig(n_visible=4, n_hidden=2, visible="gaussian", error_metric="pseudo")
+
+
+def test_runtime_metrics_path(tmp_path):
+    cfg = RBMConfig(n_visible=32, n_hidden=8, epochs=3, batch_size=8, engine="xla")
+    data = mnist_like(64, n_features=32, seed=0)
+    p = str(tmp_path / "m.jsonl")
+    train_rbm(data, cfg, runtime=TrainRuntimeConfig(metrics_path=p))
+    recs = [json.loads(l) for l in open(p)]
+    assert len(recs) == 3 and recs[0]["kind"] == "epoch"
+
+
+def test_debug_nans_restored():
+    import jax
+
+    before = jax.config.jax_debug_nans
+    cfg = RBMConfig(n_visible=16, n_hidden=4, epochs=1, batch_size=8, engine="xla")
+    train_rbm(mnist_like(32, n_features=16, seed=0), cfg,
+              runtime=TrainRuntimeConfig(debug_nans=True))
+    assert jax.config.jax_debug_nans == before
+
+
+def test_vmem_gate_matches_pick_unroll():
+    """A model that fits only at small unroll must still get the Pallas path."""
+    from mdbn_tpu.ops.cd_epoch_pallas import (_VMEM_BUDGET, _pick_unroll,
+                                              estimate_vmem_bytes,
+                                              make_pallas_train_fn)
+
+    cfg = RBMConfig(n_visible=22000, n_hidden=200, batch_size=20)
+    assert estimate_vmem_bytes(cfg, unroll=8) > _VMEM_BUDGET  # naive gate would reject
+    assert estimate_vmem_bytes(cfg, unroll=1) <= _VMEM_BUDGET
+    u = _pick_unroll(100, cfg)
+    assert estimate_vmem_bytes(cfg, u) <= _VMEM_BUDGET
+    assert make_pallas_train_fn(cfg, 1, interpret=True) is not None
+
+
+def test_cli_mdbn_overrides_and_checkpoint(tmp_path):
+    from mdbn_tpu.config import MDBNConfig, save_config
+    from mdbn_tpu.run import main
+    from mdbn_tpu.models.mdbn import MDBN
+
+    save_config({
+        "model": MDBNConfig(
+            towers={"ge": DBNConfig(layer_sizes=[8, 4], visible="gaussian",
+                                    epochs=9, batch_size=8, engine="xla")},
+            joint=RBMConfig(n_visible=1, n_hidden=4, epochs=9, batch_size=8,
+                            engine="xla"),
+        ),
+        "data": {"kind": "tcga_like", "n_patients": 32, "n_clusters": 2,
+                 "dims": {"ge": 16, "meth": 8, "mirna": 8}, "seed": 0},
+        "modality_keys_unused": True,
+    }, str(tmp_path / "exp.json"))
+    metrics = str(tmp_path / "m.jsonl")
+    ck = str(tmp_path / "ck")
+    # --epochs 2 must propagate into towers and joint (was silently ignored)
+    assert main(["--config", str(tmp_path / "exp.json"), "--epochs", "2",
+                 "--metrics", metrics, "--checkpoint-dir", ck]) == 0
+    recs = [json.loads(l) for l in open(metrics)]
+    tower = [r for r in recs if r["kind"] == "tower" and r["name"] == "ge"][0]
+    assert len(tower["history"][0]) == 2  # layer-0 errors: 2 epochs, not 9
+    loaded = MDBN.load(os.path.join(ck, "mdbn_final"))
+    assert "ge" in loaded.towers and loaded.joint is not None
+
+
+def test_cli_rbm_checkpoint_dir(tmp_path):
+    from mdbn_tpu.config import save_config
+    from mdbn_tpu.run import main
+
+    save_config({
+        "model": RBMConfig(n_visible=784, n_hidden=8, epochs=2, batch_size=20,
+                           engine="xla", seed=0),
+        "data": {"kind": "mnist_like", "n_samples": 60, "seed": 2},
+    }, str(tmp_path / "exp.json"))
+    ck = str(tmp_path / "ck")
+    assert main(["--config", str(tmp_path / "exp.json"), "--checkpoint-dir", ck]) == 0
+    assert os.path.exists(os.path.join(ck, "epoch00002"))
