@@ -47,6 +47,15 @@ class RBMConfig:
     # elementwise gradient clip to [-grad_clip, +grad_clip]; stability guard
     # for Gaussian-RBM training (SURVEY.md §7 hard-part 4). None = off.
     grad_clip: Optional[float] = None
+    # Hinton practical-guide momentum schedule: start at initial_momentum and
+    # switch to `momentum` from epoch momentum_switch_epoch on. None = constant.
+    initial_momentum: Optional[float] = None
+    momentum_switch_epoch: int = 5
+    # Hinton practical-guide sparsity regularization: drive each hidden unit's
+    # mean activation toward sparsity_target with weight sparsity_cost
+    # (adds sparsity_cost * (target - mean(h0p)) to the hidden-bias gradient).
+    sparsity_target: Optional[float] = None
+    sparsity_cost: float = 0.0
     # --- schedule ---
     batch_size: int = 20
     epochs: int = 10
@@ -81,6 +90,8 @@ class RBMConfig:
         if self.error_metric == "pseudo" and self.visible != "bernoulli":
             raise ValueError("error_metric='pseudo' (free-energy bit flips) is "
                              "only defined for bernoulli visible units")
+        if self.sparsity_target is not None and not (0.0 < self.sparsity_target < 1.0):
+            raise ValueError("sparsity_target must be in (0, 1)")
 
     @property
     def resolved_sample_visible(self) -> bool:

@@ -113,10 +113,13 @@ def cd_step_stats(
         h = (uniforms["h"][t] < hmean).astype(dtype)
 
     inv_b = jnp.asarray(1.0 / B, jnp.float32)
+    gc = (h0p - hmean).mean(axis=0)
+    if cfg.sparsity_target is not None and cfg.sparsity_cost:
+        gc = gc + cfg.sparsity_cost * (cfg.sparsity_target - h0p.mean(axis=0))
     grads = RBMParams(
         W=(_dot(v0.T, h0p, cfg.compute_dtype) - _dot(vs.T, hmean, cfg.compute_dtype)) * inv_b,
         b=(v0 - vs).mean(axis=0),
-        c=(h0p - hmean).mean(axis=0),
+        c=gc,
     )
     if cfg.persistent and chain_h is not None:
         v1mean_data = visible_mean(params, h0s, cfg)
@@ -140,18 +143,29 @@ def pseudo_likelihood(params: RBMParams, v: jax.Array, bit_index,
     return -jnp.mean(n * -jax.nn.softplus(-(fe_flip - fe)))
 
 
+def resolve_momentum(cfg: RBMConfig, epoch) -> jax.Array:
+    """Hinton-guide schedule: initial_momentum until momentum_switch_epoch.
+    ``epoch`` may be traced (used inside jitted epoch loops)."""
+    if cfg.initial_momentum is None:
+        return jnp.float32(cfg.momentum)
+    return jnp.where(epoch < cfg.momentum_switch_epoch,
+                     jnp.float32(cfg.initial_momentum), jnp.float32(cfg.momentum))
+
+
 def apply_update(
-    params: RBMParams, velocity: RBMParams, grads: RBMParams, cfg: RBMConfig
+    params: RBMParams, velocity: RBMParams, grads: RBMParams, cfg: RBMConfig,
+    epoch=0,
 ) -> Tuple[RBMParams, RBMParams]:
     """vel = m*vel + lr*(grad - l2*W) (decay on W only); param += vel."""
     if cfg.grad_clip is not None:
         clip = cfg.grad_clip
         grads = RBMParams(*(jnp.clip(g, -clip, clip) for g in grads))
     gW = grads.W - cfg.l2 * params.W if cfg.l2 else grads.W
+    m = resolve_momentum(cfg, epoch)
     new_vel = RBMParams(
-        W=cfg.momentum * velocity.W + cfg.lr * gW,
-        b=cfg.momentum * velocity.b + cfg.lr * grads.b,
-        c=cfg.momentum * velocity.c + cfg.lr * grads.c,
+        W=m * velocity.W + cfg.lr * gW,
+        b=m * velocity.b + cfg.lr * grads.b,
+        c=m * velocity.c + cfg.lr * grads.c,
     )
     new_params = RBMParams(
         W=params.W + new_vel.W.astype(params.W.dtype),

@@ -111,7 +111,7 @@ def _dot_tn(a, b, cd=jnp.float32):  # a.T @ b without materializing the transpos
 
 def _cd_train_kernel(
     # scalar prefetch
-    seed_ref,  # SMEM (2,) int32
+    seed_ref,  # SMEM (4,) int32: (seed, unused, start_epoch, unused)
     perm_ref,  # SMEM (perm_epochs, nsteps) int32 super-batch order (used by index_map)
     # pipelined input
     batch_ref,  # VMEM (1, U, B, V) — U consecutive minibatches
@@ -151,6 +151,14 @@ def _cd_train_kernel(
     lr = jnp.float32(cfg.lr)
     is_last_step = jnp.logical_and(e == pl.num_programs(0) - 1,
                                    i == pl.num_programs(1) - 1)
+    use_momentum = bool(cfg.momentum) or cfg.initial_momentum is not None
+    if cfg.initial_momentum is not None:
+        # Hinton-guide schedule: initial_momentum until momentum_switch_epoch
+        cur_epoch = seed_ref[2] + e
+        m = jnp.where(cur_epoch < cfg.momentum_switch_epoch,
+                      jnp.float32(cfg.initial_momentum), jnp.float32(cfg.momentum))
+    else:
+        m = jnp.float32(cfg.momentum)
 
     # Pre-generate every random draw for all `unroll` updates in <=3 PRNG
     # calls: each prng_random_bits call costs ~0.3us of fixed latency on v5e,
@@ -206,6 +214,10 @@ def _cd_train_kernel(
         gW = (_dot_tn(v0, h0p, cd) - _dot_tn(vs, hmean, cd)) * inv_b  # [V, H]
         gb = jnp.sum(v0 - vs, axis=0, keepdims=True) * inv_b  # [1, V]
         gc = jnp.sum(h0p - hmean, axis=0, keepdims=True) * inv_b  # [1, H]
+        if cfg.sparsity_target is not None and cfg.sparsity_cost:
+            gc = gc + jnp.float32(cfg.sparsity_cost) * (
+                jnp.float32(cfg.sparsity_target)
+                - jnp.sum(h0p, axis=0, keepdims=True) * inv_b)
 
         # momentum + L2 (decay on W only) update, fused
         if cfg.grad_clip is not None:
@@ -215,9 +227,8 @@ def _cd_train_kernel(
             gc = jnp.clip(gc, -clip, clip)
         if cfg.l2:
             gW = gW - jnp.float32(cfg.l2) * Wv
-        if cfg.momentum:
+        if use_momentum:
             # full momentum path: velocity buffers read+written every update
-            m = jnp.float32(cfg.momentum)
             nvW = m * vW[:] + lr * gW
             nvb = m * vb[:] + lr * gb
             nvc = m * vc[:] + lr * gc
@@ -343,7 +354,10 @@ def make_pallas_train_fn(cfg: RBMConfig, n_epochs: int,
                 jax.random.split(kperm, n_epochs)).astype(jnp.int32)
         else:
             perm = jax.lax.broadcasted_iota(jnp.int32, (1, nsteps), 1)
-        seed = jax.random.randint(kepoch, (2,), 0, jnp.iinfo(jnp.int32).max, jnp.int32)
+        seed = jnp.concatenate([
+            jax.random.randint(kepoch, (2,), 0, jnp.iinfo(jnp.int32).max, jnp.int32),
+            jnp.stack([state.epoch.astype(jnp.int32), jnp.int32(0)]),
+        ])
 
         call = _build_pallas_call(cfg, n_epochs, nb, unroll, cfg.shuffle, interpret)
         p, vel = state.params, state.velocity

@@ -131,6 +131,9 @@ def cd_step_stats(
         "b": (v0 - vs).mean(axis=0),
         "c": (h0p - hmean).mean(axis=0),
     }
+    if cfg.sparsity_target is not None and cfg.sparsity_cost:
+        grads["c"] = grads["c"] + cfg.sparsity_cost * (
+            cfg.sparsity_target - h0p.mean(axis=0))
     # For PCD the 1-step reconstruction from the *data* is still the monitor
     # (the chain's vmean reflects fantasy particles, not the data):
     if cfg.persistent and chain_h is not None:
@@ -141,20 +144,29 @@ def cd_step_stats(
     return grads, h, err, v1mean_data
 
 
+def resolve_momentum(cfg: RBMConfig, epoch: int) -> float:
+    """Hinton-guide schedule: initial_momentum until momentum_switch_epoch."""
+    if cfg.initial_momentum is not None and epoch < cfg.momentum_switch_epoch:
+        return cfg.initial_momentum
+    return cfg.momentum
+
+
 def apply_update(
     params: Dict[str, np.ndarray],
     velocity: Dict[str, np.ndarray],
     grads: Dict[str, np.ndarray],
     cfg: RBMConfig,
+    epoch: int = 0,
 ) -> None:
     """In-place momentum + L2 update (decay on W only): SURVEY.md §2.1."""
+    m = resolve_momentum(cfg, epoch)
     for name in ("W", "b", "c"):
         g = grads[name]
         if cfg.grad_clip is not None:
             g = np.clip(g, -cfg.grad_clip, cfg.grad_clip)
         if name == "W" and cfg.l2:
             g = g - cfg.l2 * params["W"]
-        velocity[name] = cfg.momentum * velocity[name] + cfg.lr * g
+        velocity[name] = m * velocity[name] + cfg.lr * g
         params[name] += velocity[name].astype(params[name].dtype)
 
 
@@ -183,6 +195,7 @@ class OracleRBM:
         self.chain_h: Optional[np.ndarray] = None
         self.history: list = []
         self._step_count = 0
+        self._epoch = 0
 
     def train_step(self, v0: np.ndarray, uniforms: Optional[Dict[str, np.ndarray]] = None) -> float:
         if uniforms is None:
@@ -192,7 +205,7 @@ class OracleRBM:
             err = pseudo_likelihood(self.params, v0,
                                     self._step_count % self.cfg.n_visible,
                                     self.cfg.visible)
-        apply_update(self.params, self.velocity, grads, self.cfg)
+        apply_update(self.params, self.velocity, grads, self.cfg, epoch=self._epoch)
         if self.cfg.persistent:
             self.chain_h = new_chain
         self._step_count += 1
@@ -207,6 +220,7 @@ class OracleRBM:
             for s in range(0, n, cfg.batch_size):
                 errs.append(self.train_step(data[order[s : s + cfg.batch_size]]))
             self.history.append(float(np.mean(errs)))
+            self._epoch += 1
         return self
 
     def transform(self, v: np.ndarray) -> np.ndarray:

@@ -82,18 +82,21 @@ def train_rbm_shard_map(
                 draw_uniforms(local_cfg, local_b, k), local_cfg)
             grads = jax.lax.pmean(grads, axis)  # ONE allreduce of (dW, db, dc)
             err = jax.lax.pmean(err, axis)
-            params, vel = apply_update(params, vel, grads, cfg)
+            params, vel = apply_update(params, vel, grads, cfg, epoch=xs["epoch"])
             return (params, vel, new_chain), err
 
-        def epoch_body(carry, ekey):
-            keys = jax.random.split(ekey, nb)
-            carry, errs = jax.lax.scan(step, carry, {"batch": batches, "key": keys})
+        def epoch_body(carry, xs_e):
+            keys = jax.random.split(xs_e["key"], nb)
+            epochs_v = jnp.full((nb,), xs_e["epoch"], jnp.int32)
+            carry, errs = jax.lax.scan(
+                step, carry, {"batch": batches, "key": keys, "epoch": epochs_v})
             return carry, errs.mean()
 
         key, kepochs = jax.random.split(st.key)
         (params, vel, chain), errs = jax.lax.scan(
             epoch_body, (st.params, st.velocity, st.chain_h),
-            jax.random.split(kepochs, n_epochs))
+            {"key": jax.random.split(kepochs, n_epochs),
+             "epoch": st.epoch + jnp.arange(n_epochs, dtype=jnp.int32)})
         new_st = TrainState(params, vel, chain, key,
                             st.epoch + jnp.int32(n_epochs))
         return new_st, errs

@@ -57,7 +57,7 @@ def _epoch_xla(state: TrainState, data: jax.Array, cfg: RBMConfig) -> Tuple[Trai
             from ..core.rbm_math import pseudo_likelihood
 
             err = pseudo_likelihood(params, v0, idx % cfg.n_visible, cfg)
-        params, vel = apply_update(params, vel, grads, cfg)
+        params, vel = apply_update(params, vel, grads, cfg, epoch=state.epoch)
         return (params, vel, new_chain), err
 
     keys = jax.random.split(kepoch, nb)

@@ -176,3 +176,16 @@ def test_kernel_bernoulli_calibration():
     freq = np.asarray(s).mean(axis=0)
     # binomial std at n=2048 is <= 0.011; allow 5 sigma
     np.testing.assert_allclose(freq, probs[0], atol=0.06)
+
+
+def test_momentum_schedule_and_sparsity():
+    """Kernel path with the Hinton-guide momentum switch + sparsity penalty."""
+    data = bars_and_stripes(320, side=4, seed=9)
+    cfg = RBMConfig(n_visible=16, n_hidden=16, lr=0.1, momentum=0.9,
+                    initial_momentum=0.5, momentum_switch_epoch=4,
+                    sparsity_target=0.2, sparsity_cost=0.1,
+                    epochs=10, batch_size=16, seed=6)
+    state, errs = run_pallas(cfg, data, 10)
+    oracle = OracleRBM(cfg).train(data)
+    assert errs[-1] < errs[0]
+    np.testing.assert_allclose(errs[-1], oracle.history[-1], rtol=0.3, atol=0.02)

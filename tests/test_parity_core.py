@@ -160,3 +160,44 @@ def test_pseudo_monitor_decreases_in_training():
     assert metrics.errors[-1] < metrics.errors[0]
     assert o.history[-1] < o.history[0]
     np.testing.assert_allclose(metrics.errors[-1], o.history[-1], rtol=0.3, atol=0.5)
+
+
+def test_sparsity_target_parity():
+    cfg = RBMConfig(n_visible=13, n_hidden=9, sparsity_target=0.1, sparsity_cost=0.5)
+    p_np, p_jx, v0, uniforms, _ = make_case(cfg)
+    g_np, _, _, _ = oracle.cd_step_stats(p_np, v0, None, uniforms, cfg)
+    g_jx, _, _ = cd_step_stats(p_jx, v0, None, uniforms, cfg)
+    np.testing.assert_allclose(np.asarray(g_jx.c), g_np["c"], **TOL)
+    # and the penalty actually changes the gradient
+    base = RBMConfig(n_visible=13, n_hidden=9)
+    g0, _, _ = cd_step_stats(p_jx, v0, None, uniforms, base)
+    assert np.abs(np.asarray(g_jx.c) - np.asarray(g0.c)).max() > 1e-4
+
+
+def test_momentum_schedule_parity():
+    from mdbn_tpu.core.rbm_math import resolve_momentum
+
+    cfg = RBMConfig(n_visible=13, n_hidden=9, momentum=0.9, initial_momentum=0.5,
+                    momentum_switch_epoch=5)
+    for ep in (0, 4, 5, 9):
+        np.testing.assert_allclose(float(resolve_momentum(cfg, ep)),
+                                   oracle.resolve_momentum(cfg, ep))
+    assert oracle.resolve_momentum(cfg, 4) == 0.5
+    assert oracle.resolve_momentum(cfg, 5) == 0.9
+
+
+def test_momentum_schedule_training_parity():
+    """Full training with the 0.5->0.9 switch: xla engine vs oracle at equal
+    hyperparameters (distributional: same final-error neighborhood)."""
+    from mdbn_tpu.data.synthetic import bars_and_stripes
+    from mdbn_tpu.train.trainer import train_rbm
+
+    data = bars_and_stripes(256, side=4, seed=3)
+    cfg = RBMConfig(n_visible=16, n_hidden=16, lr=0.1, momentum=0.9,
+                    initial_momentum=0.5, momentum_switch_epoch=4,
+                    sparsity_target=0.2, sparsity_cost=0.1,
+                    epochs=10, batch_size=16, engine="xla")
+    o = oracle.OracleRBM(cfg).train(data)
+    state, metrics = train_rbm(data, cfg)
+    assert metrics.errors[-1] < metrics.errors[0]
+    np.testing.assert_allclose(metrics.errors[-1], o.history[-1], rtol=0.25, atol=0.02)
