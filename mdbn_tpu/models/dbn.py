@@ -31,14 +31,27 @@ class DBN:
 
     def train(self, data, mesh: Optional[Mesh] = None,
               runtime: Optional[TrainRuntimeConfig] = None,
-              layer_callback: Optional[Callable[[int, RBM], None]] = None) -> "DBN":
+              layer_callback: Optional[Callable[[int, RBM], None]] = None,
+              checkpointer=None) -> "DBN":
+        """Greedy layer-wise pretraining. With a ``LayerCheckpointer``,
+        completed layers are restored instead of retrained (layer boundaries
+        are the natural resume points, SURVEY.md §5) and each newly trained
+        layer is saved."""
         reps = jnp.asarray(data, jnp.dtype(self.cfg.param_dtype))
         key = jax.random.PRNGKey(self.cfg.seed)
         self.layers = []
         for l in range(len(self.cfg.layer_sizes)):
             key, lkey = jax.random.split(key)
-            rbm = RBM(self.cfg.rbm_config(l, reps.shape[1]), key=lkey)
-            rbm.train(reps, mesh=mesh, runtime=runtime)
+            name = f"layer{l}"
+            if checkpointer is not None and checkpointer.has_layer(name):
+                state, cfg = checkpointer.load_layer(name)
+                rbm = RBM(cfg, key=lkey)
+                rbm.state = state
+            else:
+                rbm = RBM(self.cfg.rbm_config(l, reps.shape[1]), key=lkey)
+                rbm.train(reps, mesh=mesh, runtime=runtime)
+                if checkpointer is not None:
+                    checkpointer.save_layer(name, rbm.state, rbm.cfg)
             self.layers.append(rbm)
             if layer_callback is not None:
                 layer_callback(l, rbm)

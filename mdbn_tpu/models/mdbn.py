@@ -43,17 +43,32 @@ class MDBN:
         )
 
     def train(self, modalities: Dict[str, jax.Array], mesh: Optional[Mesh] = None,
-              runtime: Optional[TrainRuntimeConfig] = None) -> "MDBN":
+              runtime: Optional[TrainRuntimeConfig] = None,
+              checkpoint_dir: Optional[str] = None) -> "MDBN":
+        """With ``checkpoint_dir``, each tower layer and the joint RBM are
+        checkpointed as completed and restored on re-run (crash-resumable
+        greedy pretraining)."""
+        from ..checkpoint import LayerCheckpointer
+
         for name, tower_cfg in self.cfg.towers.items():
+            ck = LayerCheckpointer(f"{checkpoint_dir}/tower_{name}") if checkpoint_dir else None
             tower = DBN(tower_cfg)
-            tower.train(modalities[name], mesh=mesh, runtime=runtime)
+            tower.train(modalities[name], mesh=mesh, runtime=runtime, checkpointer=ck)
             self.towers[name] = tower
         codes = self._tower_codes(modalities)
         joint_cfg = dataclasses.replace(
             self.cfg.joint, n_visible=codes.shape[1], visible="bernoulli"
         )
-        self.joint = RBM(joint_cfg, key=jax.random.PRNGKey(self.cfg.seed + 997))
-        self.joint.train(codes, mesh=mesh, runtime=runtime)
+        jck = LayerCheckpointer(f"{checkpoint_dir}/joint") if checkpoint_dir else None
+        if jck is not None and jck.has_layer("joint"):
+            state, cfg = jck.load_layer("joint")
+            self.joint = RBM(cfg)
+            self.joint.state = state
+        else:
+            self.joint = RBM(joint_cfg, key=jax.random.PRNGKey(self.cfg.seed + 997))
+            self.joint.train(codes, mesh=mesh, runtime=runtime)
+            if jck is not None:
+                jck.save_layer("joint", self.joint.state, self.joint.cfg)
         return self
 
     def transform(self, modalities: Dict[str, jax.Array]) -> jax.Array:

@@ -148,3 +148,43 @@ def test_mdbn_save_load(tmp_path):
     loaded = MDBN.load(str(tmp_path / "model"))
     codes2 = np.asarray(loaded.transform(mods))
     np.testing.assert_allclose(codes2, codes, rtol=1e-6, atol=1e-7)
+
+
+def test_dbn_resume_skips_completed_layers(tmp_path):
+    from mdbn_tpu.checkpoint import LayerCheckpointer
+    from mdbn_tpu.models.dbn import DBN
+
+    data = mnist_like(64, n_features=32, seed=0)
+    cfg = DBNConfig(layer_sizes=[16, 8], visible="bernoulli", epochs=2,
+                    batch_size=8, engine="xla", seed=0)
+    ck = LayerCheckpointer(str(tmp_path / "dbn"))
+    d1 = DBN(cfg).train(data, checkpointer=ck)
+    assert ck.completed() == ["layer0", "layer1"]
+    w0 = np.asarray(d1.layers[0].params.W)
+
+    # re-train with the checkpointer: must restore, not retrain
+    calls = []
+    d2 = DBN(cfg).train(data, checkpointer=ck,
+                        layer_callback=lambda l, r: calls.append(r.metrics))
+    assert all(m is None for m in calls)  # no training happened
+    np.testing.assert_array_equal(np.asarray(d2.layers[0].params.W), w0)
+    np.testing.assert_allclose(np.asarray(d2.transform(data)),
+                               np.asarray(d1.transform(data)), rtol=1e-6)
+
+
+def test_mdbn_resume(tmp_path):
+    from mdbn_tpu.data.synthetic import tcga_like
+    from mdbn_tpu.models.mdbn import MDBN
+
+    mods, _ = tcga_like(n_patients=48, dims={"ge": 16, "meth": 8, "mirna": 8}, seed=0)
+    cfg = MDBNConfig(
+        towers={m: DBNConfig(layer_sizes=[8, 4], visible="gaussian", epochs=1,
+                             batch_size=8, engine="xla", seed=i)
+                for i, m in enumerate(mods)},
+        joint=RBMConfig(n_visible=1, n_hidden=4, epochs=1, batch_size=8, engine="xla"),
+    )
+    ckdir = str(tmp_path / "mdbn_ck")
+    m1 = MDBN(cfg).train(mods, checkpoint_dir=ckdir)
+    codes1 = np.asarray(m1.transform(mods))
+    m2 = MDBN(cfg).train(mods, checkpoint_dir=ckdir)  # resumes everything
+    np.testing.assert_allclose(np.asarray(m2.transform(mods)), codes1, rtol=1e-6)
