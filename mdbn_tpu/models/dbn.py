@@ -63,6 +63,13 @@ class DBN:
         v = jnp.asarray(v, jnp.dtype(self.cfg.param_dtype))
         return stack_transform([(r.params, r.cfg) for r in self.layers], v)
 
+    def generate(self, n_samples: int = 16, n_gibbs: int = 200, seed: int = 0) -> jax.Array:
+        """Sample from the DBN: Gibbs in the top RBM, mean-field down-pass."""
+        from ..ops.sample import generate_from_stack
+
+        return generate_from_stack([(r.params, r.cfg) for r in self.layers],
+                                   n_samples, jax.random.PRNGKey(seed), n_gibbs)
+
     @property
     def history(self) -> List[list]:
         return [r.history for r in self.layers]

@@ -76,6 +76,31 @@ class MDBN:
             raise RuntimeError("MDBN.transform called before train")
         return self.joint.transform(self._tower_codes(modalities))
 
+    def generate(self, n_samples: int = 16, n_gibbs: int = 200, seed: int = 0) -> Dict[str, jax.Array]:
+        """Generate synthetic multi-omics profiles: Gibbs in the joint RBM,
+        split the concatenated code, mean-field down-pass per tower."""
+        if self.joint is None:
+            raise RuntimeError("MDBN.generate called before train")
+        from ..ops.sample import generate_from_stack, gibbs_sample, _down_pass_fn
+
+        key = jax.random.PRNGKey(seed)
+        kinit, kgibbs = jax.random.split(key)
+        jcfg = self.joint.cfg
+        v0 = (jax.random.uniform(kinit, (n_samples, jcfg.n_visible)) < 0.5).astype(
+            self.joint.params.W.dtype)
+        codes, _ = gibbs_sample(self.joint.params, v0, kgibbs, jcfg, n_gibbs)
+        out: Dict[str, jax.Array] = {}
+        offset = 0
+        for name in self.cfg.towers:
+            tower = self.towers[name]
+            width = tower.layers[-1].cfg.n_hidden
+            code = codes[:, offset:offset + width]
+            offset += width
+            params_list = [r.params for r in reversed(tower.layers)]
+            cfgs = tuple(r.cfg for r in reversed(tower.layers))
+            out[name] = _down_pass_fn(cfgs)(params_list, code)
+        return out
+
     # -- persistence ---------------------------------------------------------
 
     def save(self, directory: str) -> None:

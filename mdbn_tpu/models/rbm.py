@@ -52,6 +52,22 @@ class RBM:
     def free_energy(self, v) -> jax.Array:
         return free_energy(self.params, jnp.asarray(v, self._dtype), self.cfg)
 
+    def sample(self, n_samples: int = 16, n_gibbs: int = 200,
+               v_init=None, seed: int = 0) -> jax.Array:
+        """Generate samples by prolonged Gibbs chains ("daydreaming").
+        Returns mean-field visible probabilities [n_samples, n_visible]."""
+        from ..ops.sample import gibbs_sample
+
+        key = jax.random.PRNGKey(seed)
+        if v_init is None:
+            kinit, key = jax.random.split(key)
+            v_init = (jax.random.uniform(kinit, (n_samples, self.cfg.n_visible))
+                      < 0.5).astype(self._dtype)
+        else:
+            v_init = jnp.asarray(v_init, self._dtype)
+        vmean, _ = gibbs_sample(self.params, v_init, key, self.cfg, n_gibbs)
+        return vmean
+
     @property
     def params(self) -> RBMParams:
         return self.state.params
