@@ -210,8 +210,10 @@ def _cd_train_kernel(
         else:
             v1mean = v1mean_cd
 
-        # gradients (log-likelihood ascent direction, batch mean)
-        gW = (_dot_tn(v0, h0p, cd) - _dot_tn(vs, hmean, cd)) * inv_b  # [V, H]
+        # gradients (log-likelihood ascent direction, batch mean);
+        # positive and negative phases merged into ONE MXU call over [2B] rows
+        gW = _dot_tn(jnp.concatenate([v0, vs], axis=0),
+                     jnp.concatenate([h0p, -hmean], axis=0), cd) * inv_b  # [V, H]
         gb = jnp.sum(v0 - vs, axis=0, keepdims=True) * inv_b  # [1, V]
         gc = jnp.sum(h0p - hmean, axis=0, keepdims=True) * inv_b  # [1, H]
         if cfg.sparsity_target is not None and cfg.sparsity_cost:
