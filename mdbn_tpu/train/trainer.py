@@ -168,6 +168,9 @@ def train_rbm(
         state = jax.device_put(state, _state_shardings(mesh, axis))
 
     nb = data.shape[0] // cfg.batch_size
+    if nb == 0:
+        raise ValueError(f"dataset has {data.shape[0]} samples — fewer than one "
+                         f"minibatch (batch_size={cfg.batch_size})")
     per_epoch = epoch_callback is not None or runtime.checkpoint_every_epochs > 0
     metrics = EpochMetrics(engine_name)
 

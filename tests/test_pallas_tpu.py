@@ -189,3 +189,14 @@ def test_momentum_schedule_and_sparsity():
     oracle = OracleRBM(cfg).train(data)
     assert errs[-1] < errs[0]
     np.testing.assert_allclose(errs[-1], oracle.history[-1], rtol=0.3, atol=0.02)
+
+
+def test_bfloat16_compute_converges():
+    """bf16 MXU path (f32 accumulation) must track the oracle like f32 does."""
+    data = mnist_like(400, seed=2)
+    cfg = RBMConfig(n_visible=784, n_hidden=32, k=1, lr=0.1, epochs=6,
+                    batch_size=20, seed=0, compute_dtype="bfloat16")
+    state, errs = run_pallas(cfg, data, 6)
+    oracle = OracleRBM(cfg).train(data)
+    assert errs[-1] < errs[0] * 0.75
+    np.testing.assert_allclose(errs[-1], oracle.history[-1], rtol=0.12)

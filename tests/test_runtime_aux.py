@@ -147,3 +147,9 @@ def test_cli_rbm_checkpoint_dir(tmp_path):
     ck = str(tmp_path / "ck")
     assert main(["--config", str(tmp_path / "exp.json"), "--checkpoint-dir", ck]) == 0
     assert os.path.exists(os.path.join(ck, "epoch00002"))
+
+
+def test_too_small_dataset_raises():
+    cfg = RBMConfig(n_visible=8, n_hidden=4, batch_size=32, engine="xla")
+    with pytest.raises(ValueError, match="fewer than one"):
+        train_rbm(np.zeros((8, 8), np.float32), cfg)
