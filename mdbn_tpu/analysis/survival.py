@@ -1,0 +1,82 @@
+"""Survival analysis of patient clusters: Kaplan-Meier + log-rank test.
+
+Completes the Liang et al. 2015 pipeline (SURVEY.md §1 L4: "in the paper:
+survival / log-rank evaluation of clusters"): after k-means on the MDBN's
+joint latent codes, evaluate whether the discovered patient subgroups differ
+in survival. Pure NumPy/SciPy — no external survival package needed.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def kaplan_meier(times: np.ndarray, events: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Kaplan-Meier estimator. ``times`` >= 0; ``events`` 1 = death observed,
+    0 = censored. Returns (unique_event_times, survival_probability)."""
+    times = np.asarray(times, float)
+    events = np.asarray(events, int)
+    order = np.argsort(times)
+    times, events = times[order], events[order]
+    uniq = np.unique(times[events == 1])
+    surv = []
+    s = 1.0
+    for t in uniq:
+        at_risk = np.sum(times >= t)
+        deaths = np.sum((times == t) & (events == 1))
+        s *= 1.0 - deaths / at_risk
+        surv.append(s)
+    return uniq, np.asarray(surv)
+
+
+def logrank_test(times: np.ndarray, events: np.ndarray, groups: np.ndarray) -> Dict[str, float]:
+    """K-group log-rank test (chi-square with K-1 dof).
+
+    Standard construction: at each distinct event time, compare each group's
+    observed deaths to its expectation under the null (deaths distributed
+    proportionally to the at-risk counts); the statistic uses the
+    sum-of-(O-E)^2/E approximation, conservative and package-free.
+    """
+    from scipy import stats
+
+    times = np.asarray(times, float)
+    events = np.asarray(events, int)
+    groups = np.asarray(groups)
+    labels = np.unique(groups)
+    K = len(labels)
+    if K < 2:
+        raise ValueError("log-rank test needs >= 2 groups")
+
+    event_times = np.unique(times[events == 1])
+    O = np.zeros(K)
+    E = np.zeros(K)
+    for t in event_times:
+        at_risk = times >= t
+        n_t = at_risk.sum()
+        d_t = ((times == t) & (events == 1)).sum()
+        for k, g in enumerate(labels):
+            in_g = groups == g
+            n_kt = (at_risk & in_g).sum()
+            O[k] += ((times == t) & (events == 1) & in_g).sum()
+            E[k] += d_t * n_kt / n_t
+    valid = E > 0
+    chi2 = float(np.sum((O[valid] - E[valid]) ** 2 / E[valid]))
+    dof = K - 1
+    p = float(stats.chi2.sf(chi2, dof))
+    return {"chi2": chi2, "dof": dof, "p_value": p,
+            "observed": O.tolist(), "expected": E.tolist()}
+
+
+def synthetic_survival(labels: np.ndarray, hazard_scale: Tuple[float, ...] = (1.0, 2.0, 4.0),
+                       censor_rate: float = 0.2, seed: int = 0
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    """Planted-survival generator for tests/demos: exponential survival times
+    with per-cluster hazards + uniform censoring."""
+    rng = np.random.default_rng(seed)
+    scales = np.asarray(hazard_scale, float)
+    t = rng.exponential(scales[np.asarray(labels) % len(scales)])
+    censored = rng.random(len(t)) < censor_rate
+    t = np.where(censored, t * rng.random(len(t)), t)
+    return t, (~censored).astype(int)

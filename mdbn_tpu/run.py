@@ -141,6 +141,17 @@ def main(argv=None):
             if labels is not None:
                 rec["ari_vs_planted"] = adjusted_rand_index(labels, pred)
                 log.info("k-means ARI vs planted clusters: %.3f", rec["ari_vs_planted"])
+            if analysis.get("survival") and labels is not None:
+                # paper-pipeline evaluation (SURVEY.md §1 L4): do the discovered
+                # subgroups separate survival? Synthetic survival is planted on
+                # the true cluster labels, so a good clustering must separate it.
+                from .analysis.survival import logrank_test, synthetic_survival
+
+                times, events = synthetic_survival(labels, seed=0)
+                lr = logrank_test(times, events, pred)
+                rec["logrank"] = lr
+                log.info("log-rank test across clusters: chi2=%.2f p=%.2e",
+                         lr["chi2"], lr["p_value"])
             mw.write(rec)
             print(json.dumps(rec))
 
