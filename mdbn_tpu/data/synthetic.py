@@ -29,7 +29,8 @@ def mnist_like(
     noise: float = 0.08,
     seed: int = 0,
     binarize: str = "threshold",  # "threshold" | "sample"
-) -> np.ndarray:
+    return_labels: bool = False,
+):
     """Binary [n_samples, 784]-ish data with prototype structure an RBM can learn."""
     rng = np.random.default_rng(seed)
     side = int(round(n_features**0.5))
@@ -53,6 +54,8 @@ def mnist_like(
         data = (probs > 0.5).astype(np.float32)
         flip = rng.random(data.shape) < noise
         data = np.where(flip, 1.0 - data, data).astype(np.float32)
+    if return_labels:
+        return data, labels.astype(np.int32)
     return data
 
 

@@ -63,6 +63,29 @@ class DBN:
         v = jnp.asarray(v, jnp.dtype(self.cfg.param_dtype))
         return stack_transform([(r.params, r.cfg) for r in self.layers], v)
 
+    def finetune(self, data, labels, n_classes: int, epochs: int = 10,
+                 lr: float = 0.1, batch_size: int = 20, seed: int = 0):
+        """Supervised fine-tuning (tutorial-lineage phase 2): softmax head on
+        the top code, cross-entropy backprop through the whole stack. Updates
+        the layers' weights in place; returns the per-epoch loss history."""
+        from ..train.finetune import finetune_stack
+
+        stack, head, history = finetune_stack(
+            [(r.params, r.cfg) for r in self.layers], data, labels, n_classes,
+            epochs=epochs, lr=lr, batch_size=batch_size, seed=seed)
+        for rbm, new_params in zip(self.layers, stack):
+            rbm.state = rbm.state._replace(params=new_params)
+        self._head = head
+        return history
+
+    def predict(self, x) -> jax.Array:
+        """Class predictions after finetune()."""
+        if not hasattr(self, "_head"):
+            raise RuntimeError("DBN.predict called before finetune")
+        from ..train.finetune import predict_stack
+
+        return predict_stack([(r.params, r.cfg) for r in self.layers], self._head, x)
+
     def generate(self, n_samples: int = 16, n_gibbs: int = 200, seed: int = 0) -> jax.Array:
         """Sample from the DBN: Gibbs in the top RBM, mean-field down-pass."""
         from ..ops.sample import generate_from_stack

@@ -1,0 +1,88 @@
+"""Supervised DBN fine-tuning: softmax head + backprop through the stack.
+
+The deeplearning.net DBN tutorial — the reference's direct ancestor
+(SURVEY.md §0) — follows greedy pretraining with a supervised phase: attach a
+logistic-regression layer to the top code and backprop cross-entropy through
+the sigmoid stack. Here that phase is a single jitted ``lax.scan`` over
+minibatches per epoch using ``jax.grad`` (no hand-written backward pass —
+XLA differentiates the whole stack).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RBMConfig
+from ..core.rbm_math import RBMParams, hidden_mean
+
+
+def _forward_logits(stack_params: List[RBMParams], head: Tuple[jax.Array, jax.Array],
+                    cfgs: Tuple[RBMConfig, ...], x: jax.Array) -> jax.Array:
+    h = x
+    for p, cfg in zip(stack_params, cfgs):
+        h = hidden_mean(p, h, cfg)
+    Wh, bh = head
+    return h @ Wh + bh
+
+
+def finetune_stack(
+    layers: List[Tuple[RBMParams, RBMConfig]],
+    data: jax.Array,
+    labels: jax.Array,
+    n_classes: int,
+    epochs: int = 10,
+    lr: float = 0.1,
+    batch_size: int = 20,
+    seed: int = 0,
+) -> Tuple[List[RBMParams], Tuple[jax.Array, jax.Array], List[float]]:
+    """Backprop fine-tuning. Returns (tuned stack params, softmax head,
+    per-epoch mean cross-entropy)."""
+    cfgs = tuple(cfg for _, cfg in layers)
+    stack = [p for p, _ in layers]
+    key = jax.random.PRNGKey(seed)
+    top_width = cfgs[-1].n_hidden
+    head = (0.01 * jax.random.normal(key, (top_width, n_classes), jnp.float32),
+            jnp.zeros(n_classes, jnp.float32))
+
+    data = jnp.asarray(data, jnp.float32)
+    labels = jnp.asarray(labels, jnp.int32)
+    n = (data.shape[0] // batch_size) * batch_size
+    nb = n // batch_size
+    xb = data[:n].reshape(nb, batch_size, -1)
+    yb = labels[:n].reshape(nb, batch_size)
+
+    def loss_fn(params, x, y):
+        stack_p, head_p = params
+        logits = _forward_logits(stack_p, head_p, cfgs, x)
+        logp = jax.nn.log_softmax(logits)
+        return -jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=1))
+
+    @jax.jit
+    def epoch(params, _):
+        def step(params, xs):
+            x, y = xs
+            loss, grads = jax.value_and_grad(loss_fn)(params, x, y)
+            params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
+            return params, loss
+
+        params, losses = jax.lax.scan(step, params, (xb, yb))
+        return params, losses.mean()
+
+    params = (stack, head)
+    history = []
+    for _ in range(epochs):
+        params, mean_loss = epoch(params, None)
+        history.append(float(mean_loss))
+    return params[0], params[1], history
+
+
+def predict_stack(layers, head, x) -> jax.Array:
+    cfgs = tuple(cfg for _, cfg in layers)
+    logits = _forward_logits([p for p, _ in layers], head, cfgs,
+                             jnp.asarray(x, jnp.float32))
+    return jnp.argmax(logits, axis=1)

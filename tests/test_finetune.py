@@ -1,0 +1,32 @@
+"""Supervised DBN fine-tuning (tutorial-lineage phase 2)."""
+
+import numpy as np
+import pytest
+
+from mdbn_tpu.config import DBNConfig
+from mdbn_tpu.data.synthetic import mnist_like
+from mdbn_tpu.models.dbn import DBN
+
+
+def test_pretrain_then_finetune_classifies():
+    data, labels = mnist_like(1200, n_prototypes=5, seed=3, return_labels=True)
+    train_x, train_y = data[:1000], labels[:1000]
+    test_x, test_y = data[1000:], labels[1000:]
+
+    cfg = DBNConfig(layer_sizes=[64, 32], visible="bernoulli", epochs=3,
+                    batch_size=20, engine="xla", seed=0)
+    dbn = DBN(cfg).train(train_x)
+    history = dbn.finetune(train_x, train_y, n_classes=5, epochs=15, lr=0.3)
+    assert history[-1] < history[0] * 0.5
+
+    pred = np.asarray(dbn.predict(test_x))
+    acc = float((pred == test_y).mean())
+    assert acc > 0.9, acc
+
+
+def test_predict_before_finetune_raises():
+    cfg = DBNConfig(layer_sizes=[8], epochs=1, batch_size=8, engine="xla")
+    data = mnist_like(32, n_features=16, seed=0)
+    dbn = DBN(cfg).train(data)
+    with pytest.raises(RuntimeError, match="finetune"):
+        dbn.predict(data)
