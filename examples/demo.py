@@ -51,6 +51,16 @@ def main():
     fig.tight_layout()
     fig.savefig(os.path.join(args.outdir, "rbm_mnist.png"), dpi=100)
 
+    # daydream: prolonged-Gibbs samples from the trained RBM (the classic
+    # tutorial figure)
+    dreams = np.asarray(rbm.sample(n_samples=16, n_gibbs=1000, seed=7))
+    fig, axes = plt.subplots(2, 8, figsize=(12, 3))
+    for i, ax in enumerate(axes.ravel()):
+        ax.imshow(dreams[i].reshape(28, 28), cmap="gray")
+        ax.axis("off")
+    fig.suptitle("RBM daydream samples (1000 Gibbs steps)")
+    fig.savefig(os.path.join(args.outdir, "rbm_daydream.png"), dpi=100)
+
     # receptive fields of the first 25 hidden units
     W = rbm.params_numpy()["W"]
     fig, axes = plt.subplots(5, 5, figsize=(8, 8))
