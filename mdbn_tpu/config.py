@@ -90,8 +90,12 @@ class RBMConfig:
         if self.error_metric == "pseudo" and self.visible != "bernoulli":
             raise ValueError("error_metric='pseudo' (free-energy bit flips) is "
                              "only defined for bernoulli visible units")
-        if self.sparsity_target is not None and not (0.0 < self.sparsity_target < 1.0):
-            raise ValueError("sparsity_target must be in (0, 1)")
+        if self.sparsity_target is not None:
+            if not (0.0 < self.sparsity_target < 1.0):
+                raise ValueError("sparsity_target must be in (0, 1)")
+            if not self.sparsity_cost:
+                raise ValueError("sparsity_target set but sparsity_cost is 0 — "
+                                 "the regularizer would be a silent no-op")
 
     @property
     def resolved_sample_visible(self) -> bool:

@@ -43,17 +43,28 @@ class DBN:
         for l in range(len(self.cfg.layer_sizes)):
             key, lkey = jax.random.split(key)
             name = f"layer{l}"
+            expected_cfg = self.cfg.rbm_config(l, reps.shape[1])
+            restored = False
             if checkpointer is not None and checkpointer.has_layer(name):
                 state, cfg = checkpointer.load_layer(name)
+                if cfg != expected_cfg:
+                    raise ValueError(
+                        f"checkpointed {name} was trained with a different config "
+                        f"than the current run (e.g. layer sizes or data width "
+                        f"changed); clear the checkpoint directory to retrain. "
+                        f"checkpoint: {cfg}\ncurrent: {expected_cfg}")
                 rbm = RBM(cfg, key=lkey)
                 rbm.state = state
+                restored = True
             else:
-                rbm = RBM(self.cfg.rbm_config(l, reps.shape[1]), key=lkey)
+                rbm = RBM(expected_cfg, key=lkey)
                 rbm.train(reps, mesh=mesh, runtime=runtime)
                 if checkpointer is not None:
                     checkpointer.save_layer(name, rbm.state, rbm.cfg)
             self.layers.append(rbm)
-            if layer_callback is not None:
+            # callbacks fire only for layers trained in THIS run (restored
+            # layers have no metrics/history to report)
+            if layer_callback is not None and not restored:
                 layer_callback(l, rbm)
             if l + 1 < len(self.cfg.layer_sizes):
                 reps = rbm.transform(reps)

@@ -62,6 +62,11 @@ class MDBN:
         jck = LayerCheckpointer(f"{checkpoint_dir}/joint") if checkpoint_dir else None
         if jck is not None and jck.has_layer("joint"):
             state, cfg = jck.load_layer("joint")
+            if cfg != joint_cfg:
+                raise ValueError(
+                    "checkpointed joint RBM was trained with a different config "
+                    "(e.g. tower code width changed); clear the checkpoint "
+                    f"directory to retrain.\ncheckpoint: {cfg}\ncurrent: {joint_cfg}")
             self.joint = RBM(cfg)
             self.joint.state = state
         else:

@@ -38,9 +38,11 @@ def cd_train_step(
     key: jax.Array,
     cfg: RBMConfig,
     axis_name: Optional[str] = None,
+    epoch=0,
 ) -> Tuple[RBMParams, RBMParams, jax.Array, jax.Array]:
     """One full CD-k/PCD weight update: stats -> (allreduce) -> momentum+L2.
 
+    Pass ``epoch`` when using a momentum schedule (cfg.initial_momentum).
     Under data parallelism ``axis_name`` names the mesh axis: the minibatch is
     sharded across it, and gradients/error are mean-allreduced over ICI
     (``lax.pmean`` => one psum per step, SURVEY.md §2.4). Because the local
@@ -51,5 +53,5 @@ def cd_train_step(
     if axis_name is not None:
         grads = jax.lax.pmean(grads, axis_name)
         err = jax.lax.pmean(err, axis_name)
-    new_params, new_velocity = apply_update(params, velocity, grads, cfg)
+    new_params, new_velocity = apply_update(params, velocity, grads, cfg, epoch=epoch)
     return new_params, new_velocity, new_chain, err

@@ -36,7 +36,7 @@ def gibbs_sample(
     """
 
     def step(carry, k):
-        v = carry
+        v, _ = carry
         kh, kv = jax.random.split(k)
         hp = hidden_mean(params, v, cfg)
         h = (jax.random.uniform(kh, hp.shape) < hp).astype(v.dtype)
@@ -45,10 +45,11 @@ def gibbs_sample(
             v = (jax.random.uniform(kv, vmean.shape) < vmean).astype(v.dtype)
         else:
             v = vmean + jax.random.normal(kv, vmean.shape, v.dtype)
-        return v, vmean
+        return (v, vmean), None  # carry the mean; no per-step stacking
 
-    v, vmeans = jax.lax.scan(step, v_init, jax.random.split(key, n_steps))
-    return vmeans[-1], v
+    (v, vmean), _ = jax.lax.scan(step, (v_init, v_init),
+                                 jax.random.split(key, n_steps))
+    return vmean, v
 
 
 @lru_cache(maxsize=None)

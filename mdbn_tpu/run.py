@@ -111,18 +111,26 @@ def main(argv=None):
                           "engine": rbm.metrics.engine})
                 log.info("layer %d trained (%s): err %.5f -> %.5f", l,
                          rbm.metrics.engine, rbm.history[0], rbm.history[-1])
-                if args.checkpoint_dir:
-                    from .checkpoint import LayerCheckpointer
-                    LayerCheckpointer(args.checkpoint_dir).save_layer(
-                        f"layer{l}", rbm.state, rbm.cfg)
 
-            model.train(data, mesh=mesh, runtime=runtime, layer_callback=layer_cb)
+            ck = None
+            if args.checkpoint_dir:
+                from .checkpoint import LayerCheckpointer
+
+                ck = LayerCheckpointer(args.checkpoint_dir)
+                done = ck.completed()
+                if done:
+                    log.info("resuming: restoring completed layers %s", done)
+            # DBN runs checkpoint at layer boundaries, not per epoch
+            dbn_runtime = dataclasses.replace(runtime, checkpoint_every_epochs=0)
+            model.train(data, mesh=mesh, runtime=dbn_runtime,
+                        layer_callback=layer_cb, checkpointer=ck)
         elif isinstance(model_cfg, MDBNConfig):
             model = MDBN(override(model_cfg))
             # per-epoch checkpointing inside towers would thrash; save the
             # complete model once trained instead
             mdbn_runtime = dataclasses.replace(runtime, checkpoint_every_epochs=0)
-            model.train(data, mesh=mesh, runtime=mdbn_runtime)
+            model.train(data, mesh=mesh, runtime=mdbn_runtime,
+                        checkpoint_dir=args.checkpoint_dir)
             for name, hist in model.history.items():
                 mw.write({"kind": "tower", "name": name, "history": hist})
                 log.info("%s trained", name)

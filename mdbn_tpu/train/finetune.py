@@ -10,9 +10,7 @@ XLA differentiates the whole stack).
 
 from __future__ import annotations
 
-import time
-from functools import partial
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -53,6 +51,9 @@ def finetune_stack(
     labels = jnp.asarray(labels, jnp.int32)
     n = (data.shape[0] // batch_size) * batch_size
     nb = n // batch_size
+    if nb == 0:
+        raise ValueError(f"dataset has {data.shape[0]} samples — fewer than one "
+                         f"minibatch (batch_size={batch_size})")
     xb = data[:n].reshape(nb, batch_size, -1)
     yb = labels[:n].reshape(nb, batch_size)
 

@@ -188,3 +188,37 @@ def test_mdbn_resume(tmp_path):
     codes1 = np.asarray(m1.transform(mods))
     m2 = MDBN(cfg).train(mods, checkpoint_dir=ckdir)  # resumes everything
     np.testing.assert_allclose(np.asarray(m2.transform(mods)), codes1, rtol=1e-6)
+
+
+def test_dbn_stale_checkpoint_rejected(tmp_path):
+    from mdbn_tpu.checkpoint import LayerCheckpointer
+    from mdbn_tpu.models.dbn import DBN
+
+    data = mnist_like(64, n_features=32, seed=0)
+    ck = LayerCheckpointer(str(tmp_path / "dbn"))
+    DBN(DBNConfig(layer_sizes=[16, 8], epochs=1, batch_size=8, engine="xla",
+                  seed=0)).train(data, checkpointer=ck)
+    # changed layer width -> restoring must fail loudly, not silently diverge
+    with pytest.raises(ValueError, match="different config"):
+        DBN(DBNConfig(layer_sizes=[12, 8], epochs=1, batch_size=8, engine="xla",
+                      seed=0)).train(data, checkpointer=ck)
+
+
+def test_cli_dbn_resume(tmp_path):
+    """Kill-and-rerun via the CLI: second run restores instead of retraining."""
+    from mdbn_tpu.run import main
+
+    save_config({
+        "model": DBNConfig(layer_sizes=[16, 8], epochs=2, batch_size=8,
+                           engine="xla", seed=0),
+        "data": {"kind": "mnist_like", "n_samples": 64, "n_features": 64, "seed": 1},
+    }, str(tmp_path / "exp.json"))
+    ck = str(tmp_path / "ck")
+    m1 = str(tmp_path / "m1.jsonl")
+    m2 = str(tmp_path / "m2.jsonl")
+    assert main(["--config", str(tmp_path / "exp.json"), "--checkpoint-dir", ck,
+                 "--metrics", m1]) == 0
+    assert main(["--config", str(tmp_path / "exp.json"), "--checkpoint-dir", ck,
+                 "--metrics", m2]) == 0
+    layers_run2 = [json.loads(l) for l in open(m2) if json.loads(l)["kind"] == "layer"]
+    assert layers_run2 == []  # everything restored; no layer was retrained

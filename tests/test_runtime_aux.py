@@ -153,3 +153,18 @@ def test_too_small_dataset_raises():
     cfg = RBMConfig(n_visible=8, n_hidden=4, batch_size=32, engine="xla")
     with pytest.raises(ValueError, match="fewer than one"):
         train_rbm(np.zeros((8, 8), np.float32), cfg)
+
+
+def test_sparsity_target_without_cost_rejected():
+    with pytest.raises(ValueError, match="sparsity_cost"):
+        RBMConfig(n_visible=4, n_hidden=2, sparsity_target=0.1)
+
+
+def test_finetune_too_small_dataset():
+    from mdbn_tpu.models.dbn import DBN
+
+    data, labels = mnist_like(40, n_features=16, seed=0, return_labels=True)
+    dbn = DBN(DBNConfig(layer_sizes=[8], epochs=1, batch_size=8,
+                        engine="xla")).train(data)
+    with pytest.raises(ValueError, match="fewer than one"):
+        dbn.finetune(data[:5], labels[:5], n_classes=10, batch_size=20)
