@@ -35,6 +35,7 @@ the XLA engine.
 from __future__ import annotations
 
 import functools
+from functools import lru_cache
 from typing import Optional, Tuple
 
 import jax
@@ -335,11 +336,20 @@ def _build_pallas_call(cfg: RBMConfig, n_epochs: int, nb: int, unroll: int,
 def make_pallas_train_fn(cfg: RBMConfig, n_epochs: int,
                          interpret: Optional[bool] = None):
     """Build ``fn(state, data) -> (state, errs[n_epochs])`` running ``n_epochs``
-    epochs in ONE kernel launch, or None if the state won't fit in VMEM."""
+    epochs in ONE kernel launch, or None if the state won't fit in VMEM.
+
+    Cached per (cfg, n_epochs, interpret): rebuilding fresh jit wrappers per
+    model instance would re-trace/lower every kernel (measured ~5 s/layer).
+    """
     if estimate_vmem_bytes(cfg, unroll=1) > _VMEM_BUDGET:
         return None  # even the unroll=1 footprint doesn't fit
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    return _cached_train_fn(cfg, n_epochs, interpret)
+
+
+@lru_cache(maxsize=512)
+def _cached_train_fn(cfg: RBMConfig, n_epochs: int, interpret: bool):
 
     def train_fn(state: TrainState, data: jax.Array) -> Tuple[TrainState, jax.Array]:
         n = data.shape[0]

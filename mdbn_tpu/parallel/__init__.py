@@ -1,0 +1,2 @@
+from .dp import train_rbm_shard_map
+from .mesh import make_mesh, make_mesh_2d

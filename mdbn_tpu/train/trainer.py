@@ -23,7 +23,7 @@ riding ICI) automatically. ``parallel/dp.py`` also provides an explicit
 from __future__ import annotations
 
 import time
-from functools import partial
+from functools import lru_cache, partial
 from typing import Callable, List, Optional, Tuple
 
 import jax
@@ -76,6 +76,27 @@ def _train_xla_fused(state: TrainState, data: jax.Array, cfg: RBMConfig,
         return s, err
 
     return jax.lax.scan(epoch, state, None, length=n_epochs)
+
+
+@lru_cache(maxsize=512)
+def _jitted_epoch_xla(cfg: RBMConfig, mesh: Optional[Mesh], axis: str):
+    epoch = partial(_epoch_xla, cfg=cfg)
+    if mesh is None:
+        return jax.jit(epoch)
+    sh = _state_shardings(mesh, axis)
+    return jax.jit(epoch, in_shardings=(sh, NamedSharding(mesh, P(axis))),
+                   out_shardings=(sh, NamedSharding(mesh, P())))
+
+
+@lru_cache(maxsize=512)
+def _jitted_train_xla_fused(cfg: RBMConfig, n_epochs: int, mesh: Optional[Mesh],
+                            axis: str):
+    fused = partial(_train_xla_fused, cfg=cfg, n_epochs=n_epochs)
+    if mesh is None:
+        return jax.jit(fused)
+    sh = _state_shardings(mesh, axis)
+    return jax.jit(fused, in_shardings=(sh, NamedSharding(mesh, P(axis))),
+                   out_shardings=(sh, NamedSharding(mesh, P())))
 
 
 def _pallas_available(cfg: RBMConfig) -> bool:
@@ -183,13 +204,7 @@ def train_rbm(
 
                 epoch_fn = make_pallas_epoch_fn(cfg)
             else:
-                epoch = partial(_epoch_xla, cfg=cfg)
-                if mesh is None:
-                    epoch_fn = jax.jit(epoch)
-                else:
-                    sh = _state_shardings(mesh, axis)
-                    epoch_fn = jax.jit(epoch, in_shardings=(sh, NamedSharding(mesh, P(axis))),
-                                       out_shardings=(sh, NamedSharding(mesh, P())))
+                epoch_fn = _jitted_epoch_xla(cfg, mesh, axis)
             ck_every = runtime.checkpoint_every_epochs
             for ep in range(cfg.epochs):
                 t0 = time.perf_counter()
@@ -212,13 +227,7 @@ def train_rbm(
 
                 train_fn = make_pallas_train_fn(cfg, cfg.epochs)
             else:
-                fused = partial(_train_xla_fused, cfg=cfg, n_epochs=cfg.epochs)
-                if mesh is None:
-                    train_fn = jax.jit(fused)
-                else:
-                    sh = _state_shardings(mesh, axis)
-                    train_fn = jax.jit(fused, in_shardings=(sh, NamedSharding(mesh, P(axis))),
-                                       out_shardings=(sh, NamedSharding(mesh, P())))
+                train_fn = _jitted_train_xla_fused(cfg, cfg.epochs, mesh, axis)
             t0 = time.perf_counter()
             state, errs = train_fn(state, data)
             errs = jax.device_get(errs)

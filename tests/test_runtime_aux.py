@@ -168,3 +168,20 @@ def test_finetune_too_small_dataset():
                         engine="xla")).train(data)
     with pytest.raises(ValueError, match="fewer than one"):
         dbn.finetune(data[:5], labels[:5], n_classes=10, batch_size=20)
+
+
+def test_fused_and_per_epoch_paths_identical():
+    """One dispatch for all epochs vs per-epoch dispatch (callback mode) must
+    produce the same parameters and error curve: same math, same RNG chain."""
+    cfg = RBMConfig(n_visible=32, n_hidden=16, epochs=4, batch_size=8,
+                    persistent=True, momentum=0.5, engine="xla", seed=3)
+    data = mnist_like(96, n_features=32, seed=1)
+
+    s_fused, m_fused = train_rbm(data, cfg)
+    errs_cb = []
+    s_loop, m_loop = train_rbm(data, cfg,
+                               epoch_callback=lambda ep, err, st: errs_cb.append(err))
+    np.testing.assert_allclose(np.asarray(s_loop.params.W), np.asarray(s_fused.params.W),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(m_loop.errors, m_fused.errors, rtol=1e-6)
+    assert errs_cb == m_loop.errors
