@@ -1,0 +1,82 @@
+"""Run all five graded configurations (BASELINE.json:6-12) end-to-end via the
+CLI and record the outcomes -> GRADED_RUNS.md.
+
+Usage: python scripts/run_graded_configs.py [--epochs N]
+"""
+
+import argparse
+import glob
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=10)
+    args = ap.parse_args()
+
+    rows = []
+    for cfg_path in sorted(glob.glob("configs/*.json")):
+        name = os.path.basename(cfg_path)
+        with tempfile.TemporaryDirectory() as td:
+            metrics = os.path.join(td, "m.jsonl")
+            t0 = time.time()
+            proc = subprocess.run(
+                [sys.executable, "-m", "mdbn_tpu.run", "--config", cfg_path,
+                 "--epochs", str(args.epochs), "--metrics", metrics],
+                capture_output=True, text=True, timeout=3600)
+            dt = time.time() - t0
+            ok = proc.returncode == 0
+            summary = ""
+            if ok and os.path.exists(metrics):
+                recs = [json.loads(l) for l in open(metrics)]
+                epochs = [r for r in recs if r["kind"] == "epoch"]
+                layers = [r for r in recs if r["kind"] == "layer"]
+                towers = [r for r in recs if r["kind"] == "tower"]
+                km = [r for r in recs if r["kind"] == "kmeans"]
+                if epochs:
+                    summary = f"err {epochs[0]['recon_error']:.4f} → {epochs[-1]['recon_error']:.4f} ({epochs[0]['engine']})"
+                elif layers:
+                    summary = "; ".join(
+                        f"L{r['layer']}: {r['errors'][0]:.4f}→{r['errors'][-1]:.4f}" for r in layers)
+                elif towers:
+                    summary = f"{len(towers)} towers+joint trained"
+                if km:
+                    k = km[0]
+                    summary += f"; ARI {k.get('ari_vs_planted', float('nan')):.3f}"
+                    if "logrank" in k:
+                        summary += f"; log-rank p={k['logrank']['p_value']:.1e}"
+            else:
+                summary = (proc.stderr or "")[-200:].replace("\n", " ")
+            rows.append((name, "PASS" if ok else "FAIL", dt, summary))
+            print(f"{name}: {'PASS' if ok else 'FAIL'} ({dt:.0f}s) {summary}",
+                  file=sys.stderr, flush=True)
+
+    import jax
+
+    lines = [
+        "# GRADED_RUNS — the five graded configurations, end-to-end",
+        "",
+        f"Backend: {jax.default_backend()} ({jax.devices()[0]}); "
+        f"--epochs {args.epochs}; synthetic stand-in data (no network).",
+        "",
+        "| config | status | wall | outcome |",
+        "|---|---|---|---|",
+    ]
+    for name, status, dt, summary in rows:
+        lines.append(f"| {name} | {status} | {dt:.0f}s | {summary} |")
+    md = "\n".join(lines) + "\n"
+    with open("GRADED_RUNS.md", "w") as f:
+        f.write(md)
+    print(md)
+    return 0 if all(r[1] == "PASS" for r in rows) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
