@@ -20,16 +20,16 @@ def _plus_plus_init(key: jax.Array, x: jax.Array, k: int) -> jax.Array:
     k0, key = jax.random.split(key)
     first = x[jax.random.randint(k0, (), 0, n)]
     centers0 = jnp.zeros((k, x.shape[1]), x.dtype).at[0].set(first)
+    x2 = jnp.sum(x * x, axis=1, keepdims=True)  # [N, 1]
 
     def body(carry, i):
         centers, key = carry
-        d2 = jnp.min(
-            jnp.sum((x[:, None, :] - centers[None, :, :]) ** 2, axis=-1)
-            + jnp.where(jnp.arange(k) < i, 0.0, jnp.inf)[None, :],
-            axis=1,
-        )
+        # ||x-c||^2 via the matmul identity (avoids an N x K x D broadcast)
+        d2_all = x2 - 2.0 * x @ centers.T + jnp.sum(centers * centers, axis=1)[None, :]
+        d2 = jnp.min(d2_all + jnp.where(jnp.arange(k) < i, 0.0, jnp.inf)[None, :],
+                     axis=1)
         key, kc = jax.random.split(key)
-        idx = jax.random.categorical(kc, jnp.log(d2 + 1e-12))
+        idx = jax.random.categorical(kc, jnp.log(jnp.maximum(d2, 0.0) + 1e-12))
         return (centers.at[i].set(x[idx]), key), None
 
     (centers, _), _ = jax.lax.scan(body, (centers0, key), jnp.arange(1, k))

@@ -8,6 +8,8 @@ whole-epoch-on-device path. Layer l consumes layer l-1's mean-field
 
 from __future__ import annotations
 
+import json
+import os
 from typing import Callable, List, Optional
 
 import jax
@@ -111,9 +113,6 @@ class DBN:
     # -- persistence ---------------------------------------------------------
 
     def save(self, directory: str) -> None:
-        import json
-        import os
-
         os.makedirs(directory, exist_ok=True)
         for l, rbm in enumerate(self.layers):
             rbm.save(os.path.join(directory, f"layer{l}"))
@@ -125,9 +124,6 @@ class DBN:
 
     @classmethod
     def load(cls, directory: str) -> "DBN":
-        import json
-        import os
-
         from ..config import load_config
 
         dbn = cls(load_config(os.path.join(directory, "dbn.config.json")))

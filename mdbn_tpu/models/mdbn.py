@@ -11,6 +11,8 @@ code used downstream for k-means patient clustering (BASELINE.json configs
 from __future__ import annotations
 
 import dataclasses
+import json
+import os
 from typing import Dict, Optional
 
 import jax
@@ -109,9 +111,6 @@ class MDBN:
     # -- persistence ---------------------------------------------------------
 
     def save(self, directory: str) -> None:
-        import json
-        import os
-
         os.makedirs(directory, exist_ok=True)
         for name, tower in self.towers.items():
             tower.save(os.path.join(directory, f"tower_{name}"))
@@ -125,9 +124,6 @@ class MDBN:
 
     @classmethod
     def load(cls, directory: str) -> "MDBN":
-        import json
-        import os
-
         from ..config import load_config
         from .dbn import DBN
         from .rbm import RBM

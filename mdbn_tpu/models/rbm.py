@@ -98,9 +98,6 @@ class RBM:
         from ..checkpoint import restore_state
         from ..config import load_config
 
-        cfg = load_config(path.rstrip("/") + ".config.json")
-        rbm = cls.__new__(cls)
-        rbm.cfg = cfg
+        rbm = cls(load_config(path.rstrip("/") + ".config.json"))
         rbm.state = restore_state(path)
-        rbm.metrics = None
         return rbm

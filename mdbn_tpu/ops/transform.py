@@ -7,7 +7,7 @@ matmul+sigmoid layers; one dispatch covers the whole cohort.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Sequence, Tuple
 
 import jax
@@ -25,9 +25,6 @@ def transform(params: RBMParams, v: jax.Array, cfg: RBMConfig) -> jax.Array:
 @partial(jax.jit, static_argnums=(2,))
 def reconstruct(params: RBMParams, v: jax.Array, cfg: RBMConfig) -> jax.Array:
     return visible_mean(params, hidden_mean(params, v, cfg), cfg)
-
-
-from functools import lru_cache
 
 
 @lru_cache(maxsize=None)

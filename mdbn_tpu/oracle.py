@@ -251,6 +251,17 @@ class OracleDBN:
         return h
 
 
+def oracle_dbn_configs(dcfg, n_visible: int):
+    """RBMConfig list for an OracleDBN mirroring DBN(dcfg) on width-n_visible
+    data (shared by the parity harness / timing scripts)."""
+    cfgs = []
+    width = n_visible
+    for l in range(len(dcfg.layer_sizes)):
+        cfgs.append(dcfg.rbm_config(l, width))
+        width = dcfg.layer_sizes[l]
+    return cfgs
+
+
 class OracleMDBN:
     """Per-modality OracleDBN towers + joint OracleRBM (SURVEY.md §3.3).
 

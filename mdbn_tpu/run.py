@@ -89,9 +89,10 @@ def main(argv=None):
         profile=args.profile, debug_nans=args.debug_nans,
         checkpoint_dir=args.checkpoint_dir,
         # --checkpoint-dir implies per-epoch state checkpoints for flat RBM
-        # runs; DBN/MDBN checkpoint at layer boundaries / on completion.
+        # runs; DBN/MDBN checkpoint at layer boundaries instead.
         checkpoint_every_epochs=1 if args.checkpoint_dir else 0,
     )
+    layer_runtime = dataclasses.replace(runtime, checkpoint_every_epochs=0)
 
     with MetricsWriter(args.metrics) as mw:
         if isinstance(model_cfg, RBMConfig):
@@ -120,16 +121,11 @@ def main(argv=None):
                 done = ck.completed()
                 if done:
                     log.info("resuming: restoring completed layers %s", done)
-            # DBN runs checkpoint at layer boundaries, not per epoch
-            dbn_runtime = dataclasses.replace(runtime, checkpoint_every_epochs=0)
-            model.train(data, mesh=mesh, runtime=dbn_runtime,
+            model.train(data, mesh=mesh, runtime=layer_runtime,
                         layer_callback=layer_cb, checkpointer=ck)
         elif isinstance(model_cfg, MDBNConfig):
             model = MDBN(override(model_cfg))
-            # per-epoch checkpointing inside towers would thrash; save the
-            # complete model once trained instead
-            mdbn_runtime = dataclasses.replace(runtime, checkpoint_every_epochs=0)
-            model.train(data, mesh=mesh, runtime=mdbn_runtime,
+            model.train(data, mesh=mesh, runtime=layer_runtime,
                         checkpoint_dir=args.checkpoint_dir)
             for name, hist in model.history.items():
                 mw.write({"kind": "tower", "name": name, "history": hist})

@@ -6,20 +6,16 @@ Writes BENCH_DETAIL.md. The driver-facing single-line metric stays bench.py.
 """
 
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, ".")
 
+from bench import bench_oracle as _bench_oracle, bench_tpu as _bench_tpu
 from mdbn_tpu.config import RBMConfig
-from mdbn_tpu.core.state import init_train_state
 from mdbn_tpu.data.synthetic import mnist_like, tcga_like
-from mdbn_tpu.oracle import OracleRBM
-from mdbn_tpu.ops.cd_epoch_pallas import make_pallas_train_fn
 
 import jax
-import jax.numpy as jnp
 
 
 def log(m):
@@ -27,36 +23,11 @@ def log(m):
 
 
 def bench_oracle(data, cfg, seconds=2.0):
-    rbm = OracleRBM(cfg)
-    nb = data.shape[0] // cfg.batch_size
-    for s in range(2):
-        rbm.train_step(data[s * cfg.batch_size:(s + 1) * cfg.batch_size])
-    t0 = time.perf_counter()
-    steps = 0
-    while time.perf_counter() - t0 < seconds:
-        i = steps % nb
-        rbm.train_step(data[i * cfg.batch_size:(i + 1) * cfg.batch_size])
-        steps += 1
-    return steps / (time.perf_counter() - t0)
+    return _bench_oracle(data, cfg, min_seconds=seconds, max_steps=10**9)
 
 
 def bench_tpu(data, cfg, target_updates=30000):
-    nb = data.shape[0] // cfg.batch_size
-    n_epochs = max(1, target_updates // nb)
-    fn = make_pallas_train_fn(cfg, n_epochs)
-    d = jnp.asarray(data)
-    st = init_train_state(cfg)
-    st, errs = fn(st, d)
-    np.asarray(errs)  # true sync (tunnel block_until_ready returns early)
-    rates = []
-    for _ in range(3):
-        st2 = init_train_state(cfg)
-        t0 = time.perf_counter()
-        st2, errs = fn(st2, d)
-        np.asarray(errs)
-        float(np.asarray(st2.params.W[0, 0]))
-        rates.append(n_epochs * nb / (time.perf_counter() - t0))
-    return float(np.median(rates))
+    return _bench_tpu(data, cfg, target_updates=target_updates)
 
 
 def main():

@@ -17,7 +17,7 @@ from mdbn_tpu.analysis.cluster import adjusted_rand_index, kmeans_cluster
 from mdbn_tpu.config import DBNConfig, MDBNConfig, RBMConfig
 from mdbn_tpu.data.synthetic import tcga_like
 from mdbn_tpu.models.mdbn import MDBN
-from mdbn_tpu.oracle import OracleMDBN
+from mdbn_tpu.oracle import OracleMDBN, oracle_dbn_configs
 
 
 def log(m):
@@ -57,9 +57,8 @@ def main():
     log("CPU oracle pipeline (timed)...")
     t0 = time.perf_counter()
     om = OracleMDBN(
-        {m: [tcfgs[m].rbm_config(l, mods[m].shape[1] if l == 0 else
-                                 tcfgs[m].layer_sizes[l - 1]) for l in range(2)]
-         for m in mods}, joint).train(mods)
+        {m: oracle_dbn_configs(tcfgs[m], mods[m].shape[1]) for m in mods},
+        joint).train(mods)
     ocodes = om.transform(mods)
     opred, _ = kmeans_cluster(ocodes, 3, seed=0)
     cpu_s = time.perf_counter() - t0

@@ -26,7 +26,7 @@ from mdbn_tpu.data.synthetic import mnist_like, tcga_like
 from mdbn_tpu.models.dbn import DBN
 from mdbn_tpu.models.mdbn import MDBN
 from mdbn_tpu.models.rbm import RBM
-from mdbn_tpu.oracle import OracleDBN, OracleMDBN, OracleRBM
+from mdbn_tpu.oracle import OracleDBN, OracleMDBN, OracleRBM, oracle_dbn_configs
 
 TOWERS = ["ge", "meth", "mirna"]
 
@@ -65,8 +65,7 @@ def run_all(quick: bool):
     # ---- config 3: 3-layer DBN ----------------------------------------------
     dcfg = DBNConfig(layer_sizes=[200, 100, 50], visible="gaussian",
                      lr=0.1, gaussian_lr=0.005, epochs=E, batch_size=20, seed=0)
-    od = OracleDBN([dcfg.rbm_config(l, mods["ge"].shape[1] if l == 0 else
-                                    dcfg.layer_sizes[l - 1]) for l in range(3)]).train(mods["ge"])
+    od = OracleDBN(oracle_dbn_configs(dcfg, mods["ge"].shape[1])).train(mods["ge"])
     md = DBN(dcfg).train(mods["ge"])
     o_err = od.layers[-1].history[-1]
     m_err = md.layers[-1].history[-1]
@@ -85,9 +84,8 @@ def run_all(quick: bool):
                       momentum=0.5, l2=1e-4, epochs=E, batch_size=20, seed=0)
 
     om = OracleMDBN(
-        {m_: [tcfgs[m_].rbm_config(l, mods[m_].shape[1] if l == 0 else
-                                   tcfgs[m_].layer_sizes[l - 1]) for l in range(2)]
-         for m_ in TOWERS}, joint).train(mods)
+        {m_: oracle_dbn_configs(tcfgs[m_], mods[m_].shape[1]) for m_ in TOWERS},
+        joint).train(mods)
     mm = MDBN(MDBNConfig(towers=tcfgs, joint=joint)).train(mods)
 
     o_err = om.joint.history[-1]
