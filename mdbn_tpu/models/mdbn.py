@@ -83,6 +83,39 @@ class MDBN:
             raise RuntimeError("MDBN.transform called before train")
         return self.joint.transform(self._tower_codes(modalities))
 
+    def finetune(self, modalities: Dict[str, jax.Array], labels, n_classes: int,
+                 epochs: int = 10, lr: float = 0.1, batch_size: int = 20,
+                 seed: int = 0):
+        """Supervised multimodal fine-tuning: softmax head on the joint code,
+        cross-entropy backprop through the joint layer and every tower.
+        Updates weights in place; returns the per-epoch loss history."""
+        if self.joint is None:
+            raise RuntimeError("MDBN.finetune called before train")
+        from ..train.finetune import finetune_mdbn
+
+        towers = {m: [(r.params, r.cfg) for r in self.towers[m].layers]
+                  for m in self.cfg.towers}
+        tower_p, joint_p, head, history = finetune_mdbn(
+            towers, (self.joint.params, self.joint.cfg), modalities, labels,
+            n_classes, epochs=epochs, lr=lr, batch_size=batch_size, seed=seed)
+        for m, plist in tower_p.items():
+            for rbm, new_params in zip(self.towers[m].layers, plist):
+                rbm.state = rbm.state._replace(params=new_params)
+        self.joint.state = self.joint.state._replace(params=joint_p)
+        self._head = head
+        return history
+
+    def predict(self, modalities: Dict[str, jax.Array]) -> jax.Array:
+        """Class predictions after finetune()."""
+        if not hasattr(self, "_head"):
+            raise RuntimeError("MDBN.predict called before finetune")
+        from ..train.finetune import predict_mdbn
+
+        towers = {m: [(r.params, r.cfg) for r in self.towers[m].layers]
+                  for m in self.cfg.towers}
+        return predict_mdbn(towers, (self.joint.params, self.joint.cfg),
+                            self._head, modalities)
+
     def generate(self, n_samples: int = 16, n_gibbs: int = 200, seed: int = 0) -> Dict[str, jax.Array]:
         """Generate synthetic multi-omics profiles: Gibbs in the joint RBM,
         split the concatenated code, mean-field down-pass per tower."""

@@ -82,6 +82,87 @@ def finetune_stack(
     return params[0], params[1], history
 
 
+def finetune_mdbn(
+    towers,  # {name: [(RBMParams, RBMConfig), ...]} in modality order
+    joint,  # (RBMParams, RBMConfig)
+    modalities,  # {name: [N, d] array}
+    labels,
+    n_classes: int,
+    epochs: int = 10,
+    lr: float = 0.1,
+    batch_size: int = 20,
+    seed: int = 0,
+):
+    """Multimodal supervised fine-tuning: backprop through every tower, the
+    concat, and the joint RBM layer into a softmax head. Returns
+    (tuned towers dict, tuned joint params, head, per-epoch loss history)."""
+    names = list(towers)
+    tower_cfgs = {m: tuple(cfg for _, cfg in towers[m]) for m in names}
+    joint_params, joint_cfg = joint
+    key = jax.random.PRNGKey(seed)
+    head = (0.01 * jax.random.normal(key, (joint_cfg.n_hidden, n_classes), jnp.float32),
+            jnp.zeros(n_classes, jnp.float32))
+
+    labels = jnp.asarray(labels, jnp.int32)
+    n = (labels.shape[0] // batch_size) * batch_size
+    nb = n // batch_size
+    if nb == 0:
+        raise ValueError(f"dataset has {labels.shape[0]} samples — fewer than "
+                         f"one minibatch (batch_size={batch_size})")
+    xb = {m: jnp.asarray(modalities[m], jnp.float32)[:n].reshape(nb, batch_size, -1)
+          for m in names}
+    yb = labels[:n].reshape(nb, batch_size)
+
+    def forward_logits(params, xs):
+        tower_p, joint_p, head_p = params
+        codes = []
+        for m in names:
+            h = xs[m]
+            for p_l, cfg in zip(tower_p[m], tower_cfgs[m]):
+                h = hidden_mean(p_l, h, cfg)
+            codes.append(h)
+        h = hidden_mean(joint_p, jnp.concatenate(codes, axis=1), joint_cfg)
+        Wh, bh = head_p
+        return h @ Wh + bh
+
+    def loss_fn(params, xs, y):
+        logp = jax.nn.log_softmax(forward_logits(params, xs))
+        return -jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=1))
+
+    @jax.jit
+    def epoch(params, _):
+        def step(params, xs):
+            batch, y = xs
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch, y)
+            params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
+            return params, loss
+
+        params, losses = jax.lax.scan(step, params, (xb, yb))
+        return params, losses.mean()
+
+    params = ({m: [p_l for p_l, _ in towers[m]] for m in names}, joint_params, head)
+    history = []
+    for _ in range(epochs):
+        params, mean_loss = epoch(params, None)
+        history.append(float(mean_loss))
+    tower_p, joint_p, head = params
+    return ({m: list(tower_p[m]) for m in names}, joint_p, head, history)
+
+
+def predict_mdbn(towers, joint, head, modalities) -> jax.Array:
+    names = list(towers)
+    codes = []
+    for m in names:
+        h = jnp.asarray(modalities[m], jnp.float32)
+        for p_l, cfg in towers[m]:
+            h = hidden_mean(p_l, h, cfg)
+        codes.append(h)
+    joint_params, joint_cfg = joint
+    h = hidden_mean(joint_params, jnp.concatenate(codes, axis=1), joint_cfg)
+    Wh, bh = head
+    return jnp.argmax(h @ Wh + bh, axis=1)
+
+
 def predict_stack(layers, head, x) -> jax.Array:
     cfgs = tuple(cfg for _, cfg in layers)
     logits = _forward_logits([p for p, _ in layers], head, cfgs,

@@ -30,3 +30,30 @@ def test_predict_before_finetune_raises():
     dbn = DBN(cfg).train(data)
     with pytest.raises(RuntimeError, match="finetune"):
         dbn.predict(data)
+
+
+def test_mdbn_finetune_classifies():
+    from mdbn_tpu.config import MDBNConfig, RBMConfig
+    from mdbn_tpu.data.synthetic import tcga_like
+    from mdbn_tpu.models.mdbn import MDBN
+
+    mods, labels = tcga_like(n_patients=300, n_clusters=3,
+                             dims={"ge": 60, "meth": 30, "mirna": 20},
+                             seed=2, signal=2.5)
+    # fine-tuning needs real pretraining: an under-trained joint layer emits
+    # near-constant codes and the gradients vanish (probed at 2 epochs)
+    cfg = MDBNConfig(
+        towers={m: DBNConfig(layer_sizes=[24, 12], visible="gaussian", epochs=10,
+                             batch_size=20, engine="xla", seed=i)
+                for i, m in enumerate(mods)},
+        joint=RBMConfig(n_visible=1, n_hidden=16, epochs=10, lr=0.05,
+                        batch_size=20, engine="xla"),
+    )
+    mdbn = MDBN(cfg).train(mods)
+    train = {m: v[:240] for m, v in mods.items()}
+    test = {m: v[240:] for m, v in mods.items()}
+    history = mdbn.finetune(train, labels[:240], n_classes=3, epochs=25, lr=0.5)
+    assert history[-1] < history[0] * 0.5
+    pred = np.asarray(mdbn.predict(test))
+    acc = float((pred == labels[240:]).mean())
+    assert acc > 0.9, acc
