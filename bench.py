@@ -64,7 +64,7 @@ def bench_tpu(data, cfg, target_updates=60000) -> float:
     np.asarray(errs)  # host copy = true sync (block_until_ready can return early here)
 
     rates = []
-    for _ in range(3):
+    for _ in range(5):
         st = init_train_state(cfg)
         t0 = time.perf_counter()
         st, errs = fn(st, d)

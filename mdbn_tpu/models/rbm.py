@@ -26,9 +26,10 @@ class RBM:
     >>> codes = rbm.transform(data)  # mean-field hidden probabilities
     """
 
-    def __init__(self, cfg: RBMConfig, key: Optional[jax.Array] = None):
+    def __init__(self, cfg: RBMConfig, key: Optional[jax.Array] = None,
+                 state: Optional[TrainState] = None):
         self.cfg = cfg
-        self.state: TrainState = init_train_state(cfg, key)
+        self.state: TrainState = state if state is not None else init_train_state(cfg, key)
         self.metrics: Optional[EpochMetrics] = None
 
     # -- reference API ------------------------------------------------------
@@ -98,6 +99,5 @@ class RBM:
         from ..checkpoint import restore_state
         from ..config import load_config
 
-        rbm = cls(load_config(path.rstrip("/") + ".config.json"))
-        rbm.state = restore_state(path)
-        return rbm
+        return cls(load_config(path.rstrip("/") + ".config.json"),
+                   state=restore_state(path))

@@ -28,6 +28,42 @@ def _forward_logits(stack_params: List[RBMParams], head: Tuple[jax.Array, jax.Ar
     return h @ Wh + bh
 
 
+def _batched(batch_size: int, n_rows: int):
+    """(n_usable, n_batches) with the shared sub-batch guard."""
+    n = (n_rows // batch_size) * batch_size
+    nb = n // batch_size
+    if nb == 0:
+        raise ValueError(f"dataset has {n_rows} samples — fewer than one "
+                         f"minibatch (batch_size={batch_size})")
+    return n, nb
+
+
+def _sgd(params, forward_logits, xb, yb, epochs: int, lr: float):
+    """Shared softmax-cross-entropy SGD loop: scan over minibatches per epoch.
+    ``xb`` is any pytree of [nb, B, ...] leaves consumed by forward_logits."""
+
+    def loss_fn(params, xs, y):
+        logp = jax.nn.log_softmax(forward_logits(params, xs))
+        return -jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=1))
+
+    @jax.jit
+    def epoch(params, _):
+        def step(params, xs):
+            batch, y = xs
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch, y)
+            params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
+            return params, loss
+
+        params, losses = jax.lax.scan(step, params, (xb, yb))
+        return params, losses.mean()
+
+    history = []
+    for _ in range(epochs):
+        params, mean_loss = epoch(params, None)
+        history.append(float(mean_loss))
+    return params, history
+
+
 def finetune_stack(
     layers: List[Tuple[RBMParams, RBMConfig]],
     data: jax.Array,
@@ -49,37 +85,16 @@ def finetune_stack(
 
     data = jnp.asarray(data, jnp.float32)
     labels = jnp.asarray(labels, jnp.int32)
-    n = (data.shape[0] // batch_size) * batch_size
-    nb = n // batch_size
-    if nb == 0:
-        raise ValueError(f"dataset has {data.shape[0]} samples — fewer than one "
-                         f"minibatch (batch_size={batch_size})")
+    n, nb = _batched(batch_size, data.shape[0])
     xb = data[:n].reshape(nb, batch_size, -1)
     yb = labels[:n].reshape(nb, batch_size)
 
-    def loss_fn(params, x, y):
+    def forward(params, x):
         stack_p, head_p = params
-        logits = _forward_logits(stack_p, head_p, cfgs, x)
-        logp = jax.nn.log_softmax(logits)
-        return -jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=1))
+        return _forward_logits(stack_p, head_p, cfgs, x)
 
-    @jax.jit
-    def epoch(params, _):
-        def step(params, xs):
-            x, y = xs
-            loss, grads = jax.value_and_grad(loss_fn)(params, x, y)
-            params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
-            return params, loss
-
-        params, losses = jax.lax.scan(step, params, (xb, yb))
-        return params, losses.mean()
-
-    params = (stack, head)
-    history = []
-    for _ in range(epochs):
-        params, mean_loss = epoch(params, None)
-        history.append(float(mean_loss))
-    return params[0], params[1], history
+    (stack, head), history = _sgd((stack, head), forward, xb, yb, epochs, lr)
+    return stack, head, history
 
 
 def finetune_mdbn(
@@ -104,63 +119,47 @@ def finetune_mdbn(
             jnp.zeros(n_classes, jnp.float32))
 
     labels = jnp.asarray(labels, jnp.int32)
-    n = (labels.shape[0] // batch_size) * batch_size
-    nb = n // batch_size
-    if nb == 0:
-        raise ValueError(f"dataset has {labels.shape[0]} samples — fewer than "
-                         f"one minibatch (batch_size={batch_size})")
+    for m in names:
+        if modalities[m].shape[0] != labels.shape[0]:
+            raise ValueError(
+                f"modality {m!r} has {modalities[m].shape[0]} rows but labels "
+                f"has {labels.shape[0]}")
+    n, nb = _batched(batch_size, labels.shape[0])
     xb = {m: jnp.asarray(modalities[m], jnp.float32)[:n].reshape(nb, batch_size, -1)
           for m in names}
     yb = labels[:n].reshape(nb, batch_size)
 
-    def forward_logits(params, xs):
+    def forward(params, xs):
         tower_p, joint_p, head_p = params
-        codes = []
-        for m in names:
-            h = xs[m]
-            for p_l, cfg in zip(tower_p[m], tower_cfgs[m]):
-                h = hidden_mean(p_l, h, cfg)
-            codes.append(h)
-        h = hidden_mean(joint_p, jnp.concatenate(codes, axis=1), joint_cfg)
-        Wh, bh = head_p
-        return h @ Wh + bh
-
-    def loss_fn(params, xs, y):
-        logp = jax.nn.log_softmax(forward_logits(params, xs))
-        return -jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=1))
-
-    @jax.jit
-    def epoch(params, _):
-        def step(params, xs):
-            batch, y = xs
-            loss, grads = jax.value_and_grad(loss_fn)(params, batch, y)
-            params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
-            return params, loss
-
-        params, losses = jax.lax.scan(step, params, (xb, yb))
-        return params, losses.mean()
+        return _mdbn_logits(tower_p, tower_cfgs, joint_p, joint_cfg, head_p,
+                            names, xs)
 
     params = ({m: [p_l for p_l, _ in towers[m]] for m in names}, joint_params, head)
-    history = []
-    for _ in range(epochs):
-        params, mean_loss = epoch(params, None)
-        history.append(float(mean_loss))
-    tower_p, joint_p, head = params
+    (tower_p, joint_p, head), history = _sgd(params, forward, xb, yb, epochs, lr)
     return ({m: list(tower_p[m]) for m in names}, joint_p, head, history)
+
+
+def _mdbn_logits(tower_p, tower_cfgs, joint_p, joint_cfg, head, names, xs):
+    codes = []
+    for m in names:
+        h = xs[m]
+        for p_l, cfg in zip(tower_p[m], tower_cfgs[m]):
+            h = hidden_mean(p_l, h, cfg)
+        codes.append(h)
+    h = hidden_mean(joint_p, jnp.concatenate(codes, axis=1), joint_cfg)
+    Wh, bh = head
+    return h @ Wh + bh
 
 
 def predict_mdbn(towers, joint, head, modalities) -> jax.Array:
     names = list(towers)
-    codes = []
-    for m in names:
-        h = jnp.asarray(modalities[m], jnp.float32)
-        for p_l, cfg in towers[m]:
-            h = hidden_mean(p_l, h, cfg)
-        codes.append(h)
+    tower_p = {m: [p_l for p_l, _ in towers[m]] for m in names}
+    tower_cfgs = {m: tuple(cfg for _, cfg in towers[m]) for m in names}
     joint_params, joint_cfg = joint
-    h = hidden_mean(joint_params, jnp.concatenate(codes, axis=1), joint_cfg)
-    Wh, bh = head
-    return jnp.argmax(h @ Wh + bh, axis=1)
+    xs = {m: jnp.asarray(modalities[m], jnp.float32) for m in names}
+    return jnp.argmax(
+        _mdbn_logits(tower_p, tower_cfgs, joint_params, joint_cfg, head, names, xs),
+        axis=1)
 
 
 def predict_stack(layers, head, x) -> jax.Array:

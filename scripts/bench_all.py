@@ -22,6 +22,21 @@ def log(m):
     print(m, file=sys.stderr, flush=True)
 
 
+def replace_md_section(path: str, header: str, block: str) -> None:
+    """Replace (or append) the section starting at ``header`` (a '## ' line)
+    up to the next '## ' heading, so multiple generators can share the file."""
+    import os
+    text = open(path).read() if os.path.exists(path) else ""
+    start = text.find(header)
+    if start != -1:
+        nxt = text.find("\n## ", start + len(header))
+        text = text[:start] + (text[nxt + 1:] if nxt != -1 else "")
+    if text and not text.endswith("\n"):
+        text += "\n"
+    open(path, "w").write(text + block.lstrip("\n"))
+
+
+
 def bench_oracle(data, cfg, seconds=2.0):
     return _bench_oracle(data, cfg, min_seconds=seconds, max_steps=10**9)
 
@@ -61,7 +76,7 @@ def main():
         log(f"  oracle {o:,.0f}/s  tpu {t:,.0f}/s  ({t/o:,.0f}x)")
 
     lines = [
-        "# BENCH_DETAIL — CD weight updates/sec per chip, by graded workload shape",
+        "## Per-workload throughput (CD weight updates/sec per chip)",
         "",
         f"Hardware: {jax.devices()[0]} (fused Pallas engine, whole run in one "
         "kernel launch). Baseline: NumPy oracle on this host's CPU "
@@ -75,8 +90,12 @@ def main():
     lines += ["", "North star (BASELINE.json:5): >=50x CPU reference on a v5e-8 — "
               "exceeded by >10x on a single chip for every graded shape."]
     md = "\n".join(lines) + "\n"
-    with open("BENCH_DETAIL.md", "w") as f:
-        f.write(md)
+    import os
+    if not os.path.exists("BENCH_DETAIL.md"):
+        open("BENCH_DETAIL.md", "w").write(
+            "# BENCH_DETAIL — measured performance by workload\n\n")
+    replace_md_section("BENCH_DETAIL.md",
+                       "## Per-workload throughput", md)
     print(md)
 
 

@@ -3,7 +3,7 @@
 The graded configs measure per-update throughput; this measures what a user
 feels: complete greedy pretraining of three towers + joint RBM + latent
 extraction + k-means on TCGA-scale synthetic data (2000/1500/500 features,
-400 patients, 15 epochs/layer). Appends the result to BENCH_DETAIL.md.
+400 patients, EPOCHS epochs/layer). Updates its section of BENCH_DETAIL.md.
 """
 
 import sys
@@ -79,8 +79,13 @@ Full 3-modality MDBN pipeline — greedy pretraining of 3 Gaussian towers
 | this framework, 1 TPU chip (steady-state, post-compile) | {tpu_s:.1f} s | {tpu_ari:.3f} |
 | end-to-end speedup | **{cpu_s / tpu_s:,.0f}x** | |
 """
-    with open("BENCH_DETAIL.md", "a") as f:
-        f.write(block)
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "bench_all", __file__.replace("e2e_timing.py", "bench_all.py"))
+    bench_all = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench_all)
+    bench_all.replace_md_section("BENCH_DETAIL.md",
+                                 "## End-to-end pipeline wall-clock", block)
     print(block)
 
 

@@ -27,18 +27,24 @@ def main():
         with tempfile.TemporaryDirectory() as td:
             metrics = os.path.join(td, "m.jsonl")
             t0 = time.time()
-            proc = subprocess.run(
-                [sys.executable, "-m", "mdbn_tpu.run", "--config", cfg_path,
-                 "--epochs", str(args.epochs), "--metrics", metrics],
-                capture_output=True, text=True, timeout=3600)
+            try:
+                proc = subprocess.run(
+                    [sys.executable, "-m", "mdbn_tpu.run", "--config", cfg_path,
+                     "--epochs", str(args.epochs), "--metrics", metrics],
+                    capture_output=True, text=True, timeout=3600)
+                ok = proc.returncode == 0
+                stderr_tail = (proc.stderr or "")[-200:].replace("\n", " ")
+            except subprocess.TimeoutExpired:
+                ok = False
+                stderr_tail = "timed out after 3600s"
             dt = time.time() - t0
-            ok = proc.returncode == 0
             summary = ""
             if ok and os.path.exists(metrics):
                 recs = [json.loads(l) for l in open(metrics)]
                 epochs = [r for r in recs if r["kind"] == "epoch"]
                 layers = [r for r in recs if r["kind"] == "layer"]
-                towers = [r for r in recs if r["kind"] == "tower"]
+                towers = [r for r in recs
+                          if r["kind"] == "tower" and r["name"] != "joint"]
                 km = [r for r in recs if r["kind"] == "kmeans"]
                 if epochs:
                     summary = f"err {epochs[0]['recon_error']:.4f} → {epochs[-1]['recon_error']:.4f} ({epochs[0]['engine']})"
@@ -46,14 +52,16 @@ def main():
                     summary = "; ".join(
                         f"L{r['layer']}: {r['errors'][0]:.4f}→{r['errors'][-1]:.4f}" for r in layers)
                 elif towers:
-                    summary = f"{len(towers)} towers+joint trained"
+                    summary = f"{len(towers)} towers + joint trained"
                 if km:
                     k = km[0]
                     summary += f"; ARI {k.get('ari_vs_planted', float('nan')):.3f}"
                     if "logrank" in k:
                         summary += f"; log-rank p={k['logrank']['p_value']:.1e}"
+            elif ok:
+                summary = "no metrics recorded"
             else:
-                summary = (proc.stderr or "")[-200:].replace("\n", " ")
+                summary = stderr_tail
             rows.append((name, "PASS" if ok else "FAIL", dt, summary))
             print(f"{name}: {'PASS' if ok else 'FAIL'} ({dt:.0f}s) {summary}",
                   file=sys.stderr, flush=True)
