@@ -403,3 +403,116 @@ def make_pallas_epoch_fn(cfg: RBMConfig, interpret: Optional[bool] = None):
         return state, errs[0]
 
     return epoch_fn
+
+
+# ---------------------------------------------------------------------------
+# Gradients-only step kernel: the fused CD step as a pure function, for use
+# under shard_map + lax.pmean (fused Pallas sampling on the DP path — the
+# north-star combination of BASELINE.json:5). The parameter update happens
+# outside, after the cross-chip allreduce.
+
+
+def _cd_grads_kernel(seed_ref, batch_ref, W_in, b_in, c_in, chain_in,
+                     gW_ref, gb_ref, gc_ref, chain_ref, err_ref, *, cfg: RBMConfig):
+    pltpu.prng_seed(seed_ref[0], seed_ref[1])
+    B = cfg.batch_size
+    inv_b = jnp.float32(1.0 / B)
+    cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    V, H = cfg.n_visible, cfg.n_hidden
+
+    v0 = batch_ref[:]
+    Wc = W_in[:].astype(cd)
+    h0p = jax.nn.sigmoid(_dot_nt(v0, Wc, cd) + c_in[0])
+    h0s = (_uniform_from_bits(h0p.shape) < h0p).astype(jnp.float32)
+
+    h = chain_in[:] if cfg.persistent else h0s
+    vs = v0
+    hmean = h0p
+    v1mean_cd = None
+    for t in range(cfg.k):
+        pre_v = _dot_tt(h, Wc, cd) + b_in[0]
+        vmean = jax.nn.sigmoid(pre_v) if cfg.visible == "bernoulli" else pre_v
+        if t == 0:
+            v1mean_cd = vmean
+        if cfg.visible == "bernoulli":
+            vs = ((_uniform_from_bits(vmean.shape) < vmean).astype(jnp.float32)
+                  if cfg.resolved_sample_visible else vmean)
+        else:
+            vs = (vmean + _normal_from_bits(vmean.shape)
+                  if cfg.resolved_sample_visible else vmean)
+        hmean = jax.nn.sigmoid(_dot_nt(vs, Wc, cd) + c_in[0])
+        h = (_uniform_from_bits(hmean.shape) < hmean).astype(jnp.float32)
+
+    if cfg.persistent:
+        chain_ref[:] = h
+        pre_vd = _dot_tt(h0s, Wc, cd) + b_in[0]
+        v1mean = jax.nn.sigmoid(pre_vd) if cfg.visible == "bernoulli" else pre_vd
+    else:
+        chain_ref[:] = chain_in[:]
+        v1mean = v1mean_cd
+
+    gW_ref[:] = _dot_tn(jnp.concatenate([v0, vs], axis=0),
+                        jnp.concatenate([h0p, -hmean], axis=0), cd) * inv_b
+    gb_ref[:] = jnp.sum(v0 - vs, axis=0, keepdims=True) * inv_b
+    gc = jnp.sum(h0p - hmean, axis=0, keepdims=True) * inv_b
+    if cfg.sparsity_target is not None and cfg.sparsity_cost:
+        gc = gc + jnp.float32(cfg.sparsity_cost) * (
+            jnp.float32(cfg.sparsity_target)
+            - jnp.sum(h0p, axis=0, keepdims=True) * inv_b)
+    gc_ref[:] = gc
+
+    if cfg.error_metric == "mse":
+        d = v0 - v1mean
+        err_ref[0, 0] = jnp.sum(d * d) * jnp.float32(1.0 / (B * V))
+    else:
+        eps = 1e-7
+        p = jnp.clip(v1mean, eps, 1.0 - eps)
+        err_ref[0, 0] = -jnp.sum(v0 * jnp.log(p)
+                                 + (1.0 - v0) * jnp.log(1.0 - p)) * inv_b
+
+
+@lru_cache(maxsize=512)
+def make_pallas_grads_fn(cfg: RBMConfig, interpret: Optional[bool] = None):
+    """Fused CD-k step returning (grads, new_chain, err) — no update.
+
+    ``fn(seed[2] int32, v0[B,V], params, chain[B,H])``; usable inside
+    shard_map (one call per local shard per step, pmean the outputs)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if interpret is True:
+        interpret = pltpu.InterpretParams()
+    V, H, B = cfg.n_visible, cfg.n_hidden, cfg.batch_size
+    f32 = jnp.float32
+
+    call = pl.pallas_call(
+        functools.partial(_cd_grads_kernel, cfg=cfg),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (2,)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # batch [B, V]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # W
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # b (1, V)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # c (1, H)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # chain [B, H]
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((V, H), f32), jax.ShapeDtypeStruct((1, V), f32),
+            jax.ShapeDtypeStruct((1, H), f32), jax.ShapeDtypeStruct((B, H), f32),
+            jax.ShapeDtypeStruct((1, 1), f32),
+        ],
+        interpret=interpret,
+    )
+
+    def grads_fn(seed, v0, params: RBMParams, chain):
+        gW, gb, gc, new_chain, err = call(
+            seed, v0, params.W, params.b.reshape(1, -1), params.c.reshape(1, -1),
+            chain)
+        return RBMParams(W=gW, b=gb[0], c=gc[0]), new_chain, err[0, 0]
+
+    return grads_fn

@@ -37,13 +37,25 @@ def train_rbm_shard_map(
     cfg: RBMConfig,
     mesh: Mesh,
     n_epochs: int,
+    pallas_step: bool = False,
 ) -> Tuple[TrainState, jax.Array]:
     """Run ``n_epochs`` epochs of CD-k/PCD with explicit DP collectives.
 
     ``data``: [n_samples, V]. The global minibatch is split evenly across the
     mesh's devices; gradients and the error monitor are ``pmean``-allreduced
     over ICI each step. Returns (state, per-epoch errors [n_epochs]).
+
+    With ``pallas_step=True`` each shard's CD step runs as the fused Pallas
+    gradients kernel (matmuls + sigmoids + on-chip-PRNG sampling in one pass)
+    and only the (dW, db, dc) statistics cross ICI — the north-star
+    combination of BASELINE.json:5 (fused kernels + DP allreduce).
     """
+    if pallas_step:
+        from ..ops.cd_epoch_pallas import make_pallas_grads_fn
+
+        grads_fn = make_pallas_grads_fn(cfg.replace(batch_size=cfg.batch_size // mesh.devices.size))
+    else:
+        grads_fn = None
     axis = mesh.axis_names[0]
     ndev = mesh.devices.size
     if cfg.batch_size % ndev != 0:
@@ -68,6 +80,8 @@ def train_rbm_shard_map(
         mesh=mesh,
         in_specs=(state_specs, P(None, axis, None, None)),
         out_specs=(state_specs, P()),
+        # pallas_call emits ShapeDtypeStructs without vma annotations
+        check_vma=not pallas_step,
     )
     def run(st: TrainState, batches: jax.Array):
         # batches (local view): [nb, 1, local_b, V]
@@ -77,9 +91,16 @@ def train_rbm_shard_map(
             params, vel, chain = carry
             v0 = xs["batch"][0]
             k = jax.random.fold_in(xs["key"], my)  # distinct stream per shard
-            grads, new_chain, err = cd_step_stats(
-                params, v0, chain if cfg.persistent else None,
-                draw_uniforms(local_cfg, local_b, k), local_cfg)
+            if grads_fn is not None:
+                seed = jax.random.randint(k, (2,), 0, jnp.iinfo(jnp.int32).max,
+                                          jnp.int32)
+                grads, new_chain, err = grads_fn(seed, v0, params, chain)
+                if not cfg.persistent:
+                    new_chain = chain
+            else:
+                grads, new_chain, err = cd_step_stats(
+                    params, v0, chain if cfg.persistent else None,
+                    draw_uniforms(local_cfg, local_b, k), local_cfg)
             grads = jax.lax.pmean(grads, axis)  # ONE allreduce of (dW, db, dc)
             err = jax.lax.pmean(err, axis)
             params, vel = apply_update(params, vel, grads, cfg, epoch=xs["epoch"])

@@ -117,9 +117,8 @@ def _use_pallas(cfg: RBMConfig, mesh: Optional[Mesh]) -> bool:
                              "Pallas kernel; use engine='xla'")
         return False
     if mesh is not None and len(mesh.devices.flatten()) > 1:
-        if cfg.engine == "pallas":
-            raise ValueError("engine='pallas' does not support multi-device meshes yet; "
-                             "use engine='xla' (GSPMD dp) instead")
+        # engine='pallas' on a dp mesh runs the fused-step shard_map path
+        # (handled in train_rbm); auto falls back to GSPMD xla
         return False
     if cfg.engine == "pallas":
         if not _pallas_available(cfg):
@@ -180,6 +179,28 @@ def train_rbm(
     prev_debug_nans = jax.config.jax_debug_nans
     if runtime.debug_nans:
         jax.config.update("jax_debug_nans", True)
+
+    # explicit pallas engine on a multi-device dp mesh: fused Pallas step
+    # kernel per shard + pmean of the gradient stats over ICI
+    if (mesh is not None and len(mesh.devices.flatten()) > 1
+            and cfg.engine == "pallas"):
+        if "tp" in mesh.axis_names:
+            raise ValueError("engine='pallas' supports dp meshes only; "
+                             "use engine='xla' for dp x tp")
+        from ..parallel.dp import train_rbm_shard_map
+
+        t0 = time.perf_counter()
+        state, errs = train_rbm_shard_map(state, data, cfg, mesh, cfg.epochs,
+                                          pallas_step=True)
+        errs = jax.device_get(errs)
+        dt = time.perf_counter() - t0
+        nb_ = data.shape[0] // cfg.batch_size
+        metrics = EpochMetrics("pallas_dp")
+        metrics.errors = [float(e) for e in errs]
+        per = dt / max(1, cfg.epochs)
+        metrics.wall_seconds = [per] * cfg.epochs
+        metrics.updates_per_sec = [nb_ / per if per > 0 else float("inf")] * cfg.epochs
+        return state, metrics
 
     use_pallas = _use_pallas(cfg, mesh)
     engine_name = "pallas" if use_pallas else "xla"

@@ -150,3 +150,28 @@ def test_cli_with_dp_mesh(tmp_path):
     }, str(tmp_path / "exp.json"))
     assert main(["--config", str(tmp_path / "exp.json"), "--dp", "8"]) == 0
     assert main(["--config", str(tmp_path / "exp.json"), "--dp", "4", "--tp", "2"]) == 0
+
+
+def test_pallas_step_shard_map_structure():
+    """Fused Pallas gradients kernel under shard_map + pmean on the 8-device
+    CPU mesh (interpret mode: PRNG stubbed to zeros, so structure/collectives
+    only — numerics are covered on TPU in test_pallas_tpu.py)."""
+    mesh = make_mesh(8)
+    cfg = CFG.replace(batch_size=32, epochs=2, engine="pallas")
+    state = init_train_state(cfg)
+    state, errs = train_rbm_shard_map(state, jnp.asarray(DATA), cfg, mesh,
+                                      n_epochs=2, pallas_step=True)
+    errs = np.asarray(errs)
+    assert errs.shape == (2,)
+    assert np.isfinite(errs).all()
+    assert np.isfinite(np.asarray(state.params.W)).all()
+
+
+def test_trainer_pallas_engine_on_dp_mesh():
+    """engine='pallas' + dp mesh routes through the fused-step shard_map path."""
+    mesh = make_mesh(8)
+    cfg = CFG.replace(batch_size=32, epochs=2, engine="pallas")
+    state, metrics = train_rbm(DATA, cfg, mesh=mesh)
+    assert metrics.engine == "pallas_dp"
+    assert len(metrics.errors) == 2
+    assert all(np.isfinite(e) for e in metrics.errors)

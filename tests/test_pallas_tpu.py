@@ -200,3 +200,25 @@ def test_bfloat16_compute_converges():
     oracle = OracleRBM(cfg).train(data)
     assert errs[-1] < errs[0] * 0.75
     np.testing.assert_allclose(errs[-1], oracle.history[-1], rtol=0.12)
+
+
+def test_pallas_grads_step_under_shard_map_1dev():
+    """Fused-step DP path on a 1-device TPU mesh: real PRNG, must converge to
+    the oracle's error at equal hyperparameters."""
+    import jax.numpy as jnp
+
+    from mdbn_tpu.core.state import init_train_state
+    from mdbn_tpu.parallel.dp import train_rbm_shard_map
+    from mdbn_tpu.parallel.mesh import make_mesh
+
+    data = mnist_like(400, seed=2)
+    cfg = RBMConfig(n_visible=784, n_hidden=32, k=1, lr=0.1, epochs=6,
+                    batch_size=20, seed=0)
+    mesh = make_mesh(1)
+    state = init_train_state(cfg)
+    state, errs = train_rbm_shard_map(state, jnp.asarray(data), cfg, mesh,
+                                      n_epochs=6, pallas_step=True)
+    errs = np.asarray(errs)
+    oracle = OracleRBM(cfg).train(data)
+    assert errs[-1] < errs[0] * 0.75
+    np.testing.assert_allclose(errs[-1], oracle.history[-1], rtol=0.12)
