@@ -18,7 +18,7 @@ mean, so DP changes throughput, not the update rule.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Tuple
 
 import jax
@@ -39,6 +39,28 @@ def train_rbm_shard_map(
     n_epochs: int,
     pallas_step: bool = False,
 ) -> Tuple[TrainState, jax.Array]:
+    fused = _build_shard_map_train(cfg, mesh, n_epochs, pallas_step,
+                                   data.shape[0], data.shape[1])
+    axis = mesh.axis_names[0]
+    # chain state must be laid out over the mesh before entering shard_map
+    state = jax.device_put(
+        state,
+        TrainState(
+            params=RBMParams(*(NamedSharding(mesh, P()),) * 3),
+            velocity=RBMParams(*(NamedSharding(mesh, P()),) * 3),
+            chain_h=NamedSharding(mesh, P(axis)),
+            key=NamedSharding(mesh, P()),
+            epoch=NamedSharding(mesh, P()),
+        ),
+    )
+    data = jax.device_put(jnp.asarray(data, jnp.dtype(cfg.param_dtype)),
+                          NamedSharding(mesh, P(axis)))
+    return fused(state, data)
+
+
+@lru_cache(maxsize=512)
+def _build_shard_map_train(cfg: RBMConfig, mesh: Mesh, n_epochs: int,
+                           pallas_step: bool, n_samples: int, n_features: int):
     """Run ``n_epochs`` epochs of CD-k/PCD with explicit DP collectives.
 
     ``data``: [n_samples, V]. The global minibatch is split evenly across the
@@ -63,9 +85,9 @@ def train_rbm_shard_map(
     local_b = cfg.batch_size // ndev
     local_cfg = cfg.replace(batch_size=local_b)
 
-    n = data.shape[0]
+    n = n_samples
     nb = n // cfg.batch_size
-    V = data.shape[1]
+    V = n_features
 
     state_specs = TrainState(
         params=RBMParams(P(), P(), P()),
@@ -129,17 +151,4 @@ def train_rbm_shard_map(
         batches = data[:usable].reshape(nb, ndev, local_b, V)
         return run(st, batches)
 
-    # chain state must be laid out over the mesh before entering shard_map
-    state = jax.device_put(
-        state,
-        TrainState(
-            params=RBMParams(*(NamedSharding(mesh, P()),) * 3),
-            velocity=RBMParams(*(NamedSharding(mesh, P()),) * 3),
-            chain_h=NamedSharding(mesh, P(axis)),
-            key=NamedSharding(mesh, P()),
-            epoch=NamedSharding(mesh, P()),
-        ),
-    )
-    data = jax.device_put(jnp.asarray(data, jnp.dtype(cfg.param_dtype)),
-                          NamedSharding(mesh, P(axis)))
-    return fused(state, data)
+    return fused
