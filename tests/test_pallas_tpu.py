@@ -222,3 +222,23 @@ def test_pallas_grads_step_under_shard_map_1dev():
     oracle = OracleRBM(cfg).train(data)
     assert errs[-1] < errs[0] * 0.75
     np.testing.assert_allclose(errs[-1], oracle.history[-1], rtol=0.12)
+
+
+def test_pallas_grads_step_pcd_1dev():
+    """Fused-step DP path with PCD: persistent chains must evolve and train."""
+    import jax.numpy as jnp
+
+    from mdbn_tpu.core.state import init_train_state
+    from mdbn_tpu.parallel.dp import train_rbm_shard_map
+    from mdbn_tpu.parallel.mesh import make_mesh
+
+    data = bars_and_stripes(320, side=4, seed=5)
+    cfg = RBMConfig(n_visible=16, n_hidden=16, k=1, persistent=True, lr=0.05,
+                    momentum=0.5, l2=1e-4, epochs=12, batch_size=16, seed=1)
+    mesh = make_mesh(1)
+    state = init_train_state(cfg)
+    state, errs = train_rbm_shard_map(state, jnp.asarray(data), cfg, mesh,
+                                      n_epochs=12, pallas_step=True)
+    errs = np.asarray(errs)
+    assert errs[-1] < errs[0]
+    assert float(np.abs(np.asarray(state.chain_h)).sum()) > 0
