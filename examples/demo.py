@@ -70,6 +70,12 @@ def main():
     fig.suptitle("RBM filters (first 25 hidden units)")
     fig.savefig(os.path.join(args.outdir, "rbm_filters.png"), dpi=100)
 
+    # AIS log-likelihood of the trained RBM (partition function estimate)
+    from mdbn_tpu.analysis.ais import log_likelihood
+    ll = log_likelihood(rbm.params, rbm.cfg, data[:500], n_chains=128, n_betas=500)
+    print(f"    AIS: log Z = {ll['log_z']:.1f}, mean test log-likelihood = "
+          f"{ll['mean_log_likelihood']:.1f} nats")
+
     # ---- 2. 3-modality MDBN on TCGA-like multi-omics -----------------------
     print("[2/3] 3-modality MDBN on TCGA-like data ...")
     mods, labels = tcga_like(n_patients=400, n_clusters=3, seed=1)
@@ -117,6 +123,23 @@ def main():
     fig.suptitle(f"patient stratification, ARI={ari:.3f}")
     fig.tight_layout()
     fig.savefig(os.path.join(args.outdir, "clusters.png"), dpi=100)
+
+    # survival evaluation of the discovered clusters (paper pipeline, L4)
+    from mdbn_tpu.analysis.survival import kaplan_meier, logrank_test, synthetic_survival
+    times, events = synthetic_survival(labels, seed=0)
+    lr_res = logrank_test(times, events, pred)
+    print(f"    log-rank across clusters: chi2={lr_res['chi2']:.1f} "
+          f"p={lr_res['p_value']:.2e}")
+    fig, ax = plt.subplots(figsize=(7, 4))
+    for g in np.unique(pred):
+        t, s_km = kaplan_meier(times[pred == g], events[pred == g])
+        ax.step(np.concatenate([[0], t]), np.concatenate([[1.0], s_km]),
+                where="post", label=f"cluster {g}")
+    ax.set(title=f"Kaplan-Meier by discovered cluster (log-rank p={lr_res['p_value']:.1e})",
+           xlabel="time", ylabel="survival")
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(os.path.join(args.outdir, "survival.png"), dpi=100)
 
     print(f"figures saved to {args.outdir}/")
 

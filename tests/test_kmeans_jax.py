@@ -32,3 +32,17 @@ def test_empty_cluster_guard():
     x = np.ones((10, 4), np.float32)
     pred, centers = kmeans_cluster_jax(x, 3, seed=0, n_init=2, n_iters=5)
     assert np.isfinite(centers).all()
+
+
+def test_cluster_patients_end_to_end():
+    from mdbn_tpu.analysis.cluster import cluster_patients
+
+    class FakeModel:
+        def transform(self, mods):
+            return mods["ge"][:, :5]
+
+    mods, labels = tcga_like(n_patients=120, n_clusters=3,
+                             dims={"ge": 40, "meth": 10, "mirna": 10},
+                             seed=3, signal=3.0)
+    pred = cluster_patients(FakeModel(), mods, n_clusters=3)
+    assert pred.shape == (120,)
