@@ -72,18 +72,18 @@ def _build_shard_map_train(cfg: RBMConfig, mesh: Mesh, n_epochs: int,
     and only the (dW, db, dc) statistics cross ICI — the north-star
     combination of BASELINE.json:5 (fused kernels + DP allreduce).
     """
-    if pallas_step:
-        from ..ops.cd_epoch_pallas import make_pallas_grads_fn
-
-        grads_fn = make_pallas_grads_fn(cfg.replace(batch_size=cfg.batch_size // mesh.devices.size))
-    else:
-        grads_fn = None
     axis = mesh.axis_names[0]
     ndev = mesh.devices.size
     if cfg.batch_size % ndev != 0:
         raise ValueError(f"batch_size {cfg.batch_size} not divisible by {ndev} devices")
     local_b = cfg.batch_size // ndev
     local_cfg = cfg.replace(batch_size=local_b)
+    if pallas_step:
+        from ..ops.cd_epoch_pallas import make_pallas_grads_fn
+
+        grads_fn = make_pallas_grads_fn(local_cfg)
+    else:
+        grads_fn = None
 
     n = n_samples
     nb = n // cfg.batch_size
@@ -116,9 +116,8 @@ def _build_shard_map_train(cfg: RBMConfig, mesh: Mesh, n_epochs: int,
             if grads_fn is not None:
                 seed = jax.random.randint(k, (2,), 0, jnp.iinfo(jnp.int32).max,
                                           jnp.int32)
+                # non-persistent configs: the kernel passes chain through
                 grads, new_chain, err = grads_fn(seed, v0, params, chain)
-                if not cfg.persistent:
-                    new_chain = chain
             else:
                 grads, new_chain, err = cd_step_stats(
                     params, v0, chain if cfg.persistent else None,

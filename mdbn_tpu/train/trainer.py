@@ -176,36 +176,31 @@ def train_rbm(
         state = init_train_state(cfg)
     data = jnp.asarray(data, jnp.dtype(cfg.param_dtype))
 
+    # explicit pallas engine on a multi-device dp mesh: fused Pallas step
+    # kernel per shard + pmean of the gradient stats over ICI ("pallas_dp").
+    # Validated here so the shared flow below (guards, per-epoch features,
+    # profiling, metrics, debug_nans restore) applies to this engine too.
+    pallas_dp = (mesh is not None and len(mesh.devices.flatten()) > 1
+                 and cfg.engine == "pallas")
+    if pallas_dp:
+        if "tp" in mesh.axis_names:
+            raise ValueError("engine='pallas' supports dp meshes only; "
+                             "use engine='xla' for dp x tp")
+        if cfg.error_metric == "pseudo":
+            raise ValueError("error_metric='pseudo' is not implemented in the "
+                             "Pallas kernel; use engine='xla'")
+        if not _pallas_available(cfg):
+            raise ValueError("model too large for the Pallas VMEM-resident "
+                             "kernel; use engine='xla'")
+
     prev_debug_nans = jax.config.jax_debug_nans
     if runtime.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
-    # explicit pallas engine on a multi-device dp mesh: fused Pallas step
-    # kernel per shard + pmean of the gradient stats over ICI
-    if (mesh is not None and len(mesh.devices.flatten()) > 1
-            and cfg.engine == "pallas"):
-        if "tp" in mesh.axis_names:
-            raise ValueError("engine='pallas' supports dp meshes only; "
-                             "use engine='xla' for dp x tp")
-        from ..parallel.dp import train_rbm_shard_map
+    use_pallas = False if pallas_dp else _use_pallas(cfg, mesh)
+    engine_name = "pallas_dp" if pallas_dp else ("pallas" if use_pallas else "xla")
 
-        t0 = time.perf_counter()
-        state, errs = train_rbm_shard_map(state, data, cfg, mesh, cfg.epochs,
-                                          pallas_step=True)
-        errs = jax.device_get(errs)
-        dt = time.perf_counter() - t0
-        nb_ = data.shape[0] // cfg.batch_size
-        metrics = EpochMetrics("pallas_dp")
-        metrics.errors = [float(e) for e in errs]
-        per = dt / max(1, cfg.epochs)
-        metrics.wall_seconds = [per] * cfg.epochs
-        metrics.updates_per_sec = [nb_ / per if per > 0 else float("inf")] * cfg.epochs
-        return state, metrics
-
-    use_pallas = _use_pallas(cfg, mesh)
-    engine_name = "pallas" if use_pallas else "xla"
-
-    if mesh is not None:
+    if mesh is not None and not pallas_dp:  # the shard_map path lays out its own
         data = jax.device_put(data, NamedSharding(mesh, P(axis)))
         state = jax.device_put(state, _state_shardings(mesh, axis))
 
@@ -220,7 +215,14 @@ def train_rbm(
         jax.profiler.start_trace(runtime.profile_dir)
     try:
         if per_epoch:
-            if use_pallas:
+            if pallas_dp:
+                from ..parallel.dp import train_rbm_shard_map
+
+                def epoch_fn(st, d):
+                    st, errs = train_rbm_shard_map(st, d, cfg, mesh, 1,
+                                                   pallas_step=True)
+                    return st, errs[0]
+            elif use_pallas:
                 from ..ops.cd_epoch_pallas import make_pallas_epoch_fn
 
                 epoch_fn = make_pallas_epoch_fn(cfg)
@@ -243,7 +245,13 @@ def train_rbm(
 
                     save_state(state, f"{runtime.checkpoint_dir}/epoch{ep + 1:05d}")
         else:
-            if use_pallas:
+            if pallas_dp:
+                from ..parallel.dp import train_rbm_shard_map
+
+                def train_fn(st, d):
+                    return train_rbm_shard_map(st, d, cfg, mesh, cfg.epochs,
+                                               pallas_step=True)
+            elif use_pallas:
                 from ..ops.cd_epoch_pallas import make_pallas_train_fn
 
                 train_fn = make_pallas_train_fn(cfg, cfg.epochs)

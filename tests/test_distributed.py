@@ -175,3 +175,48 @@ def test_trainer_pallas_engine_on_dp_mesh():
     assert metrics.engine == "pallas_dp"
     assert len(metrics.errors) == 2
     assert all(np.isfinite(e) for e in metrics.errors)
+
+
+def test_pallas_dp_honors_runtime_features(tmp_path):
+    """pallas_dp must honor per-epoch callbacks, checkpoints, metrics_path,
+    and restore debug_nans — previously dropped by an early return."""
+    import json
+
+    from mdbn_tpu.config import TrainRuntimeConfig
+
+    mesh = make_mesh(8)
+    cfg = CFG.replace(batch_size=32, epochs=2, engine="pallas")
+    mpath = str(tmp_path / "m.jsonl")
+    before = jax.config.jax_debug_nans
+    calls = []
+    state, metrics = train_rbm(
+        DATA, cfg, mesh=mesh,
+        runtime=TrainRuntimeConfig(checkpoint_dir=str(tmp_path / "ck"),
+                                   checkpoint_every_epochs=1,
+                                   metrics_path=mpath, debug_nans=True),
+        epoch_callback=lambda ep, err, st: calls.append(ep))
+    assert metrics.engine == "pallas_dp"
+    assert calls == [0, 1]
+    assert (tmp_path / "ck" / "epoch00002").exists()
+    recs = [json.loads(l) for l in open(mpath)]
+    assert len(recs) == 2
+    assert jax.config.jax_debug_nans == before
+
+
+def test_pallas_dp_validation_errors():
+    from mdbn_tpu.parallel.mesh import make_mesh_2d
+
+    mesh = make_mesh(8)
+    with pytest.raises(ValueError, match="pseudo"):
+        train_rbm(DATA, CFG.replace(batch_size=32, engine="pallas",
+                                    error_metric="pseudo"), mesh=mesh)
+    with pytest.raises(ValueError, match="too large"):
+        big = RBMConfig(n_visible=40000, n_hidden=4096, batch_size=32,
+                        engine="pallas")
+        train_rbm(np.zeros((64, 40000), np.float32), big, mesh=mesh)
+    with pytest.raises(ValueError, match="dp meshes only"):
+        train_rbm(DATA, CFG.replace(batch_size=32, engine="pallas"),
+                  mesh=make_mesh_2d(4, 2))
+    with pytest.raises(ValueError, match="fewer than one"):
+        train_rbm(DATA[:10], CFG.replace(batch_size=32, engine="pallas"),
+                  mesh=make_mesh(8))
