@@ -55,3 +55,41 @@ def test_mdbn_generate_modalities():
     assert np.asarray(g["ge"]).shape == (5, 20)
     for v in g.values():
         assert np.isfinite(np.asarray(v)).all()
+
+
+def test_gibbs_stationary_distribution_is_boltzmann():
+    """Exactness of the Gibbs sampler: on a tiny enumerable RBM (V=4), the
+    long-run visible-state frequencies must match the exact Boltzmann
+    marginals P(v) ∝ exp(-F(v)) (chi-square-style tolerance)."""
+    import jax
+    import jax.numpy as jnp
+    from scipy.special import logsumexp
+
+    from mdbn_tpu.core.rbm_math import RBMParams, free_energy
+    from mdbn_tpu.ops.sample import gibbs_sample
+
+    V, H = 4, 3
+    rng = np.random.default_rng(0)
+    cfg = RBMConfig(n_visible=V, n_hidden=H)
+    params = RBMParams(
+        W=jnp.asarray(rng.standard_normal((V, H)).astype(np.float32) * 0.7),
+        b=jnp.asarray(rng.standard_normal(V).astype(np.float32) * 0.3),
+        c=jnp.asarray(rng.standard_normal(H).astype(np.float32) * 0.3),
+    )
+
+    # exact marginals over all 2^V visible states
+    states = ((np.arange(2 ** V)[:, None] >> np.arange(V)) & 1).astype(np.float32)
+    neg_fe = -np.asarray(free_energy(params, jnp.asarray(states), cfg), np.float64)
+    p_exact = np.exp(neg_fe - logsumexp(neg_fe))
+
+    # empirical: many parallel chains, long burn-in, final sampled state
+    n_chains = 4096
+    v0 = (np.random.default_rng(1).random((n_chains, V)) < 0.5).astype(np.float32)
+    _, v = gibbs_sample(params, jnp.asarray(v0), jax.random.PRNGKey(2), cfg, 300)
+    idx = (np.asarray(v).astype(int) * (2 ** np.arange(V))).sum(axis=1)
+    p_emp = np.bincount(idx, minlength=2 ** V) / n_chains
+
+    # multinomial noise at n=4096: se per state <= ~0.008; allow 5 sigma
+    np.testing.assert_allclose(p_emp, p_exact, atol=0.04)
+    # and the distribution must be far from uniform (the test has teeth)
+    assert np.abs(p_exact - 1 / 2 ** V).max() > 0.05
