@@ -8,8 +8,16 @@ reduces reconstruction error.
 """
 
 import numpy as np
+import pytest
 
+import jax
 import jax.numpy as jnp
+
+# Interpret mode on the TPU backend dispatches every interpreted op through
+# the device (~30 ms RTT each here) — these structural tests are CPU-only;
+# the real kernel is covered on hardware by test_pallas_tpu.py.
+pytestmark = pytest.mark.skipif(jax.default_backend() != "cpu",
+                                reason="interpret-mode tests are CPU-only")
 
 from mdbn_tpu.config import RBMConfig
 from mdbn_tpu.core.state import init_train_state
