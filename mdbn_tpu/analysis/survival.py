@@ -31,13 +31,18 @@ def kaplan_meier(times: np.ndarray, events: np.ndarray) -> Tuple[np.ndarray, np.
     return uniq, np.asarray(surv)
 
 
-def logrank_test(times: np.ndarray, events: np.ndarray, groups: np.ndarray) -> Dict[str, float]:
+def logrank_test(times: np.ndarray, events: np.ndarray, groups: np.ndarray,
+                 method: str = "exact") -> Dict[str, float]:
     """K-group log-rank test (chi-square with K-1 dof).
 
-    Standard construction: at each distinct event time, compare each group's
-    observed deaths to its expectation under the null (deaths distributed
-    proportionally to the at-risk counts); the statistic uses the
-    sum-of-(O-E)^2/E approximation, conservative and package-free.
+    ``method="exact"`` (default) is the standard variance-normalized
+    statistic: at each distinct event time the group death counts follow a
+    multivariate hypergeometric distribution under the null, giving
+    covariance ``V_jk = sum_t d_t (n_t-d_t)/(n_t-1) *
+    (delta_jk n_kt/n_t - n_jt n_kt/n_t^2)``; the statistic is
+    ``(O-E)' V^- (O-E)`` over the first K-1 groups (Liang et al. 2015 report
+    log-rank this way). ``method="approx"`` is the conservative
+    sum-of-(O-E)^2/E construction, kept as a cross-check.
     """
     from scipy import stats
 
@@ -48,24 +53,34 @@ def logrank_test(times: np.ndarray, events: np.ndarray, groups: np.ndarray) -> D
     K = len(labels)
     if K < 2:
         raise ValueError("log-rank test needs >= 2 groups")
+    if method not in ("exact", "approx"):
+        raise ValueError(f"method must be 'exact' or 'approx', got {method!r}")
 
     event_times = np.unique(times[events == 1])
     O = np.zeros(K)
     E = np.zeros(K)
+    V = np.zeros((K, K))
     for t in event_times:
         at_risk = times >= t
         n_t = at_risk.sum()
         d_t = ((times == t) & (events == 1)).sum()
-        for k, g in enumerate(labels):
-            in_g = groups == g
-            n_kt = (at_risk & in_g).sum()
-            O[k] += ((times == t) & (events == 1) & in_g).sum()
-            E[k] += d_t * n_kt / n_t
-    valid = E > 0
-    chi2 = float(np.sum((O[valid] - E[valid]) ** 2 / E[valid]))
+        n_kt = np.array([(at_risk & (groups == g)).sum() for g in labels], float)
+        O += np.array([((times == t) & (events == 1) & (groups == g)).sum()
+                       for g in labels], float)
+        E += d_t * n_kt / n_t
+        if n_t > 1:
+            frac = n_kt / n_t
+            V += (d_t * (n_t - d_t) / (n_t - 1)) * (np.diag(frac) - np.outer(frac, frac))
     dof = K - 1
+    if method == "approx":
+        valid = E > 0
+        chi2 = float(np.sum((O[valid] - E[valid]) ** 2 / E[valid]))
+    else:
+        # drop the last group: (O-E) sums to 0, so V is singular over all K
+        z = (O - E)[:dof]
+        chi2 = float(z @ np.linalg.pinv(V[:dof, :dof]) @ z)
     p = float(stats.chi2.sf(chi2, dof))
-    return {"chi2": chi2, "dof": dof, "p_value": p,
+    return {"chi2": chi2, "dof": dof, "p_value": p, "method": method,
             "observed": O.tolist(), "expected": E.tolist()}
 
 

@@ -16,6 +16,7 @@ from typing import Any, Dict, List, Optional
 VISIBLE_TYPES = ("bernoulli", "gaussian")
 ERROR_METRICS = ("mse", "xent", "pseudo")
 ENGINES = ("auto", "xla", "pallas")
+INIT_SCHEMES = ("normal", "uniform_glorot4")
 
 
 @dataclass(frozen=True)
@@ -75,6 +76,11 @@ class RBMConfig:
     # --- engine ---
     engine: str = "auto"  # auto|xla|pallas
     # --- init ---
+    # "normal": W ~ N(0, init_scale) (Hinton's practical guide).
+    # "uniform_glorot4": W ~ U(±4*sqrt(6/(nv+nh))) — the Theano-tutorial
+    # lineage's init; one flag away until the reference pins the convention
+    # (SURVEY.md §7 hard-part 5).
+    init: str = "normal"
     init_scale: float = 0.01  # N(0, init_scale) weight init (Hinton's guide)
     seed: int = 0
 
@@ -90,6 +96,8 @@ class RBMConfig:
         if self.error_metric == "pseudo" and self.visible != "bernoulli":
             raise ValueError("error_metric='pseudo' (free-energy bit flips) is "
                              "only defined for bernoulli visible units")
+        if self.init not in INIT_SCHEMES:
+            raise ValueError(f"init must be one of {INIT_SCHEMES}, got {self.init!r}")
         if self.sparsity_target is not None:
             if not (0.0 < self.sparsity_target < 1.0):
                 raise ValueError("sparsity_target must be in (0, 1)")

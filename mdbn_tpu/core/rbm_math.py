@@ -30,7 +30,13 @@ class RBMParams(NamedTuple):
 
 def init_params(cfg: RBMConfig, key: jax.Array) -> RBMParams:
     dtype = jnp.dtype(cfg.param_dtype)
-    W = cfg.init_scale * jax.random.normal(key, (cfg.n_visible, cfg.n_hidden), dtype)
+    shape = (cfg.n_visible, cfg.n_hidden)
+    if cfg.init == "uniform_glorot4":
+        # Theano-tutorial lineage: U(+-4*sqrt(6/(nv+nh))) (SURVEY.md §7 #5)
+        bound = 4.0 * (6.0 / (cfg.n_visible + cfg.n_hidden)) ** 0.5
+        W = jax.random.uniform(key, shape, dtype, -bound, bound)
+    else:
+        W = cfg.init_scale * jax.random.normal(key, shape, dtype)
     return RBMParams(W=W, b=jnp.zeros(cfg.n_visible, dtype), c=jnp.zeros(cfg.n_hidden, dtype))
 
 

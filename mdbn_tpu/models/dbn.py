@@ -121,6 +121,7 @@ class DBN:
         save_config(self.cfg, os.path.join(directory, "dbn.config.json"))
         with open(os.path.join(directory, "stack.json"), "w") as f:
             json.dump({"n_layers": len(self.layers)}, f)
+        save_head(getattr(self, "_head", None), directory)
 
     @classmethod
     def load(cls, directory: str) -> "DBN":
@@ -130,4 +131,28 @@ class DBN:
         with open(os.path.join(directory, "stack.json")) as f:
             n = json.load(f)["n_layers"]
         dbn.layers = [RBM.load(os.path.join(directory, f"layer{l}")) for l in range(n)]
+        head = load_head(directory)
+        if head is not None:
+            dbn._head = head
         return dbn
+
+
+def save_head(head, directory: str) -> None:
+    """Persist a finetune() softmax head (Wh, bh) so a save/load round-trip of
+    a finetuned model keeps predict() working."""
+    if head is None:
+        return
+    import numpy as np
+
+    np.savez(os.path.join(directory, "head.npz"),
+             W=np.asarray(head[0]), b=np.asarray(head[1]))
+
+
+def load_head(directory: str):
+    path = os.path.join(directory, "head.npz")
+    if not os.path.exists(path):
+        return None
+    import numpy as np
+
+    with np.load(path) as z:
+        return (jnp.asarray(z["W"]), jnp.asarray(z["b"]))

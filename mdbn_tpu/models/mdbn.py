@@ -154,6 +154,9 @@ class MDBN:
         save_config(self.cfg, os.path.join(directory, "mdbn.config.json"))
         with open(os.path.join(directory, "structure.json"), "w") as f:
             json.dump({"towers": list(self.towers), "has_joint": self.joint is not None}, f)
+        from .dbn import save_head
+
+        save_head(getattr(self, "_head", None), directory)
 
     @classmethod
     def load(cls, directory: str) -> "MDBN":
@@ -168,6 +171,11 @@ class MDBN:
             mdbn.towers[name] = DBN.load(os.path.join(directory, f"tower_{name}"))
         if meta["has_joint"]:
             mdbn.joint = RBM.load(os.path.join(directory, "joint"))
+        from .dbn import load_head
+
+        head = load_head(directory)
+        if head is not None:
+            mdbn._head = head
         return mdbn
 
     @property

@@ -70,8 +70,17 @@ def estimate_vmem_bytes(cfg: RBMConfig, unroll: int = _MAX_UNROLL) -> int:
     w = cfg.n_visible * cfg.n_hidden * f
     batch = cfg.batch_size * (cfg.n_visible + cfg.n_hidden) * f
     data_block = 2 * unroll * cfg.batch_size * cfg.n_visible * f  # double-buffered
+    # pre-drawn PRNG blocks (u_h0 + u_h + u_v/n_v), which scale with k*unroll;
+    # the Gaussian path's Box-Muller holds 2 transient uniforms alongside the
+    # output, hence the extra factor
+    rng = unroll * cfg.batch_size * cfg.n_hidden * f  # u_h0
+    rng += cfg.k * unroll * cfg.batch_size * cfg.n_hidden * f  # u_h
+    if cfg.resolved_sample_visible:
+        per_v = cfg.k * unroll * cfg.batch_size * cfg.n_visible * f
+        rng += per_v if cfg.visible == "bernoulli" else 3 * per_v
     # W+velW (plus their input copies) + biases + ~8 batch-sized temps
-    return 4 * w + 4 * (cfg.n_visible + cfg.n_hidden) * f + 8 * batch + data_block
+    return (4 * w + 4 * (cfg.n_visible + cfg.n_hidden) * f + 8 * batch
+            + data_block + rng)
 
 
 def _uniform_from_bits(shape) -> jax.Array:

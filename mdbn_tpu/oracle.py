@@ -42,7 +42,11 @@ def sigmoid(x: np.ndarray) -> np.ndarray:
 
 def init_params(cfg: RBMConfig, rng: np.random.Generator) -> Dict[str, np.ndarray]:
     dtype = np.dtype(cfg.param_dtype)
-    W = (rng.standard_normal((cfg.n_visible, cfg.n_hidden)) * cfg.init_scale).astype(dtype)
+    if cfg.init == "uniform_glorot4":
+        bound = 4.0 * (6.0 / (cfg.n_visible + cfg.n_hidden)) ** 0.5
+        W = rng.uniform(-bound, bound, (cfg.n_visible, cfg.n_hidden)).astype(dtype)
+    else:
+        W = (rng.standard_normal((cfg.n_visible, cfg.n_hidden)) * cfg.init_scale).astype(dtype)
     b = np.zeros(cfg.n_visible, dtype)  # visible bias
     c = np.zeros(cfg.n_hidden, dtype)  # hidden bias
     return {"W": W, "b": b, "c": c}

@@ -128,10 +128,19 @@ def _build_shard_map_train(cfg: RBMConfig, mesh: Mesh, n_epochs: int,
             return (params, vel, new_chain), err
 
         def epoch_body(carry, xs_e):
-            keys = jax.random.split(xs_e["key"], nb)
+            kperm, ksteps = jax.random.split(xs_e["key"])
+            keys = jax.random.split(ksteps, nb)
+            if cfg.shuffle:
+                # batch-order shuffle (minibatch blocks, like the Pallas
+                # engine's super-batch shuffle). kperm derives from the
+                # replicated key, so every shard applies the same permutation
+                # and global minibatches stay consistent across shards.
+                batches_e = batches[jax.random.permutation(kperm, nb)]
+            else:
+                batches_e = batches
             epochs_v = jnp.full((nb,), xs_e["epoch"], jnp.int32)
             carry, errs = jax.lax.scan(
-                step, carry, {"batch": batches, "key": keys, "epoch": epochs_v})
+                step, carry, {"batch": batches_e, "key": keys, "epoch": epochs_v})
             return carry, errs.mean()
 
         key, kepochs = jax.random.split(st.key)

@@ -124,6 +124,14 @@ def _use_pallas(cfg: RBMConfig, mesh: Optional[Mesh]) -> bool:
         if not _pallas_available(cfg):
             raise ValueError("model too large for the Pallas VMEM-resident kernel; "
                              "use engine='xla'")
+        if jax.default_backend() != "tpu":
+            # the CPU interpreter stubs prng_random_bits to zeros — training
+            # would silently degenerate (every Bernoulli draw = (0 < p))
+            raise ValueError(
+                "engine='pallas' would run under the zero-bits CPU interpreter "
+                "and silently mis-train; use engine='xla' here (or call "
+                "ops.cd_epoch_pallas.make_pallas_train_fn(..., interpret=True) "
+                "directly for structural kernel tests)")
         return True
     # auto: pallas on TPU when it fits
     return jax.default_backend() == "tpu" and _pallas_available(cfg)

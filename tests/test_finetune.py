@@ -57,3 +57,43 @@ def test_mdbn_finetune_classifies():
     pred = np.asarray(mdbn.predict(test))
     acc = float((pred == labels[240:]).mean())
     assert acc > 0.9, acc
+
+
+def test_finetuned_head_survives_save_load(tmp_path):
+    """DBN.save/load must round-trip the finetune() softmax head so predict()
+    keeps working (previously the head was silently dropped)."""
+    data, labels = mnist_like(400, n_prototypes=3, seed=4, return_labels=True)
+    cfg = DBNConfig(layer_sizes=[32, 16], epochs=2, batch_size=20,
+                    engine="xla", seed=0)
+    dbn = DBN(cfg).train(data)
+    dbn.finetune(data, labels, n_classes=3, epochs=3, lr=0.3)
+    pred_before = np.asarray(dbn.predict(data))
+
+    dbn.save(str(tmp_path / "dbn"))
+    dbn2 = DBN.load(str(tmp_path / "dbn"))
+    pred_after = np.asarray(dbn2.predict(data))
+    np.testing.assert_array_equal(pred_before, pred_after)
+
+
+def test_mdbn_finetuned_head_survives_save_load(tmp_path):
+    from mdbn_tpu.config import MDBNConfig, RBMConfig
+    from mdbn_tpu.data.synthetic import tcga_like
+    from mdbn_tpu.models.mdbn import MDBN
+
+    mods, labels = tcga_like(n_patients=120, n_clusters=3,
+                             dims={"ge": 30, "meth": 20, "mirna": 10}, seed=5)
+    cfg = MDBNConfig(
+        towers={m: DBNConfig(layer_sizes=[12], visible="gaussian", epochs=2,
+                             batch_size=20, engine="xla", seed=i)
+                for i, m in enumerate(mods)},
+        joint=RBMConfig(n_visible=1, n_hidden=8, epochs=2, batch_size=20,
+                        engine="xla"))
+    mdbn = MDBN(cfg).train(mods)
+    mdbn.finetune(mods, labels, n_classes=3, epochs=2, lr=0.3)
+    pred_before = np.asarray(mdbn.predict(mods))
+
+    mdbn.save(str(tmp_path / "mdbn"))
+    from mdbn_tpu.models.mdbn import MDBN as M2
+
+    mdbn2 = M2.load(str(tmp_path / "mdbn"))
+    np.testing.assert_array_equal(pred_before, np.asarray(mdbn2.predict(mods)))

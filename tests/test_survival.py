@@ -45,3 +45,31 @@ def test_logrank_null_is_calibrated():
 def test_logrank_needs_two_groups():
     with pytest.raises(ValueError, match="2 groups"):
         logrank_test(np.ones(5), np.ones(5, int), np.zeros(5))
+
+
+def test_logrank_exact_matches_hand_computed_two_group():
+    """Alternating-death example, worked by hand:
+    A={1,3,5}, B={2,4,6}, all events. O_A=3, E_A=0.5+0.4+0.5+1/3+0.5,
+    V=0.25+0.24+0.25+2/9+0.25 (t=6 has n_t=1, zero variance) ->
+    chi2 = (3-2.23333)^2 / 1.212222 = 0.48488."""
+    times = np.array([1, 3, 5, 2, 4, 6], float)
+    events = np.ones(6, int)
+    groups = np.array([0, 0, 0, 1, 1, 1])
+    out = logrank_test(times, events, groups)
+    assert out["method"] == "exact"
+    np.testing.assert_allclose(out["chi2"], 0.4848811, rtol=1e-5)
+    assert out["dof"] == 1
+    np.testing.assert_allclose(out["observed"], [3, 3])
+    np.testing.assert_allclose(out["expected"][0], 2.2333333, rtol=1e-6)
+
+
+def test_logrank_exact_vs_approx_cross_check():
+    """The approximation is conservative: approx chi2 <= exact chi2 on a
+    separated example, and both detect the planted hazard difference."""
+    rng = np.random.default_rng(2)
+    labels = rng.integers(0, 2, 200)
+    times, events = synthetic_survival(labels, hazard_scale=(1.0, 5.0), seed=3)
+    exact = logrank_test(times, events, labels, method="exact")
+    approx = logrank_test(times, events, labels, method="approx")
+    assert exact["p_value"] < 1e-4 and approx["p_value"] < 1e-3
+    assert approx["chi2"] <= exact["chi2"] * 1.05  # conservative (small slack)
