@@ -21,27 +21,45 @@ launch**:
 - Each Gibbs step fuses both matmuls (MXU; optionally bf16 with f32
   accumulation via cfg.compute_dtype), the sigmoids, on-chip-PRNG
   Bernoulli/Gaussian sampling (pltpu.prng_*), the momentum+L2 update, and the
-  reconstruction-error monitor — one pass over VMEM-resident weights (the
-  north-star kernel of BASELINE.json:5). With momentum=0 (the default) the
-  velocity buffers are elided from the recursion to halve update traffic.
+  error monitor (mse / xent / pseudo-likelihood) — one pass over VMEM-resident
+  weights (the north-star kernel of BASELINE.json:5). With momentum=0 (the
+  default) the velocity buffers are elided from the recursion to halve update
+  traffic.
+
+**Data parallelism (ndev > 1):** the same mega-kernel runs per shard under
+``jax.shard_map``; after each update's local gradient statistics it performs
+an in-kernel **ring allreduce over ICI** (``pltpu.make_async_remote_copy``):
+a reduce-scatter + all-gather ring for dW (bandwidth-optimal, and — unlike a
+naive accumulate-as-you-go ring — every chunk is reduced in a single
+device-id order, so the reduced gradients are **bit-identical on every
+shard** and the weight replicas cannot drift), plus a small all-gather +
+ordered-sum ring for (db, dc). This is the literal north-star combination of
+BASELINE.json:5: fused CD kernels + batch-DP gradient allreduce over ICI,
+with zero kernel relaunches. Communication slots are indexed by a running
+ring-step counter mod ndev; ring-neighbor skew is bounded by ndev-1 steps, so
+an ndev-slot buffer is race-free without back-pressure signals (validated
+with ``InterpretParams(detect_races=True)`` on an 8-device CPU mesh).
 
 Sampling-dependent math is validated distributionally against the NumPy
-oracle; deterministic sub-paths are validated exactly via the shared XLA
-engine (SURVEY.md §4.2). ``make_pallas_train_fn`` returns None when the VMEM
-footprint doesn't fit (very wide omics layers) and the trainer falls back to
-the XLA engine.
+oracle; the deterministic core is validated **exactly** via the
+injected-uniforms mode (``inject=True``): the kernel consumes pre-drawn
+uniforms instead of the on-chip PRNG, making the full multi-epoch multi-shard
+run reproducible against a host-side replay of the same math (SURVEY.md
+§4.2). ``make_pallas_train_fn`` returns None when the VMEM footprint doesn't
+fit and the trainer falls back to the XLA engine.
 """
 
 from __future__ import annotations
 
 import functools
 from functools import lru_cache
-from typing import Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import RBMConfig
 from ..core.rbm_math import RBMParams
@@ -52,12 +70,16 @@ _VMEM_BUDGET = 100 * 1024 * 1024
 _MAX_UNROLL = 8  # minibatch updates fused per grid step
 
 
-def _pick_unroll(nb: int, cfg: RBMConfig) -> int:
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _pick_unroll(nb: int, cfg: RBMConfig, ndev: int = 1) -> int:
     """Largest divisor of nb <= _MAX_UNROLL whose data block stays small and
     whose total footprint fits the VMEM budget."""
     budget_rows = max(1, (2 * 1024 * 1024) // max(1, 4 * cfg.n_visible))  # ~2MB block
     max_u = max(1, min(_MAX_UNROLL, budget_rows // max(1, cfg.batch_size)))
-    while max_u > 1 and estimate_vmem_bytes(cfg, max_u) > _VMEM_BUDGET:
+    while max_u > 1 and estimate_vmem_bytes(cfg, max_u, ndev) > _VMEM_BUDGET:
         max_u -= 1
     for u in range(max_u, 0, -1):
         if nb % u == 0:
@@ -65,7 +87,8 @@ def _pick_unroll(nb: int, cfg: RBMConfig) -> int:
     return 1
 
 
-def estimate_vmem_bytes(cfg: RBMConfig, unroll: int = _MAX_UNROLL) -> int:
+def estimate_vmem_bytes(cfg: RBMConfig, unroll: int = _MAX_UNROLL,
+                        ndev: int = 1) -> int:
     f = 4  # float32
     w = cfg.n_visible * cfg.n_hidden * f
     batch = cfg.batch_size * (cfg.n_visible + cfg.n_hidden) * f
@@ -78,9 +101,16 @@ def estimate_vmem_bytes(cfg: RBMConfig, unroll: int = _MAX_UNROLL) -> int:
     if cfg.resolved_sample_visible:
         per_v = cfg.k * unroll * cfg.batch_size * cfg.n_visible * f
         rng += per_v if cfg.visible == "bernoulli" else 3 * per_v
+    comm = 0
+    if ndev > 1:
+        # DP ring-allreduce scratch: padded work buffer + ndev comm slots for
+        # dW (together ~2x W) + the small bias buffers
+        chunk = _round_up(-(-cfg.n_visible // ndev), 8)
+        pbc = _round_up(max(cfg.n_visible, cfg.n_hidden), 128)
+        comm = 2 * chunk * ndev * cfg.n_hidden * f + 2 * ndev * 2 * pbc * f
     # W+velW (plus their input copies) + biases + ~8 batch-sized temps
     return (4 * w + 4 * (cfg.n_visible + cfg.n_hidden) * f + 8 * batch
-            + data_block + rng)
+            + data_block + rng + comm)
 
 
 def _uniform_from_bits(shape) -> jax.Array:
@@ -119,23 +149,66 @@ def _dot_tn(a, b, cd=jnp.float32):  # a.T @ b without materializing the transpos
                                preferred_element_type=jnp.float32)
 
 
+def _pseudo_likelihood_err(W, b, pre_h, v0, bit_idx, n_visible: int) -> jax.Array:
+    """Theano-lineage stochastic pseudo-likelihood monitor, matmul-free given
+    the already-computed hidden pre-activation ``pre_h = v0 @ W + c``:
+    flipping one (rotating) visible bit i is a rank-1 update
+    ``pre_flip = pre_h + (1-2*v0[:,i]) * W[i,:]``. Mirrors
+    core.rbm_math.pseudo_likelihood (mean of n_visible * softplus(-(dFE)))."""
+    B = v0.shape[0]
+    # lane-dim dynamic indexing is not supported by Mosaic: select column i of
+    # v0 / entry i of b with a one-hot mask + reduction instead
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, (1, n_visible), 1)
+              == bit_idx).astype(jnp.float32)
+    v0_i = jnp.sum(v0 * onehot, axis=1, keepdims=True)  # [B, 1]
+    b_i = jnp.sum(b * onehot)  # scalar
+    delta = 1.0 - 2.0 * v0_i  # [B, 1]
+    # row i of W via mask+reduce (Mosaic lowers neither dynamic_slice on
+    # values nor lane-dim dynamic refs; a [V,1] one-hot contraction does it
+    # on the VPU in one pass)
+    w_row = jnp.sum(W * onehot.reshape(-1, 1), axis=0, keepdims=True)  # [1, H]
+    v0b = _dot_tt(v0, b, jnp.float32)  # [B, 1]
+    fe = -v0b - jnp.sum(jax.nn.softplus(pre_h), axis=1, keepdims=True)  # [B, 1]
+    fe_flip = (-(v0b + delta * b_i)
+               - jnp.sum(jax.nn.softplus(pre_h + delta * w_row), axis=1,
+                         keepdims=True))
+    return jnp.sum(jnp.float32(n_visible)
+                   * jax.nn.softplus(-(fe_flip - fe))) * jnp.float32(1.0 / B)
+
+
 def _cd_train_kernel(
     # scalar prefetch
-    seed_ref,  # SMEM (4,) int32: (seed, unused, start_epoch, unused)
+    seed_ref,  # SMEM (6,) int32: (seed0, seed1, start_epoch, my_device, 0, 0)
     perm_ref,  # SMEM (perm_epochs, nsteps) int32 super-batch order (used by index_map)
-    # pipelined input
-    batch_ref,  # VMEM (1, U, B, V) — U consecutive minibatches
-    # initial values (constant-index: loaded once)
-    W_in, b_in, c_in, vW_in, vb_in, vc_in, chain_in,
-    # outputs (constant-index: VMEM-resident across the whole grid)
-    W, b, c, vW, vb, vc, chain, err_ref,
-    *,
+    # pipelined inputs: batches (+ injected uniforms in inject mode), then
+    # initial state (constant-index: loaded once), outputs (constant-index:
+    # VMEM-resident across the whole grid), and — for ndev>1 — the ring
+    # allreduce scratch. Parsed positionally from *refs.
+    *refs,
     cfg: RBMConfig,
     unroll: int,
     nb: int,  # total minibatches per epoch (= num grid steps * unroll)
+    ndev: int = 1,
+    inject: bool = False,
 ):
+    pos = 0
+    batch_ref = refs[pos]; pos += 1  # VMEM (1, U, B, V)
+    u_h0_ref = u_h_ref = u_v_ref = None
+    if inject:
+        u_h0_ref = refs[pos]; pos += 1  # (1, 1, U*B, H)
+        u_h_ref = refs[pos]; pos += 1   # (1, 1, k*U*B, H)
+        if cfg.resolved_sample_visible:
+            u_v_ref = refs[pos]; pos += 1  # (1, 1, k*U*B, V)
+    W_in, b_in, c_in, vW_in, vb_in, vc_in, chain_in = refs[pos:pos + 7]; pos += 7
+    W, b, c, vW, vb, vc, chain, err_ref = refs[pos:pos + 8]; pos += 8
+    if ndev > 1:
+        (gw_work, comm_w, bc_all, comm_bc,
+         send_w, recv_w, send_bc, recv_bc) = refs[pos:pos + 8]
+        chunk = gw_work.shape[0] // ndev  # padded row-chunk per ring hop
+
     e = pl.program_id(0)
     i = pl.program_id(1)
+    nsteps = pl.num_programs(1)
 
     @pl.when(jnp.logical_and(e == 0, i == 0))
     def _load_state():
@@ -146,21 +219,28 @@ def _cd_train_kernel(
         vb[:] = vb_in[:]
         vc[:] = vc_in[:]
         chain[:] = chain_in[:]
+        if ndev > 1:
+            # zero once: grads only ever write rows [:V] of the work buffer
+            # and columns [:V]/[:H] of the bias rows, so the padding stays 0
+            # through every reduce (all shards' pads are 0).
+            gw_work[:] = jnp.zeros_like(gw_work)
+            bc_all[:] = jnp.zeros_like(bc_all)
 
     @pl.when(i == 0)
     def _zero_epoch_err():
         err_ref[e, 0] = jnp.float32(0.0)
 
-    # distinct PRNG stream per (run, epoch, grid step); the stream advances
-    # across the unrolled updates within the step. prng_seed takes <=2 values.
-    pltpu.prng_seed(seed_ref[0], e * pl.num_programs(1) + i)
+    if not inject:
+        # distinct PRNG stream per (run, shard, epoch, grid step); seed0 is
+        # already shard-distinct. The stream advances across the unrolled
+        # updates within the step. prng_seed takes <=2 values.
+        pltpu.prng_seed(seed_ref[0], e * nsteps + i)
 
     B = cfg.batch_size
     inv_b = jnp.float32(1.0 / B)
     cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     lr = jnp.float32(cfg.lr)
-    is_last_step = jnp.logical_and(e == pl.num_programs(0) - 1,
-                                   i == pl.num_programs(1) - 1)
+    is_last_step = jnp.logical_and(e == pl.num_programs(0) - 1, i == nsteps - 1)
     use_momentum = bool(cfg.momentum) or cfg.initial_momentum is not None
     if cfg.initial_momentum is not None:
         # Hinton-guide schedule: initial_momentum until momentum_switch_epoch
@@ -174,15 +254,50 @@ def _cd_train_kernel(
     # calls: each prng_random_bits call costs ~0.3us of fixed latency on v5e,
     # so per-sample calls would dominate the tiny per-update compute.
     V, H = cfg.n_visible, cfg.n_hidden
-    u_h0 = _uniform_from_bits((unroll * B, H))
-    u_h = _uniform_from_bits((cfg.k * unroll * B, H))
-    u_v = None
-    n_v = None
-    if cfg.resolved_sample_visible:
-        if cfg.visible == "bernoulli":
-            u_v = _uniform_from_bits((cfg.k * unroll * B, V))
-        else:
-            n_v = _normal_from_bits((cfg.k * unroll * B, V))
+    if inject:
+        u_h0 = u_h0_ref[0, 0]
+        u_h = u_h_ref[0, 0]
+        u_v = n_v = None
+        if cfg.resolved_sample_visible:
+            if cfg.visible == "bernoulli":
+                u_v = u_v_ref[0, 0]
+            else:
+                n_v = u_v_ref[0, 0]
+    else:
+        u_h0 = _uniform_from_bits((unroll * B, H))
+        u_h = _uniform_from_bits((cfg.k * unroll * B, H))
+        u_v = None
+        n_v = None
+        if cfg.resolved_sample_visible:
+            if cfg.visible == "bernoulli":
+                u_v = _uniform_from_bits((cfg.k * unroll * B, V))
+            else:
+                n_v = _normal_from_bits((cfg.k * unroll * B, V))
+
+    if ndev > 1:
+        my = seed_ref[3]
+        right = jax.lax.rem(my + 1, ndev)
+
+        def _ring_hop(gs, src_ref, comm, send_sem, recv_sem):
+            """One ring hop: push `src_ref` to the right neighbor's comm slot
+            gs%ndev; blocks until both the send and this shard's own receive
+            for slot gs%ndev complete. Slots are indexed by the running
+            ring-step counter gs: reuse distance is ndev hops while
+            ring-neighbor skew is provably < ndev (each shard's step s send
+            requires its step s-1 receive, so skew grows by at most 1 per
+            hop around the cycle), so the ndev-slot buffer is race-free."""
+            slot = jax.lax.rem(gs, ndev)
+            rdma = pltpu.make_async_remote_copy(
+                src_ref=src_ref,
+                dst_ref=comm.at[slot],
+                send_sem=send_sem.at[slot],
+                recv_sem=recv_sem.at[slot],
+                device_id=right,
+                device_id_type=pltpu.DeviceIdType.LOGICAL,
+            )
+            rdma.start()
+            rdma.wait()
+            return slot
 
     err_acc = jnp.float32(0.0)
     for u in range(unroll):
@@ -191,7 +306,8 @@ def _cd_train_kernel(
         Wc = Wv.astype(cd)
 
         # positive phase
-        h0p = jax.nn.sigmoid(_dot_nt(v0, Wc, cd) + c[0])  # [B, H]
+        pre_h0 = _dot_nt(v0, Wc, cd) + c[0]  # [B, H]
+        h0p = jax.nn.sigmoid(pre_h0)
         h0s = (u_h0[u * B:(u + 1) * B] < h0p).astype(jnp.float32)
 
         h = chain[:] if cfg.persistent else h0s
@@ -231,6 +347,78 @@ def _cd_train_kernel(
                 jnp.float32(cfg.sparsity_target)
                 - jnp.sum(h0p, axis=0, keepdims=True) * inv_b)
 
+        if ndev > 1:
+            # ---- in-kernel DP allreduce over ICI (mean of per-shard means;
+            # clip/L2/momentum apply to the reduced grads, matching the XLA
+            # dp path's pmean-then-update ordering) ----
+            upd = (e * nsteps + i) * unroll + u  # running update counter
+            gw_work[pl.ds(0, V), :] = gW
+
+            # dW: ring reduce-scatter (after ndev-1 hops shard d owns the
+            # fully reduced row-chunk (d+1)%ndev, summed in one canonical
+            # ring order on every shard) ...
+            def rs_body(s, _):
+                c_send = jax.lax.rem(my - s + 2 * ndev, ndev)
+                c_recv = jax.lax.rem(my - s - 1 + 2 * ndev, ndev)
+                slot = _ring_hop(upd * 2 * (ndev - 1) + s,
+                                 gw_work.at[pl.ds(c_send * chunk, chunk), :],
+                                 comm_w, send_w, recv_w)
+                gw_work[pl.ds(c_recv * chunk, chunk), :] += comm_w[slot]
+                return 0
+
+            jax.lax.fori_loop(0, ndev - 1, rs_body, 0)
+
+            # ... then ring all-gather of the reduced chunks
+            def ag_body(s, _):
+                c_send = jax.lax.rem(my + 1 - s + 2 * ndev, ndev)
+                c_recv = jax.lax.rem(my - s + 2 * ndev, ndev)
+                slot = _ring_hop(upd * 2 * (ndev - 1) + (ndev - 1) + s,
+                                 gw_work.at[pl.ds(c_send * chunk, chunk), :],
+                                 comm_w, send_w, recv_w)
+                gw_work[pl.ds(c_recv * chunk, chunk), :] = comm_w[slot]
+                return 0
+
+            jax.lax.fori_loop(0, ndev - 1, ag_body, 0)
+            gW = gw_work[pl.ds(0, V), :] * jnp.float32(1.0 / ndev)
+
+            # (db, dc): tiny — ring all-gather into per-source slots, then
+            # sum in device-id order (deterministic across shards)
+            bc_all[my, 0, pl.ds(0, V)] = gb[0]
+            bc_all[my, 1, pl.ds(0, H)] = gc[0]
+
+            def bc_body(s, _):
+                fwd = jax.lax.rem(my - s + 2 * ndev, ndev)
+                src = jax.lax.rem(my - s - 1 + 2 * ndev, ndev)
+                slot = _ring_hop(upd * (ndev - 1) + s,
+                                 bc_all.at[fwd], comm_bc, send_bc, recv_bc)
+                bc_all[src] = comm_bc[slot]
+                return 0
+
+            jax.lax.fori_loop(0, ndev - 1, bc_body, 0)
+            bc_sum = bc_all[0]
+            for d in range(1, ndev):
+                bc_sum = bc_sum + bc_all[d]
+            bc_sum = bc_sum * jnp.float32(1.0 / ndev)
+            gb = bc_sum[0:1, 0:V]
+            gc = bc_sum[1:2, 0:H]
+
+        # error monitor (the graded parity metric) — BEFORE the update: the
+        # monitor is defined on the parameters the batch was seen with
+        # (pseudo reads b, so ordering matters; mse/xent only use v1mean)
+        if cfg.error_metric == "pseudo":
+            # rotating-bit index matches the XLA engine's
+            # (epoch * nb + batch_index) % n_visible schedule
+            bit_idx = jax.lax.rem(
+                (seed_ref[2] + e) * nb + i * unroll + u, V)
+            err_acc += _pseudo_likelihood_err(Wv, b[:], pre_h0, v0, bit_idx, V)
+        elif cfg.error_metric == "mse":
+            d = v0 - v1mean
+            err_acc += jnp.sum(d * d) * jnp.float32(1.0 / (B * V))
+        else:
+            eps = 1e-7
+            p = jnp.clip(v1mean, eps, 1.0 - eps)
+            err_acc += -jnp.sum(v0 * jnp.log(p) + (1.0 - v0) * jnp.log(1.0 - p)) * inv_b
+
         # momentum + L2 (decay on W only) update, fused
         if cfg.grad_clip is not None:
             clip = jnp.float32(cfg.grad_clip)
@@ -264,24 +452,17 @@ def _cd_train_kernel(
                     vb[:] = lr * gb
                     vc[:] = lr * gc
 
-        # reconstruction-error monitor (the graded parity metric)
-        if cfg.error_metric == "mse":
-            d = v0 - v1mean
-            err_acc += jnp.sum(d * d) * jnp.float32(1.0 / (B * cfg.n_visible))
-        else:
-            eps = 1e-7
-            p = jnp.clip(v1mean, eps, 1.0 - eps)
-            err_acc += -jnp.sum(v0 * jnp.log(p) + (1.0 - v0) * jnp.log(1.0 - p)) * inv_b
-
     err_ref[e, 0] = err_ref[e, 0] + err_acc * jnp.float32(1.0 / nb)
 
 
 def _build_pallas_call(cfg: RBMConfig, n_epochs: int, nb: int, unroll: int,
-                       shuffle: bool, interpret):
+                       shuffle: bool, interpret, ndev: int = 1,
+                       inject: bool = False):
     if interpret is True:
         # the generic interpreter lacks pltpu.prng_*; use the TPU interpreter
-        # (NB: it stubs prng_random_bits to zeros — structure-only testing)
-        interpret = pltpu.InterpretParams()
+        # (NB: it stubs prng_random_bits to zeros — use inject=True for real
+        # math on CPU; races in the DP rings are checked by the interpreter)
+        interpret = pltpu.InterpretParams(detect_races=(ndev > 1))
     V, H, B = cfg.n_visible, cfg.n_hidden, cfg.batch_size
     f32 = jnp.float32
     nsteps = nb // unroll
@@ -295,16 +476,49 @@ def _build_pallas_call(cfg: RBMConfig, n_epochs: int, nb: int, unroll: int,
     else:
         data_index = lambda e, i, seed, perm: (perm[0, i], 0, 0, 0)
 
+    in_specs = [
+        pl.BlockSpec((1, unroll, B, V), data_index,
+                     memory_space=pltpu.VMEM),  # super-batches
+    ]
+    n_inject = 0
+    if inject:
+        # injected uniforms are consumed in grid-step order (matching the XLA
+        # engine's per-step key schedule), independent of the data permutation
+        step_index = lambda e, i, seed, perm: (e, i, 0, 0)
+        in_specs.append(pl.BlockSpec((1, 1, unroll * B, H), step_index,
+                                     memory_space=pltpu.VMEM))  # u_h0
+        in_specs.append(pl.BlockSpec((1, 1, cfg.k * unroll * B, H), step_index,
+                                     memory_space=pltpu.VMEM))  # u_h
+        n_inject = 2
+        if cfg.resolved_sample_visible:
+            in_specs.append(pl.BlockSpec((1, 1, cfg.k * unroll * B, V), step_index,
+                                         memory_space=pltpu.VMEM))  # u_v / noise
+            n_inject = 3
+    in_specs += [
+        const((V, H)), const((1, V)), const((1, H)),  # W, b, c
+        const((V, H)), const((1, V)), const((1, H)),  # velocities
+        const((B, H)),  # chain
+    ]
+
+    scratch_shapes = []
+    if ndev > 1:
+        chunk = _round_up(-(-V // ndev), 8)
+        pbc = _round_up(max(V, H), 128)
+        scratch_shapes = [
+            pltpu.VMEM((chunk * ndev, H), f32),        # gw_work (padded)
+            pltpu.VMEM((ndev, chunk, H), f32),          # comm_w slots
+            pltpu.VMEM((ndev, 2, pbc), f32),            # bc_all (per source)
+            pltpu.VMEM((ndev, 2, pbc), f32),            # comm_bc slots
+            pltpu.SemaphoreType.DMA((ndev,)),           # send_w
+            pltpu.SemaphoreType.DMA((ndev,)),           # recv_w
+            pltpu.SemaphoreType.DMA((ndev,)),           # send_bc
+            pltpu.SemaphoreType.DMA((ndev,)),           # recv_bc
+        ]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # seed, perm
         grid=(n_epochs, nsteps),
-        in_specs=[
-            pl.BlockSpec((1, unroll, B, V), data_index,
-                         memory_space=pltpu.VMEM),  # super-batches
-            const((V, H)), const((1, V)), const((1, H)),  # W, b, c
-            const((V, H)), const((1, V)), const((1, H)),  # velocities
-            const((B, H)),  # chain
-        ],
+        in_specs=in_specs,
         out_specs=[
             const((V, H)), const((1, V)), const((1, H)),
             const((V, H)), const((1, V)), const((1, H)),
@@ -312,6 +526,7 @@ def _build_pallas_call(cfg: RBMConfig, n_epochs: int, nb: int, unroll: int,
             pl.BlockSpec((n_epochs, 1), lambda e, i, seed, perm: (0, 0),
                          memory_space=pltpu.SMEM),  # per-epoch err (scalars)
         ],
+        scratch_shapes=scratch_shapes,
     )
     out_shape = [
         jax.ShapeDtypeStruct((V, H), f32), jax.ShapeDtypeStruct((1, V), f32),
@@ -324,14 +539,17 @@ def _build_pallas_call(cfg: RBMConfig, n_epochs: int, nb: int, unroll: int,
     steps = n_epochs * nb
     flops_step = 2 * B * V * H * (2 + 2 * cfg.k)
     return pl.pallas_call(
-        functools.partial(_cd_train_kernel, cfg=cfg, unroll=unroll, nb=nb),
+        functools.partial(_cd_train_kernel, cfg=cfg, unroll=unroll, nb=nb,
+                          ndev=ndev, inject=inject),
         grid_spec=grid_spec,
         out_shape=out_shape,
-        # params/velocities/chain update in place:
-        # operands: 0=seed 1=perm 2=batches 3..9=state -> outputs 0..6
-        input_output_aliases={i + 3: i for i in range(7)},
+        # params/velocities/chain update in place: operands are
+        # 0=seed 1=perm 2=batches [3..: injected uniforms] then 7 state
+        # tensors -> outputs 0..6
+        input_output_aliases={i + 3 + n_inject: i for i in range(7)},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),  # strictly sequential SGD
+            collective_id=0 if ndev > 1 else None,
         ),
         cost_estimate=pl.CostEstimate(
             flops=steps * flops_step,
@@ -342,48 +560,90 @@ def _build_pallas_call(cfg: RBMConfig, n_epochs: int, nb: int, unroll: int,
     )
 
 
-def make_pallas_train_fn(cfg: RBMConfig, n_epochs: int,
-                         interpret: Optional[bool] = None):
-    """Build ``fn(state, data) -> (state, errs[n_epochs])`` running ``n_epochs``
-    epochs in ONE kernel launch, or None if the state won't fit in VMEM.
+def _prepare_run(cfg: RBMConfig, state: TrainState, n: int, n_epochs: int,
+                 ndev: int = 1):
+    """Shared host-side setup: batch count, unroll, shuffle permutation, and
+    the per-run seed block. Returns (nb, unroll, nsteps, perm, seed, key)."""
+    nb = n // cfg.batch_size
+    unroll = _pick_unroll(nb, cfg, ndev)
+    nsteps = nb // unroll
+    key, kperm, kepoch = jax.random.split(state.key, 3)
+    if cfg.shuffle:
+        # super-batch-order shuffle: one permutation of the nsteps blocks
+        # per epoch (the reference lineage doesn't shuffle at all)
+        perm = jax.vmap(lambda k: jax.random.permutation(k, nsteps))(
+            jax.random.split(kperm, n_epochs)).astype(jnp.int32)
+    else:
+        perm = jax.lax.broadcasted_iota(jnp.int32, (1, nsteps), 1)
+    seed = jnp.concatenate([
+        jax.random.randint(kepoch, (2,), 0, jnp.iinfo(jnp.int32).max, jnp.int32),
+        jnp.stack([state.epoch.astype(jnp.int32), jnp.int32(0),
+                   jnp.int32(0), jnp.int32(0)]),
+    ])
+    return nb, unroll, nsteps, perm, seed, key
 
-    Cached per (cfg, n_epochs, interpret): rebuilding fresh jit wrappers per
-    model instance would re-trace/lower every kernel (measured ~5 s/layer).
+
+def make_pallas_train_fn(cfg: RBMConfig, n_epochs: int,
+                         interpret: Optional[bool] = None,
+                         inject: bool = False):
+    """Build ``fn(state, data[, uniforms]) -> (state, errs[n_epochs])`` running
+    ``n_epochs`` epochs in ONE kernel launch, or None if the state won't fit
+    in VMEM.
+
+    With ``inject=True`` the kernel consumes pre-drawn uniforms (the
+    ``uniforms`` dict, laid out per minibatch: h0 [E, nb, B, H],
+    h [E, nb, k, B, H], and v/noise [E, nb, k, B, V] when sampling visibles)
+    instead of the on-chip PRNG — the exact-math mode used to test the kernel
+    on CPU, where the interpreter stubs the PRNG to zeros.
+
+    Cached per (cfg, n_epochs, interpret, inject): rebuilding fresh jit
+    wrappers per model instance would re-trace/lower every kernel (measured
+    ~5 s/layer).
     """
     if estimate_vmem_bytes(cfg, unroll=1) > _VMEM_BUDGET:
         return None  # even the unroll=1 footprint doesn't fit
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    return _cached_train_fn(cfg, n_epochs, interpret)
+    return _cached_train_fn(cfg, n_epochs, interpret, inject)
+
+
+def _flatten_uniforms(cfg: RBMConfig, uniforms: Dict[str, jax.Array],
+                      n_epochs: int, nsteps: int, unroll: int):
+    """[E, nb(,k), B, D] per-minibatch draws -> the kernel's row-major
+    per-grid-step blocks (nb = nsteps * unroll; identical memory layout)."""
+    B = uniforms["h0"].shape[-2]
+    args = [uniforms["h0"].reshape(n_epochs, nsteps, unroll * B, cfg.n_hidden),
+            uniforms["h"].reshape(n_epochs, nsteps, cfg.k * unroll * B,
+                                  cfg.n_hidden)]
+    if cfg.resolved_sample_visible:
+        kv = "v" if cfg.visible == "bernoulli" else "noise"
+        args.append(uniforms[kv].reshape(n_epochs, nsteps, cfg.k * unroll * B,
+                                         cfg.n_visible))
+    return args
 
 
 @lru_cache(maxsize=512)
-def _cached_train_fn(cfg: RBMConfig, n_epochs: int, interpret: bool):
+def _cached_train_fn(cfg: RBMConfig, n_epochs: int, interpret: bool,
+                     inject: bool = False):
 
-    def train_fn(state: TrainState, data: jax.Array) -> Tuple[TrainState, jax.Array]:
+    def train_fn(state: TrainState, data: jax.Array,
+                 uniforms: Optional[Dict[str, jax.Array]] = None
+                 ) -> Tuple[TrainState, jax.Array]:
         n = data.shape[0]
-        nb = n // cfg.batch_size
-        unroll = _pick_unroll(nb, cfg)
-        nsteps = nb // unroll
-        key, kperm, kepoch = jax.random.split(state.key, 3)
+        nb, unroll, nsteps, perm, seed, key = _prepare_run(cfg, state, n, n_epochs)
+        if inject and uniforms is None:
+            key, kdraw = jax.random.split(key)
+            uniforms = draw_uniform_blocks(cfg, kdraw, n_epochs, nb)
         batches = data[: nb * cfg.batch_size].reshape(
             nsteps, unroll, cfg.batch_size, cfg.n_visible)
-        if cfg.shuffle:
-            # super-batch-order shuffle: one permutation of the nsteps blocks
-            # per epoch (the reference lineage doesn't shuffle at all)
-            perm = jax.vmap(lambda k: jax.random.permutation(k, nsteps))(
-                jax.random.split(kperm, n_epochs)).astype(jnp.int32)
-        else:
-            perm = jax.lax.broadcasted_iota(jnp.int32, (1, nsteps), 1)
-        seed = jnp.concatenate([
-            jax.random.randint(kepoch, (2,), 0, jnp.iinfo(jnp.int32).max, jnp.int32),
-            jnp.stack([state.epoch.astype(jnp.int32), jnp.int32(0)]),
-        ])
 
-        call = _build_pallas_call(cfg, n_epochs, nb, unroll, cfg.shuffle, interpret)
+        call = _build_pallas_call(cfg, n_epochs, nb, unroll, cfg.shuffle,
+                                  interpret, inject=inject)
         p, vel = state.params, state.velocity
+        extra = (_flatten_uniforms(cfg, uniforms, n_epochs, nsteps, unroll)
+                 if inject else [])
         W, bb, cc, vW, vb, vc, chain, errs = call(
-            seed, perm, batches,
+            seed, perm, batches, *extra,
             p.W, p.b.reshape(1, -1), p.c.reshape(1, -1),
             vel.W, vel.b.reshape(1, -1), vel.c.reshape(1, -1),
             state.chain_h,
@@ -415,15 +675,186 @@ def make_pallas_epoch_fn(cfg: RBMConfig, interpret: Optional[bool] = None):
 
 
 # ---------------------------------------------------------------------------
+# DP: the mega-kernel per shard under shard_map, gradients allreduced inside
+# the kernel over ICI each update (the north-star combination of
+# BASELINE.json:5 with zero kernel relaunches).
+
+
+def make_pallas_dp_train_fn(cfg: RBMConfig, mesh: Mesh, n_epochs: int,
+                            interpret: Optional[bool] = None,
+                            inject: Optional[bool] = None,
+                            _skip_allreduce: bool = False):
+    """Build ``fn(state, data[, uniforms]) -> (state, errs[n_epochs])``: one
+    mega-kernel launch per shard, per-update in-kernel ring allreduce.
+
+    ``cfg.batch_size`` is the GLOBAL minibatch; it is split evenly across the
+    mesh (the DP invariant: allreduced mean-of-local-means == global batch
+    mean, so DP changes throughput, not the update rule). The PCD chain and
+    the error monitor are per-shard; per-epoch errors are pmean'd after the
+    kernel. Returns None when the per-shard state + comm scratch doesn't fit
+    VMEM.
+
+    ``inject=None`` resolves to True on the CPU backend: the TPU interpreter
+    stubs the in-kernel PRNG to zeros, so CPU runs auto-draw their uniforms
+    host-side (threefry) unless the caller supplies them — real sampling math
+    everywhere, never silent degeneration. ``_skip_allreduce`` disables the
+    ring collectives (test-only: proves the parity tests actually exercise
+    them)."""
+    axis = mesh.axis_names[0]
+    ndev = mesh.devices.size
+    if ndev == 1:
+        return make_pallas_train_fn(cfg, n_epochs, interpret=interpret,
+                                    inject=bool(inject))
+    if cfg.batch_size % ndev != 0:
+        raise ValueError(f"batch_size {cfg.batch_size} not divisible by "
+                         f"{ndev} devices")
+    local_cfg = cfg.replace(batch_size=cfg.batch_size // ndev)
+    if estimate_vmem_bytes(local_cfg, unroll=1, ndev=ndev) > _VMEM_BUDGET:
+        return None
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if inject is None:
+        inject = jax.default_backend() == "cpu"
+    return _cached_dp_train_fn(cfg, mesh, axis, ndev, n_epochs, interpret,
+                               inject, _skip_allreduce)
+
+
+def draw_uniform_blocks(cfg: RBMConfig, key: jax.Array, n_epochs: int,
+                        nb: int) -> Dict[str, jax.Array]:
+    """Host-side (threefry) draw of every uniform a training run consumes, in
+    the inject-mode layout ([E, nb(,k), B, D] per minibatch)."""
+    B, V, H = cfg.batch_size, cfg.n_visible, cfg.n_hidden
+    kh0, kh, kv = jax.random.split(key, 3)
+    u = {"h0": jax.random.uniform(kh0, (n_epochs, nb, B, H), jnp.float32),
+         "h": jax.random.uniform(kh, (n_epochs, nb, cfg.k, B, H), jnp.float32)}
+    if cfg.resolved_sample_visible:
+        if cfg.visible == "bernoulli":
+            u["v"] = jax.random.uniform(kv, (n_epochs, nb, cfg.k, B, V),
+                                        jnp.float32)
+        else:
+            u["noise"] = jax.random.normal(kv, (n_epochs, nb, cfg.k, B, V),
+                                           jnp.float32)
+    return u
+
+
+@lru_cache(maxsize=512)
+def _cached_dp_train_fn(cfg: RBMConfig, mesh: Mesh, axis: str, ndev: int,
+                        n_epochs: int, interpret: bool, inject: bool,
+                        _skip_allreduce: bool = False):
+    local_cfg = cfg.replace(batch_size=cfg.batch_size // ndev)
+    local_b = local_cfg.batch_size
+
+    def train_fn(state: TrainState, data: jax.Array,
+                 uniforms: Optional[Dict[str, jax.Array]] = None
+                 ) -> Tuple[TrainState, jax.Array]:
+        n = data.shape[0]
+        nb, unroll, nsteps, perm, seed, key = _prepare_run(
+            cfg, state, n, n_epochs, ndev)
+        if inject and uniforms is None:
+            key, kdraw = jax.random.split(key)
+            uniforms = draw_uniform_blocks(cfg, kdraw, n_epochs, nb)
+        # [nsteps, U, ndev, local_b, V]: each global minibatch's rows split
+        # contiguously across shards
+        batches = data[: nb * cfg.batch_size].reshape(
+            nsteps, unroll, ndev, local_b, cfg.n_visible)
+        extra = []
+        u_specs = ()
+        if inject:
+            flat = _flatten_uniforms(cfg, uniforms, n_epochs, nsteps, unroll)
+            # the global draw blocks are row-major [..., B, D] with B =
+            # ndev * local_b: shard the row dim so each shard consumes its
+            # local slice of every global draw
+            extra = [a.reshape(n_epochs, nsteps, -1, ndev, local_b, a.shape[-1])
+                     for a in flat]
+            u_specs = tuple(P(None, None, None, axis, None, None)
+                            for _ in extra)
+
+        call = _build_pallas_call(local_cfg, n_epochs, nb, unroll, cfg.shuffle,
+                                  interpret, ndev=1 if _skip_allreduce else ndev,
+                                  inject=inject)
+        state_specs = TrainState(
+            params=RBMParams(P(), P(), P()),
+            velocity=RBMParams(P(), P(), P()),
+            chain_h=P(axis),  # PCD chains live with their batch shard
+            key=P(),
+            epoch=P(),
+        )
+
+        @functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(state_specs, P(), P(),
+                      P(None, None, axis, None, None)) + u_specs,
+            out_specs=(state_specs, P()),
+            check_vma=False,  # pallas_call emits outputs without vma info
+        )
+        def run(st: TrainState, seed_, perm_, local_batches, *local_u):
+            my = jax.lax.axis_index(axis).astype(jnp.int32)
+            # shard-distinct PRNG stream + shard id for the ring topology
+            # (odd multiplier decorrelates neighboring shards' int32 seeds)
+            my_seed = seed_.at[0].add(my * jnp.int32(1540483477)).at[3].set(my)
+            lb = local_batches.reshape(nsteps, unroll, local_b, cfg.n_visible)
+            lu = [a.reshape(n_epochs, nsteps, -1, a.shape[-1])
+                  for a in local_u]
+            p, vel = st.params, st.velocity
+            W, bb, cc, vW, vb, vc, chain, errs = call(
+                my_seed, perm_, lb, *lu,
+                p.W, p.b.reshape(1, -1), p.c.reshape(1, -1),
+                vel.W, vel.b.reshape(1, -1), vel.c.reshape(1, -1),
+                st.chain_h,
+            )
+            errs = jax.lax.pmean(errs[:, 0], axis)
+            new_st = TrainState(
+                params=RBMParams(W=W, b=bb[0], c=cc[0]),
+                velocity=RBMParams(W=vW, b=vb[0], c=vc[0]),
+                chain_h=chain,
+                key=st.key,  # advanced outside the shard_map
+                epoch=st.epoch + n_epochs,
+            )
+            return new_st, errs
+
+        st = jax.device_put(state, jax.tree.map(
+            lambda s: NamedSharding(mesh, s), state_specs,
+            is_leaf=lambda x: isinstance(x, P)))
+        if interpret:
+            # eager inputs: under jit, the interpreter's buffer-allocation
+            # io_callbacks block materializing still-pending input values,
+            # which starves XLA:CPU's compute pool on low-core hosts
+            # (observed as a hard deadlock with 8 simulated devices on 1 CPU)
+            st, seed, perm, batches, extra = jax.block_until_ready(
+                (st, seed, perm, batches, extra))
+        new_state, errs = run(st, seed, perm, batches, *extra)
+        return new_state._replace(key=key), errs
+
+    return train_fn if interpret else jax.jit(train_fn)
+
+
+# ---------------------------------------------------------------------------
 # Gradients-only step kernel: the fused CD step as a pure function, for use
-# under shard_map + lax.pmean (fused Pallas sampling on the DP path — the
-# north-star combination of BASELINE.json:5). The parameter update happens
-# outside, after the cross-chip allreduce.
+# under shard_map + lax.pmean (per-step launches; kept as the validation
+# template and as the fallback when the mega-kernel + comm scratch doesn't
+# fit VMEM). The parameter update happens outside, after the allreduce.
 
 
-def _cd_grads_kernel(seed_ref, batch_ref, W_in, b_in, c_in, chain_in,
-                     gW_ref, gb_ref, gc_ref, chain_ref, err_ref, *, cfg: RBMConfig):
-    pltpu.prng_seed(seed_ref[0], seed_ref[1])
+def _cd_grads_kernel(seed_ref, *refs, cfg: RBMConfig, inject: bool = False):
+    pos = 0
+    batch_ref = refs[pos]; pos += 1
+    u_h0_ref = u_h_ref = u_v_ref = None
+    if inject:
+        u_h0_ref = refs[pos]; pos += 1
+        u_h_ref = refs[pos]; pos += 1
+        if cfg.resolved_sample_visible:
+            u_v_ref = refs[pos]; pos += 1
+    W_in, b_in, c_in, chain_in = refs[pos:pos + 4]; pos += 4
+    gW_ref, gb_ref, gc_ref, chain_ref, err_ref = refs[pos:pos + 5]
+
+    if not inject:
+        pltpu.prng_seed(seed_ref[0], seed_ref[1])
+
+    def draw_u(ref, t, shape):
+        if inject:
+            return ref[t]
+        return _uniform_from_bits(shape)
+
     B = cfg.batch_size
     inv_b = jnp.float32(1.0 / B)
     cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
@@ -432,7 +863,8 @@ def _cd_grads_kernel(seed_ref, batch_ref, W_in, b_in, c_in, chain_in,
     v0 = batch_ref[:]
     Wc = W_in[:].astype(cd)
     h0p = jax.nn.sigmoid(_dot_nt(v0, Wc, cd) + c_in[0])
-    h0s = (_uniform_from_bits(h0p.shape) < h0p).astype(jnp.float32)
+    h0s = ((u_h0_ref[:] if inject else _uniform_from_bits(h0p.shape))
+           < h0p).astype(jnp.float32)
 
     h = chain_in[:] if cfg.persistent else h0s
     vs = v0
@@ -444,13 +876,13 @@ def _cd_grads_kernel(seed_ref, batch_ref, W_in, b_in, c_in, chain_in,
         if t == 0:
             v1mean_cd = vmean
         if cfg.visible == "bernoulli":
-            vs = ((_uniform_from_bits(vmean.shape) < vmean).astype(jnp.float32)
+            vs = ((draw_u(u_v_ref, t, vmean.shape) < vmean).astype(jnp.float32)
                   if cfg.resolved_sample_visible else vmean)
         else:
-            vs = (vmean + _normal_from_bits(vmean.shape)
+            vs = (vmean + (u_v_ref[t] if inject else _normal_from_bits(vmean.shape))
                   if cfg.resolved_sample_visible else vmean)
         hmean = jax.nn.sigmoid(_dot_nt(vs, Wc, cd) + c_in[0])
-        h = (_uniform_from_bits(hmean.shape) < hmean).astype(jnp.float32)
+        h = (draw_u(u_h_ref, t, hmean.shape) < hmean).astype(jnp.float32)
 
     if cfg.persistent:
         chain_ref[:] = h
@@ -481,11 +913,16 @@ def _cd_grads_kernel(seed_ref, batch_ref, W_in, b_in, c_in, chain_in,
 
 
 @lru_cache(maxsize=512)
-def make_pallas_grads_fn(cfg: RBMConfig, interpret: Optional[bool] = None):
+def make_pallas_grads_fn(cfg: RBMConfig, interpret: Optional[bool] = None,
+                         inject: bool = False):
     """Fused CD-k step returning (grads, new_chain, err) — no update.
 
-    ``fn(seed[2] int32, v0[B,V], params, chain[B,H])``; usable inside
-    shard_map (one call per local shard per step, pmean the outputs)."""
+    ``fn(seed[2] int32, v0[B,V], params, chain[B,H][, uniforms])``; usable
+    inside shard_map (one call per local shard per step, pmean the outputs).
+    With ``inject=True`` the sampling uniforms come from the caller in the
+    ``draw_uniforms`` layout ({h0 [B,H], h [k,B,H], v/noise [k,B,V]}) instead
+    of the on-chip PRNG — the exact-math mode mirrored by
+    ``ops.cd_step.draw_uniforms`` for CPU-mesh parity tests."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if interpret is True:
@@ -493,21 +930,20 @@ def make_pallas_grads_fn(cfg: RBMConfig, interpret: Optional[bool] = None):
     V, H, B = cfg.n_visible, cfg.n_hidden, cfg.batch_size
     f32 = jnp.float32
 
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (2,)
+                vmem()]  # batch [B, V]
+    if inject:
+        in_specs += [vmem(), vmem()]  # u_h0 [B,H], u_h [k,B,H]
+        if cfg.resolved_sample_visible:
+            in_specs += [vmem()]  # u_v / noise [k,B,V]
+    in_specs += [vmem()] * 4  # W, b (1,V), c (1,H), chain [B,H]
+
     call = pl.pallas_call(
-        functools.partial(_cd_grads_kernel, cfg=cfg),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (2,)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # batch [B, V]
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # W
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # b (1, V)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # c (1, H)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # chain [B, H]
-        ],
+        functools.partial(_cd_grads_kernel, cfg=cfg, inject=inject),
+        in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            vmem(), vmem(), vmem(), vmem(),
             pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
         ],
         out_shape=[
@@ -518,10 +954,16 @@ def make_pallas_grads_fn(cfg: RBMConfig, interpret: Optional[bool] = None):
         interpret=interpret,
     )
 
-    def grads_fn(seed, v0, params: RBMParams, chain):
+    def grads_fn(seed, v0, params: RBMParams, chain, uniforms=None):
+        extra = []
+        if inject:
+            extra = [uniforms["h0"], uniforms["h"]]
+            if cfg.resolved_sample_visible:
+                extra.append(uniforms["v" if cfg.visible == "bernoulli"
+                                      else "noise"])
         gW, gb, gc, new_chain, err = call(
-            seed, v0, params.W, params.b.reshape(1, -1), params.c.reshape(1, -1),
-            chain)
+            seed, v0, *extra, params.W, params.b.reshape(1, -1),
+            params.c.reshape(1, -1), chain)
         return RBMParams(W=gW, b=gb[0], c=gc[0]), new_chain, err[0, 0]
 
     return grads_fn

@@ -111,11 +111,6 @@ def _use_pallas(cfg: RBMConfig, mesh: Optional[Mesh]) -> bool:
     collectives."""
     if cfg.engine == "xla":
         return False
-    if cfg.error_metric == "pseudo":
-        if cfg.engine == "pallas":
-            raise ValueError("error_metric='pseudo' is not implemented in the "
-                             "Pallas kernel; use engine='xla'")
-        return False
     if mesh is not None and len(mesh.devices.flatten()) > 1:
         # engine='pallas' on a dp mesh runs the fused-step shard_map path
         # (handled in train_rbm); auto falls back to GSPMD xla
@@ -184,8 +179,11 @@ def train_rbm(
         state = init_train_state(cfg)
     data = jnp.asarray(data, jnp.dtype(cfg.param_dtype))
 
-    # explicit pallas engine on a multi-device dp mesh: fused Pallas step
-    # kernel per shard + pmean of the gradient stats over ICI ("pallas_dp").
+    # explicit pallas engine on a multi-device dp mesh: the fused mega-kernel
+    # runs per shard with an in-kernel ring allreduce of the gradient stats
+    # over ICI ("pallas_dp", ops.cd_epoch_pallas.make_pallas_dp_train_fn);
+    # when the per-shard state + comm scratch doesn't fit VMEM it falls back
+    # to the per-step fused kernel under shard_map + pmean (parallel.dp).
     # Validated here so the shared flow below (guards, per-epoch features,
     # profiling, metrics, debug_nans restore) applies to this engine too.
     pallas_dp = (mesh is not None and len(mesh.devices.flatten()) > 1
@@ -194,9 +192,6 @@ def train_rbm(
         if "tp" in mesh.axis_names:
             raise ValueError("engine='pallas' supports dp meshes only; "
                              "use engine='xla' for dp x tp")
-        if cfg.error_metric == "pseudo":
-            raise ValueError("error_metric='pseudo' is not implemented in the "
-                             "Pallas kernel; use engine='xla'")
         if not _pallas_available(cfg):
             raise ValueError("model too large for the Pallas VMEM-resident "
                              "kernel; use engine='xla'")
@@ -224,12 +219,20 @@ def train_rbm(
     try:
         if per_epoch:
             if pallas_dp:
-                from ..parallel.dp import train_rbm_shard_map
+                from ..ops.cd_epoch_pallas import make_pallas_dp_train_fn
 
-                def epoch_fn(st, d):
-                    st, errs = train_rbm_shard_map(st, d, cfg, mesh, 1,
-                                                   pallas_step=True)
-                    return st, errs[0]
+                mega = make_pallas_dp_train_fn(cfg, mesh, 1)
+                if mega is not None:
+                    def epoch_fn(st, d, _fn=mega):
+                        st, errs = _fn(st, d)
+                        return st, errs[0]
+                else:  # comm scratch doesn't fit: per-step fused fallback
+                    from ..parallel.dp import train_rbm_shard_map
+
+                    def epoch_fn(st, d):
+                        st, errs = train_rbm_shard_map(st, d, cfg, mesh, 1,
+                                                       pallas_step=True)
+                        return st, errs[0]
             elif use_pallas:
                 from ..ops.cd_epoch_pallas import make_pallas_epoch_fn
 
@@ -254,11 +257,15 @@ def train_rbm(
                     save_state(state, f"{runtime.checkpoint_dir}/epoch{ep + 1:05d}")
         else:
             if pallas_dp:
-                from ..parallel.dp import train_rbm_shard_map
+                from ..ops.cd_epoch_pallas import make_pallas_dp_train_fn
 
-                def train_fn(st, d):
-                    return train_rbm_shard_map(st, d, cfg, mesh, cfg.epochs,
-                                               pallas_step=True)
+                train_fn = make_pallas_dp_train_fn(cfg, mesh, cfg.epochs)
+                if train_fn is None:  # per-step fused fallback
+                    from ..parallel.dp import train_rbm_shard_map
+
+                    def train_fn(st, d):
+                        return train_rbm_shard_map(st, d, cfg, mesh, cfg.epochs,
+                                                   pallas_step=True)
             elif use_pallas:
                 from ..ops.cd_epoch_pallas import make_pallas_train_fn
 

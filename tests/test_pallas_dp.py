@@ -1,0 +1,197 @@
+"""Exact-math tests of the DP mega-kernel's in-kernel ring allreduce.
+
+VERDICT r1 #1/#2: the fused Pallas mega-kernel runs per shard under shard_map
+with a per-update ring allreduce (reduce-scatter + all-gather for dW,
+all-gather + ordered sum for db/dc) over simulated ICI. In inject mode the
+kernel consumes pre-drawn uniforms, so the full multi-epoch multi-shard run
+is EXACTLY reproducible by a host-side replay of the same math — these tests
+assert that parity, and that breaking the collective breaks it (proving the
+tests exercise the rings, not just shapes).
+
+All runs use the TPU interpreter (InterpretParams) on the 8-virtual-device
+CPU mesh; shapes stay small because interpret mode executes per-op host
+callbacks (and on this 1-core host deadlocks at ~700-wide DP shapes — an
+interpreter limitation documented in ops/cd_epoch_pallas.py).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mdbn_tpu.config import RBMConfig
+from mdbn_tpu.core.rbm_math import apply_update, cd_step_stats, pseudo_likelihood
+from mdbn_tpu.core.state import init_train_state
+from mdbn_tpu.data.synthetic import mnist_like
+from mdbn_tpu.ops.cd_epoch_pallas import (
+    make_pallas_dp_train_fn,
+    make_pallas_train_fn,
+)
+from mdbn_tpu.parallel.mesh import make_mesh
+
+pytestmark = pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+
+
+def _draw(cfg, nb, E, seed=7):
+    B, V, H = cfg.batch_size, cfg.n_visible, cfg.n_hidden
+    rng = np.random.default_rng(seed)
+    u = {"h0": jnp.asarray(rng.random((E, nb, B, H), np.float32)),
+         "h": jnp.asarray(rng.random((E, nb, cfg.k, B, H), np.float32))}
+    if cfg.resolved_sample_visible:
+        if cfg.visible == "bernoulli":
+            u["v"] = jnp.asarray(rng.random((E, nb, cfg.k, B, V), np.float32))
+        else:
+            u["noise"] = jnp.asarray(
+                rng.standard_normal((E, nb, cfg.k, B, V)).astype(np.float32))
+    return u
+
+
+def _host_replay(cfg, state0, data, uniforms, E):
+    """Single-device reference: the same CD math, step by step."""
+    nb = data.shape[0] // cfg.batch_size
+    params, vel, chain = state0.params, state0.velocity, state0.chain_h
+    batches = data[: nb * cfg.batch_size].reshape(nb, cfg.batch_size, -1)
+    errs = []
+    for e in range(E):
+        es = []
+        for i in range(nb):
+            u = {k: uniforms[k][e, i] for k in uniforms}
+            grads, chain, err = cd_step_stats(
+                params, jnp.asarray(batches[i]),
+                chain if cfg.persistent else None, u, cfg)
+            if cfg.error_metric == "pseudo":
+                err = pseudo_likelihood(params, jnp.asarray(batches[i]),
+                                        (e * nb + i) % cfg.n_visible, cfg)
+            params, vel = apply_update(params, vel, grads, cfg, epoch=e)
+            es.append(float(err))
+        errs.append(np.mean(es))
+    return params, vel, chain, np.asarray(errs)
+
+
+CFG = RBMConfig(n_visible=144, n_hidden=32, k=2, lr=0.1, epochs=2,
+                batch_size=32, seed=0, momentum=0.5, l2=1e-4,
+                persistent=True, engine="pallas")
+DATA = mnist_like(128, n_features=144, seed=3)  # nb = 4
+E = 2
+
+
+def test_dp_mega_kernel_exact_parity():
+    """Full DP run (8 shards, PCD + momentum + L2 + k=2, in-kernel rings)
+    matches the single-device replay to float32 tolerance — weights, biases,
+    velocity, per-shard PCD chains, and the per-epoch error curve."""
+    nb = DATA.shape[0] // CFG.batch_size
+    uniforms = _draw(CFG, nb, E)
+    fn = make_pallas_dp_train_fn(CFG, make_mesh(8), E, inject=True)
+    assert fn is not None
+    state0 = init_train_state(CFG)
+    state, errs = fn(state0, jnp.asarray(DATA), uniforms)
+
+    params, vel, chain, exp_errs = _host_replay(CFG, state0, DATA, uniforms, E)
+    np.testing.assert_allclose(np.asarray(errs), exp_errs, rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(state.params.W), np.asarray(params.W),
+                               rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(state.params.b), np.asarray(params.b),
+                               rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(state.params.c), np.asarray(params.c),
+                               rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(state.velocity.W), np.asarray(vel.W),
+                               rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(state.chain_h), np.asarray(chain),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_dp_parity_breaks_without_allreduce():
+    """Failing-on-purpose perturbation (VERDICT r1 #2): with the ring
+    collectives disabled, every shard trains on its local 4-row slice only
+    and the result must NOT match the global-batch replay — proving the
+    parity test above actually exercises the allreduce math."""
+    nb = DATA.shape[0] // CFG.batch_size
+    uniforms = _draw(CFG, nb, E)
+    fn = make_pallas_dp_train_fn(CFG, make_mesh(8), E, inject=True,
+                                 _skip_allreduce=True)
+    state0 = init_train_state(CFG)
+    state, errs = fn(state0, jnp.asarray(DATA), uniforms)
+    params, _, _, _ = _host_replay(CFG, state0, DATA, uniforms, E)
+    assert not np.allclose(np.asarray(state.params.W), np.asarray(params.W),
+                           rtol=2e-4, atol=2e-6)
+
+
+def test_single_device_inject_exact_parity():
+    """The single-chip mega-kernel in inject mode matches the replay too
+    (covers the grid pipeline + unroll plumbing without collectives)."""
+    cfg = CFG.replace(momentum=0.0, persistent=False, k=1)
+    nb = DATA.shape[0] // cfg.batch_size
+    uniforms = _draw(cfg, nb, E)
+    fn = make_pallas_train_fn(cfg, E, interpret=True, inject=True)
+    state0 = init_train_state(cfg)
+    state, errs = fn(state0, jnp.asarray(DATA), uniforms)
+    params, _, _, exp_errs = _host_replay(cfg, state0, DATA, uniforms, E)
+    np.testing.assert_allclose(np.asarray(errs), exp_errs, rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(state.params.W), np.asarray(params.W),
+                               rtol=2e-4, atol=2e-6)
+
+
+def test_pseudo_likelihood_in_kernel_exact():
+    """error_metric='pseudo' computed inside the kernel (rank-1 free-energy
+    flip, VERDICT r1 #8) matches core.rbm_math.pseudo_likelihood exactly."""
+    cfg = RBMConfig(n_visible=144, n_hidden=32, k=1, lr=0.1, epochs=E,
+                    batch_size=16, seed=0, error_metric="pseudo",
+                    engine="pallas")
+    data = mnist_like(64, n_features=144, seed=5)  # nb = 4
+    nb = data.shape[0] // cfg.batch_size
+    uniforms = _draw(cfg, nb, E)
+    fn = make_pallas_train_fn(cfg, E, interpret=True, inject=True)
+    state0 = init_train_state(cfg)
+    state, errs = fn(state0, jnp.asarray(data), uniforms)
+    params, _, _, exp_errs = _host_replay(cfg, state0, data, uniforms, E)
+    np.testing.assert_allclose(np.asarray(errs), exp_errs, rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(state.params.W), np.asarray(params.W),
+                               rtol=2e-4, atol=2e-6)
+
+
+def test_pseudo_likelihood_dp_exact():
+    """pseudo under the DP mega-kernel: per-shard PL monitors pmean to the
+    global-batch monitor; weights stay exact."""
+    cfg = RBMConfig(n_visible=144, n_hidden=32, k=1, lr=0.1, epochs=E,
+                    batch_size=32, seed=0, error_metric="pseudo",
+                    engine="pallas")
+    nb = DATA.shape[0] // cfg.batch_size
+    uniforms = _draw(cfg, nb, E)
+    fn = make_pallas_dp_train_fn(cfg, make_mesh(8), E, inject=True)
+    state0 = init_train_state(cfg)
+    state, errs = fn(state0, jnp.asarray(DATA), uniforms)
+    params, _, _, exp_errs = _host_replay(cfg, state0, DATA, uniforms, E)
+    np.testing.assert_allclose(np.asarray(errs), exp_errs, rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(state.params.W), np.asarray(params.W),
+                               rtol=2e-4, atol=2e-6)
+
+
+def test_gaussian_dp_exact():
+    """Gaussian-visible (mean-field negative phase) under DP rings."""
+    cfg = RBMConfig(n_visible=48, n_hidden=16, visible="gaussian", lr=0.005,
+                    k=1, epochs=E, batch_size=16, seed=0, engine="pallas")
+    rng = np.random.default_rng(4)
+    data = rng.standard_normal((64, 48)).astype(np.float32)  # nb = 4
+    nb = data.shape[0] // cfg.batch_size
+    uniforms = _draw(cfg, nb, E)
+    fn = make_pallas_dp_train_fn(cfg, make_mesh(8), E, inject=True)
+    state0 = init_train_state(cfg)
+    state, errs = fn(state0, jnp.asarray(data), uniforms)
+    params, _, _, exp_errs = _host_replay(cfg, state0, data, uniforms, E)
+    np.testing.assert_allclose(np.asarray(errs), exp_errs, rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(state.params.W), np.asarray(params.W),
+                               rtol=2e-4, atol=2e-6)
+
+
+def test_dp_race_detection_clean():
+    """The interpreter's race detector (vector clocks over every simulated
+    DMA/semaphore op) accepts the ring schedule on a tiny config — the
+    slot-reuse-distance argument in ops/cd_epoch_pallas.py, checked."""
+    cfg = RBMConfig(n_visible=32, n_hidden=16, k=1, lr=0.1, epochs=1,
+                    batch_size=16, seed=0, engine="pallas")
+    data = mnist_like(32, n_features=32, seed=0)  # nb = 2
+    # detect_races=True is wired in for every interpret-mode DP build
+    fn = make_pallas_dp_train_fn(cfg, make_mesh(8), 1)
+    state, errs = fn(init_train_state(cfg), jnp.asarray(data))
+    assert np.isfinite(np.asarray(errs)).all()
