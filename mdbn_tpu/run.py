@@ -31,6 +31,12 @@ log = get_logger("mdbn_tpu.run")
 
 
 def build_data(spec: dict):
+    """Synthetic generators and real-data loaders behind one spec format.
+
+    Real kinds (data.loaders): {"kind": "mnist_idx", "path": ..., "binarize":
+    "threshold"|"sample", "limit": N} and {"kind": "omics_csv", "paths":
+    {modality: csv_path}, "zscore": bool} — the reference's whole purpose is
+    real cohort matrices (SURVEY.md §1 L5)."""
     kind = spec.get("kind", "mnist_like")
     kw = {k: v for k, v in spec.items() if k != "kind"}
     if kind == "mnist_like":
@@ -40,6 +46,17 @@ def build_data(spec: dict):
     if kind == "tcga_like":
         mods, labels = synthetic.tcga_like(**kw)
         return mods, labels
+    if kind == "mnist_idx":
+        from .data.loaders import load_mnist_images
+
+        limit = kw.pop("limit", None)
+        data = load_mnist_images(**kw)
+        return (data[:limit] if limit else data), None
+    if kind == "omics_csv":
+        from .data.loaders import load_omics_csv
+
+        return load_omics_csv(kw["paths"],
+                              zscore_features=kw.get("zscore", True)), None
     raise ValueError(f"unknown data kind {kind!r}")
 
 
