@@ -168,10 +168,12 @@ def apply_update(
         grads = RBMParams(*(jnp.clip(g, -clip, clip) for g in grads))
     gW = grads.W - cfg.l2 * params.W if cfg.l2 else grads.W
     m = resolve_momentum(cfg, epoch)
+    # velocities stay in the storage dtype (f32 grads are accumulated in f32
+    # first, then rounded once — matters for param_dtype="bfloat16" storage)
     new_vel = RBMParams(
-        W=m * velocity.W + cfg.lr * gW,
-        b=m * velocity.b + cfg.lr * grads.b,
-        c=m * velocity.c + cfg.lr * grads.c,
+        W=(m * velocity.W.astype(jnp.float32) + cfg.lr * gW).astype(velocity.W.dtype),
+        b=(m * velocity.b.astype(jnp.float32) + cfg.lr * grads.b).astype(velocity.b.dtype),
+        c=(m * velocity.c.astype(jnp.float32) + cfg.lr * grads.c).astype(velocity.c.dtype),
     )
     new_params = RBMParams(
         W=params.W + new_vel.W.astype(params.W.dtype),

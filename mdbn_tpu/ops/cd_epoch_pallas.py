@@ -74,12 +74,18 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _pick_unroll(nb: int, cfg: RBMConfig, ndev: int = 1) -> int:
+def _uses_momentum(cfg: RBMConfig) -> bool:
+    return bool(cfg.momentum) or cfg.initial_momentum is not None
+
+
+def _pick_unroll(nb: int, cfg: RBMConfig, ndev: int = 1,
+                 hbm_state: bool = False) -> int:
     """Largest divisor of nb <= _MAX_UNROLL whose data block stays small and
     whose total footprint fits the VMEM budget."""
     budget_rows = max(1, (2 * 1024 * 1024) // max(1, 4 * cfg.n_visible))  # ~2MB block
     max_u = max(1, min(_MAX_UNROLL, budget_rows // max(1, cfg.batch_size)))
-    while max_u > 1 and estimate_vmem_bytes(cfg, max_u, ndev) > _VMEM_BUDGET:
+    while max_u > 1 and estimate_vmem_bytes(cfg, max_u, ndev,
+                                            hbm_state) > _VMEM_BUDGET:
         max_u -= 1
     for u in range(max_u, 0, -1):
         if nb % u == 0:
@@ -88,7 +94,7 @@ def _pick_unroll(nb: int, cfg: RBMConfig, ndev: int = 1) -> int:
 
 
 def estimate_vmem_bytes(cfg: RBMConfig, unroll: int = _MAX_UNROLL,
-                        ndev: int = 1) -> int:
+                        ndev: int = 1, hbm_state: bool = False) -> int:
     f = 4  # float32
     w = cfg.n_visible * cfg.n_hidden * f
     batch = cfg.batch_size * (cfg.n_visible + cfg.n_hidden) * f
@@ -104,13 +110,37 @@ def estimate_vmem_bytes(cfg: RBMConfig, unroll: int = _MAX_UNROLL,
     comm = 0
     if ndev > 1:
         # DP ring-allreduce scratch: padded work buffer + ndev comm slots for
-        # dW (together ~2x W) + the small bias buffers
+        # dW (together ~2x W) + the small bias buffers. The gW transient below
+        # is the work buffer itself in this mode, so don't double-count it.
         chunk = _round_up(-(-cfg.n_visible // ndev), 8)
         pbc = _round_up(max(cfg.n_visible, cfg.n_hidden), 128)
         comm = 2 * chunk * ndev * cfg.n_hidden * f + 2 * ndev * 2 * pbc * f
-    # W+velW (plus their input copies) + biases + ~8 batch-sized temps
-    return (4 * w + 4 * (cfg.n_visible + cfg.n_hidden) * f + 8 * batch
-            + data_block + rng + comm)
+    # the [V, H] gradient is a live w-sized transient in every mode (it IS the
+    # DP work buffer when ndev > 1); a bf16 compute cast of W adds w/2 more
+    transients = (0 if ndev > 1 else w)
+    if cfg.compute_dtype == "bfloat16":
+        transients += w // 2
+    if hbm_state:
+        # wide-model mode: state lives in HBM, one VMEM master copy of W
+        # (plus one for the velocity only when momentum is actually used)
+        state = (2 * w if _uses_momentum(cfg) else w)
+    else:
+        # const-block mode: W+velW in/out VMEM blocks (4x w)
+        state = 4 * w
+    return (state + 4 * (cfg.n_visible + cfg.n_hidden) * f + 8 * batch
+            + data_block + rng + comm + transients)
+
+
+def pallas_state_mode(cfg: RBMConfig, ndev: int = 1) -> Optional[bool]:
+    """Engine-availability probe: False -> const-block (VMEM in/out blocks)
+    mega-kernel fits; True -> only the HBM-state (manual-DMA master copy)
+    variant fits; None -> neither does (caller must use the XLA engine)."""
+    if estimate_vmem_bytes(cfg, unroll=1, ndev=ndev) <= _VMEM_BUDGET:
+        return False
+    if estimate_vmem_bytes(cfg, unroll=1, ndev=ndev,
+                           hbm_state=True) <= _VMEM_BUDGET:
+        return True
+    return None
 
 
 def _uniform_from_bits(shape) -> jax.Array:
@@ -190,7 +220,9 @@ def _cd_train_kernel(
     nb: int,  # total minibatches per epoch (= num grid steps * unroll)
     ndev: int = 1,
     inject: bool = False,
+    hbm_state: bool = False,
 ):
+    use_momentum = bool(cfg.momentum) or cfg.initial_momentum is not None
     pos = 0
     batch_ref = refs[pos]; pos += 1  # VMEM (1, U, B, V)
     u_h0_ref = u_h_ref = u_v_ref = None
@@ -203,8 +235,26 @@ def _cd_train_kernel(
     W, b, c, vW, vb, vc, chain, err_ref = refs[pos:pos + 8]; pos += 8
     if ndev > 1:
         (gw_work, comm_w, bc_all, comm_bc,
-         send_w, recv_w, send_bc, recv_bc) = refs[pos:pos + 8]
+         send_w, recv_w, send_bc, recv_bc) = refs[pos:pos + 8]; pos += 8
         chunk = gw_work.shape[0] // ndev  # padded row-chunk per ring hop
+    if hbm_state:
+        # wide-model mode: the in/out state refs above live in HBM; the
+        # working state is ONE VMEM master copy per tensor (vs the
+        # const-block mode's separate in+out VMEM blocks), manually DMA'd in
+        # at the first grid step and back out at the last. Halves (momentum)
+        # or quarters (momentum-free) the W-state VMEM footprint, which is
+        # what lets wide-omics shapes (e.g. 20000x400, 32 MB of weights)
+        # train VMEM-resident instead of falling back to the HBM-bound XLA
+        # engine.
+        state_out = (W, b, c, vW, vb, vc, chain)  # HBM refs
+        n_scr = 6 + (1 if use_momentum else 0)
+        scr = refs[pos:pos + n_scr]; pos += n_scr
+        ssem = refs[pos]; pos += 1  # DMA semaphores (7,)
+        if use_momentum:
+            W, b, c, vW, vb, vc, chain = scr
+        else:
+            W, b, c, vb, vc, chain = scr
+            vW = None
 
     e = pl.program_id(0)
     i = pl.program_id(1)
@@ -212,13 +262,27 @@ def _cd_train_kernel(
 
     @pl.when(jnp.logical_and(e == 0, i == 0))
     def _load_state():
-        W[:] = W_in[:]
-        b[:] = b_in[:]
-        c[:] = c_in[:]
-        vW[:] = vW_in[:]
-        vb[:] = vb_in[:]
-        vc[:] = vc_in[:]
-        chain[:] = chain_in[:]
+        if hbm_state:
+            loads = [(W_in, W, 0), (b_in, b, 1), (c_in, c, 2),
+                     (chain_in, chain, 3)]
+            if use_momentum:
+                loads += [(vW_in, vW, 4), (vb_in, vb, 5), (vc_in, vc, 6)]
+            # (momentum-free: velocities are write-only — set at the final
+            # update from the last gradient, never read — so skip their DMA)
+            dmas = [pltpu.make_async_copy(src, dst, ssem.at[s])
+                    for src, dst, s in loads]
+            for d in dmas:
+                d.start()
+            for d in dmas:
+                d.wait()
+        else:
+            W[:] = W_in[:]
+            b[:] = b_in[:]
+            c[:] = c_in[:]
+            vW[:] = vW_in[:]
+            vb[:] = vb_in[:]
+            vc[:] = vc_in[:]
+            chain[:] = chain_in[:]
         if ndev > 1:
             # zero once: grads only ever write rows [:V] of the work buffer
             # and columns [:V]/[:H] of the bias rows, so the padding stays 0
@@ -241,7 +305,6 @@ def _cd_train_kernel(
     cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     lr = jnp.float32(cfg.lr)
     is_last_step = jnp.logical_and(e == pl.num_programs(0) - 1, i == nsteps - 1)
-    use_momentum = bool(cfg.momentum) or cfg.initial_momentum is not None
     if cfg.initial_momentum is not None:
         # Hinton-guide schedule: initial_momentum until momentum_switch_epoch
         cur_epoch = seed_ref[2] + e
@@ -445,19 +508,45 @@ def _cd_train_kernel(
             W[:] = Wv + lr * gW
             b[:] = b[:] + lr * gb
             c[:] = c[:] + lr * gc
-            if u == unroll - 1:
+            if u == unroll - 1 and not hbm_state:
                 @pl.when(is_last_step)
                 def _final_vel():
                     vW[:] = lr * gW
                     vb[:] = lr * gb
                     vc[:] = lr * gc
 
+        if hbm_state and u == unroll - 1:
+            @pl.when(is_last_step)
+            def _writeback():
+                # W goes out first so its master copy can stage the final
+                # velocity in the momentum-free case
+                dw = pltpu.make_async_copy(W, state_out[0], ssem.at[0])
+                dw.start()
+                dw.wait()
+                if not use_momentum:
+                    # velocity-at-end = lr * (last grad after clip/L2),
+                    # matching the XLA engine and the const-block mode
+                    W[:] = lr * gW
+                    vb[:] = lr * gb
+                    vc[:] = lr * gc
+                vel_w_src = W if not use_momentum else vW
+                stores = [(b, 1), (c, 2), (chain, 3), (vel_w_src, 4),
+                          (vb, 5), (vc, 6)]
+                outs = [state_out[1], state_out[2], state_out[6],
+                        state_out[3], state_out[4], state_out[5]]
+                dmas = [pltpu.make_async_copy(src, dst, ssem.at[s])
+                        for (src, s), dst in zip(stores, outs)]
+                for d in dmas:
+                    d.start()
+                for d in dmas:
+                    d.wait()
+
     err_ref[e, 0] = err_ref[e, 0] + err_acc * jnp.float32(1.0 / nb)
 
 
 def _build_pallas_call(cfg: RBMConfig, n_epochs: int, nb: int, unroll: int,
                        shuffle: bool, interpret, ndev: int = 1,
-                       inject: bool = False):
+                       inject: bool = False, hbm_state: bool = False):
     if interpret is True:
         # the generic interpreter lacks pltpu.prng_*; use the TPU interpreter
         # (NB: it stubs prng_random_bits to zeros — use inject=True for real
@@ -494,11 +583,22 @@ def _build_pallas_call(cfg: RBMConfig, n_epochs: int, nb: int, unroll: int,
             in_specs.append(pl.BlockSpec((1, 1, cfg.k * unroll * B, V), step_index,
                                          memory_space=pltpu.VMEM))  # u_v / noise
             n_inject = 3
-    in_specs += [
-        const((V, H)), const((1, V)), const((1, H)),  # W, b, c
-        const((V, H)), const((1, V)), const((1, H)),  # velocities
-        const((B, H)),  # chain
-    ]
+    if hbm_state:
+        anyspec = pl.BlockSpec(memory_space=pl.ANY)
+        state_in_specs = [anyspec] * 7
+        state_out_specs = [anyspec] * 7
+    else:
+        state_in_specs = [
+            const((V, H)), const((1, V)), const((1, H)),  # W, b, c
+            const((V, H)), const((1, V)), const((1, H)),  # velocities
+            const((B, H)),  # chain
+        ]
+        state_out_specs = [
+            const((V, H)), const((1, V)), const((1, H)),
+            const((V, H)), const((1, V)), const((1, H)),
+            const((B, H)),
+        ]
+    in_specs += state_in_specs
 
     scratch_shapes = []
     if ndev > 1:
@@ -514,15 +614,23 @@ def _build_pallas_call(cfg: RBMConfig, n_epochs: int, nb: int, unroll: int,
             pltpu.SemaphoreType.DMA((ndev,)),           # send_bc
             pltpu.SemaphoreType.DMA((ndev,)),           # recv_bc
         ]
+    if hbm_state:
+        # the VMEM master copies of the state + their staging DMA semaphores
+        scratch_shapes += [pltpu.VMEM((V, H), f32),   # W master
+                           pltpu.VMEM((1, V), f32),   # b
+                           pltpu.VMEM((1, H), f32)]   # c
+        if _uses_momentum(cfg):
+            scratch_shapes += [pltpu.VMEM((V, H), f32)]  # vW master
+        scratch_shapes += [pltpu.VMEM((1, V), f32),   # vb
+                           pltpu.VMEM((1, H), f32),   # vc
+                           pltpu.VMEM((B, H), f32),   # chain
+                           pltpu.SemaphoreType.DMA((7,))]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # seed, perm
         grid=(n_epochs, nsteps),
         in_specs=in_specs,
-        out_specs=[
-            const((V, H)), const((1, V)), const((1, H)),
-            const((V, H)), const((1, V)), const((1, H)),
-            const((B, H)),
+        out_specs=state_out_specs + [
             pl.BlockSpec((n_epochs, 1), lambda e, i, seed, perm: (0, 0),
                          memory_space=pltpu.SMEM),  # per-epoch err (scalars)
         ],
@@ -540,7 +648,7 @@ def _build_pallas_call(cfg: RBMConfig, n_epochs: int, nb: int, unroll: int,
     flops_step = 2 * B * V * H * (2 + 2 * cfg.k)
     return pl.pallas_call(
         functools.partial(_cd_train_kernel, cfg=cfg, unroll=unroll, nb=nb,
-                          ndev=ndev, inject=inject),
+                          ndev=ndev, inject=inject, hbm_state=hbm_state),
         grid_spec=grid_spec,
         out_shape=out_shape,
         # params/velocities/chain update in place: operands are
@@ -550,6 +658,9 @@ def _build_pallas_call(cfg: RBMConfig, n_epochs: int, nb: int, unroll: int,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),  # strictly sequential SGD
             collective_id=0 if ndev > 1 else None,
+            # wide-model mode carries a w-sized gradient transient on the
+            # Mosaic stack; the default scoped-vmem limit is 16 MB
+            vmem_limit_bytes=112 * 1024 * 1024 if hbm_state else None,
         ),
         cost_estimate=pl.CostEstimate(
             flops=steps * flops_step,
@@ -561,11 +672,11 @@ def _build_pallas_call(cfg: RBMConfig, n_epochs: int, nb: int, unroll: int,
 
 
 def _prepare_run(cfg: RBMConfig, state: TrainState, n: int, n_epochs: int,
-                 ndev: int = 1):
+                 ndev: int = 1, hbm_state: bool = False):
     """Shared host-side setup: batch count, unroll, shuffle permutation, and
     the per-run seed block. Returns (nb, unroll, nsteps, perm, seed, key)."""
     nb = n // cfg.batch_size
-    unroll = _pick_unroll(nb, cfg, ndev)
+    unroll = _pick_unroll(nb, cfg, ndev, hbm_state)
     nsteps = nb // unroll
     key, kperm, kepoch = jax.random.split(state.key, 3)
     if cfg.shuffle:
@@ -600,11 +711,12 @@ def make_pallas_train_fn(cfg: RBMConfig, n_epochs: int,
     wrappers per model instance would re-trace/lower every kernel (measured
     ~5 s/layer).
     """
-    if estimate_vmem_bytes(cfg, unroll=1) > _VMEM_BUDGET:
-        return None  # even the unroll=1 footprint doesn't fit
+    mode = pallas_state_mode(cfg)
+    if mode is None:
+        return None  # even the HBM-state unroll=1 footprint doesn't fit
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    return _cached_train_fn(cfg, n_epochs, interpret, inject)
+    return _cached_train_fn(cfg, n_epochs, interpret, inject, mode)
 
 
 def _flatten_uniforms(cfg: RBMConfig, uniforms: Dict[str, jax.Array],
@@ -624,13 +736,14 @@ def _flatten_uniforms(cfg: RBMConfig, uniforms: Dict[str, jax.Array],
 
 @lru_cache(maxsize=512)
 def _cached_train_fn(cfg: RBMConfig, n_epochs: int, interpret: bool,
-                     inject: bool = False):
+                     inject: bool = False, hbm_state: bool = False):
 
     def train_fn(state: TrainState, data: jax.Array,
                  uniforms: Optional[Dict[str, jax.Array]] = None
                  ) -> Tuple[TrainState, jax.Array]:
         n = data.shape[0]
-        nb, unroll, nsteps, perm, seed, key = _prepare_run(cfg, state, n, n_epochs)
+        nb, unroll, nsteps, perm, seed, key = _prepare_run(
+            cfg, state, n, n_epochs, hbm_state=hbm_state)
         if inject and uniforms is None:
             key, kdraw = jax.random.split(key)
             uniforms = draw_uniform_blocks(cfg, kdraw, n_epochs, nb)
@@ -638,7 +751,8 @@ def _cached_train_fn(cfg: RBMConfig, n_epochs: int, interpret: bool,
             nsteps, unroll, cfg.batch_size, cfg.n_visible)
 
         call = _build_pallas_call(cfg, n_epochs, nb, unroll, cfg.shuffle,
-                                  interpret, inject=inject)
+                                  interpret, inject=inject,
+                                  hbm_state=hbm_state)
         p, vel = state.params, state.velocity
         extra = (_flatten_uniforms(cfg, uniforms, n_epochs, nsteps, unroll)
                  if inject else [])
@@ -709,14 +823,15 @@ def make_pallas_dp_train_fn(cfg: RBMConfig, mesh: Mesh, n_epochs: int,
         raise ValueError(f"batch_size {cfg.batch_size} not divisible by "
                          f"{ndev} devices")
     local_cfg = cfg.replace(batch_size=cfg.batch_size // ndev)
-    if estimate_vmem_bytes(local_cfg, unroll=1, ndev=ndev) > _VMEM_BUDGET:
+    mode = pallas_state_mode(local_cfg, ndev=ndev)
+    if mode is None:
         return None
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if inject is None:
         inject = jax.default_backend() == "cpu"
     return _cached_dp_train_fn(cfg, mesh, axis, ndev, n_epochs, interpret,
-                               inject, _skip_allreduce)
+                               inject, _skip_allreduce, mode)
 
 
 def draw_uniform_blocks(cfg: RBMConfig, key: jax.Array, n_epochs: int,
@@ -740,7 +855,7 @@ def draw_uniform_blocks(cfg: RBMConfig, key: jax.Array, n_epochs: int,
 @lru_cache(maxsize=512)
 def _cached_dp_train_fn(cfg: RBMConfig, mesh: Mesh, axis: str, ndev: int,
                         n_epochs: int, interpret: bool, inject: bool,
-                        _skip_allreduce: bool = False):
+                        _skip_allreduce: bool = False, hbm_state: bool = False):
     local_cfg = cfg.replace(batch_size=cfg.batch_size // ndev)
     local_b = local_cfg.batch_size
 
@@ -749,7 +864,7 @@ def _cached_dp_train_fn(cfg: RBMConfig, mesh: Mesh, axis: str, ndev: int,
                  ) -> Tuple[TrainState, jax.Array]:
         n = data.shape[0]
         nb, unroll, nsteps, perm, seed, key = _prepare_run(
-            cfg, state, n, n_epochs, ndev)
+            cfg, state, n, n_epochs, ndev, hbm_state)
         if inject and uniforms is None:
             key, kdraw = jax.random.split(key)
             uniforms = draw_uniform_blocks(cfg, kdraw, n_epochs, nb)
@@ -771,7 +886,7 @@ def _cached_dp_train_fn(cfg: RBMConfig, mesh: Mesh, axis: str, ndev: int,
 
         call = _build_pallas_call(local_cfg, n_epochs, nb, unroll, cfg.shuffle,
                                   interpret, ndev=1 if _skip_allreduce else ndev,
-                                  inject=inject)
+                                  inject=inject, hbm_state=hbm_state)
         state_specs = TrainState(
             params=RBMParams(P(), P(), P()),
             velocity=RBMParams(P(), P(), P()),

@@ -100,9 +100,11 @@ def _jitted_train_xla_fused(cfg: RBMConfig, n_epochs: int, mesh: Optional[Mesh],
 
 
 def _pallas_available(cfg: RBMConfig) -> bool:
-    from ..ops.cd_epoch_pallas import estimate_vmem_bytes, _VMEM_BUDGET
+    from ..ops.cd_epoch_pallas import pallas_state_mode
 
-    return estimate_vmem_bytes(cfg, unroll=1) <= _VMEM_BUDGET
+    # False (const-block) or True (HBM-state/manual-DMA wide mode) both work;
+    # only None means the state cannot be made VMEM-resident at all
+    return pallas_state_mode(cfg) is not None
 
 
 def _use_pallas(cfg: RBMConfig, mesh: Optional[Mesh]) -> bool:

