@@ -65,6 +65,10 @@ def main():
         ("c4 MDBN joint 250x100 b20",
          RBMConfig(n_visible=250, n_hidden=100, lr=0.05, batch_size=20, seed=0),
          (np.random.default_rng(0).random((6000, 250)) < 0.4).astype(np.float32)),
+        ("wide-omics Gaussian 20000x400 b20 (HBM-state Pallas kernel)",
+         RBMConfig(n_visible=20000, n_hidden=400, visible="gaussian", lr=0.001,
+                   batch_size=20, seed=0),
+         np.random.default_rng(1).standard_normal((2000, 20000)).astype(np.float32)),
     ]
 
     rows = []
