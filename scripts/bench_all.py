@@ -23,17 +23,26 @@ def log(m):
 
 
 def replace_md_section(path: str, header: str, block: str) -> None:
-    """Replace (or append) the section starting at ``header`` (a '## ' line)
-    up to the next '## ' heading, so multiple generators can share the file."""
+    """Replace in place (or append) the section starting at ``header`` (a
+    '## ' line) up to the next '## ' heading, so multiple generators can
+    share the file."""
     import os
     text = open(path).read() if os.path.exists(path) else ""
+    block = block.lstrip("\n")
+    if not block.endswith("\n"):
+        block += "\n"
     start = text.find(header)
     if start != -1:
         nxt = text.find("\n## ", start + len(header))
-        text = text[:start] + (text[nxt + 1:] if nxt != -1 else "")
-    if text and not text.endswith("\n"):
-        text += "\n"
-    open(path, "w").write(text + block.lstrip("\n"))
+        rest = text[nxt + 1:] if nxt != -1 else ""
+        if rest and not block.endswith("\n\n"):
+            block += "\n"
+        text = text[:start] + block + rest
+    else:
+        if text and not text.endswith("\n"):
+            text += "\n"
+        text += block
+    open(path, "w").write(text)
 
 
 
