@@ -73,6 +73,14 @@ def main(argv=None):
                     help="data-parallel mesh width (0 = no mesh)")
     ap.add_argument("--tp", type=int, default=1,
                     help="tensor-parallel mesh width (with --dp)")
+    ap.add_argument("--save", default=None, metavar="DIR",
+                    help="save the trained model to DIR after training")
+    ap.add_argument("--load", default=None, metavar="DIR",
+                    help="load a saved model from DIR instead of training "
+                         "(inference mode; use with --transform-out)")
+    ap.add_argument("--transform-out", default=None, metavar="PATH",
+                    help="write latent codes for the configured data to PATH "
+                         "(.npy or .csv)")
     args = ap.parse_args(argv)
 
     mesh = None
@@ -110,6 +118,33 @@ def main(argv=None):
         checkpoint_every_epochs=1 if args.checkpoint_dir else 0,
     )
     layer_runtime = dataclasses.replace(runtime, checkpoint_every_epochs=0)
+
+    model_cls = (RBM if isinstance(model_cfg, RBMConfig)
+                 else DBN if isinstance(model_cfg, DBNConfig)
+                 else MDBN if isinstance(model_cfg, MDBNConfig) else None)
+    if model_cls is None:
+        raise TypeError(f"unsupported model config {type(model_cfg)}")
+
+    def write_codes(model):
+        """The serving path: deterministic latent codes for the whole cohort
+        (SURVEY.md §3.4), written to disk."""
+        codes = np.asarray(model.transform(data))
+        out = args.transform_out
+        if out.endswith(".csv"):
+            np.savetxt(out, codes, delimiter=",")
+        else:
+            np.save(out, codes)
+        log.info("wrote %s latent codes to %s", codes.shape, out)
+
+    if args.load:
+        # inference mode: restore a trained model, no training
+        model = model_cls.load(args.load)
+        if args.transform_out:
+            write_codes(model)
+        else:
+            log.info("model loaded from %s (use --transform-out to emit codes)",
+                     args.load)
+        return 0
 
     with MetricsWriter(args.metrics) as mw:
         if isinstance(model_cfg, RBMConfig):
@@ -149,8 +184,12 @@ def main(argv=None):
                 log.info("%s trained", name)
             if args.checkpoint_dir:
                 model.save(os.path.join(args.checkpoint_dir, "mdbn_final"))
-        else:
-            raise TypeError(f"unsupported model config {type(model_cfg)}")
+
+        if args.save:
+            model.save(args.save)
+            log.info("model saved to %s", args.save)
+        if args.transform_out:
+            write_codes(model)
 
         analysis = exp.get("analysis")
         if analysis and "kmeans" in analysis:

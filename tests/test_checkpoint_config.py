@@ -225,3 +225,33 @@ def test_cli_dbn_resume(tmp_path):
                  "--metrics", m2]) == 0
     layers_run2 = [json.loads(l) for l in open(m2) if json.loads(l)["kind"] == "layer"]
     assert layers_run2 == []  # everything restored; no layer was retrained
+
+
+def test_cli_save_load_transform(tmp_path):
+    """Serving path: train + --save, then --load + --transform-out emits the
+    cohort's latent codes without retraining."""
+    from mdbn_tpu.run import main
+
+    cfg_path = str(tmp_path / "exp.json")
+    save_config({
+        "model": RBMConfig(n_visible=64, n_hidden=8, epochs=2, batch_size=10,
+                           engine="xla", seed=0),
+        "data": {"kind": "mnist_like", "n_samples": 40, "n_features": 64,
+                 "seed": 2},
+    }, cfg_path)
+    mdir = str(tmp_path / "model")
+    assert main(["--config", cfg_path, "--save", mdir]) == 0
+
+    out = str(tmp_path / "codes.npy")
+    assert main(["--config", cfg_path, "--load", mdir,
+                 "--transform-out", out]) == 0
+    codes = np.load(out)
+    assert codes.shape == (40, 8)
+    assert np.all((codes >= 0) & (codes <= 1))
+
+    # csv flavor
+    out_csv = str(tmp_path / "codes.csv")
+    assert main(["--config", cfg_path, "--load", mdir,
+                 "--transform-out", out_csv]) == 0
+    np.testing.assert_allclose(np.loadtxt(out_csv, delimiter=","), codes,
+                               rtol=1e-5, atol=1e-6)
