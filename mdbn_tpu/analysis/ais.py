@@ -241,6 +241,9 @@ def dbn_log_likelihood_bound(
         out = log_likelihood(top_params, top_cfg, data, key, n_chains,
                              n_betas, base_data)
         out["mean_log_likelihood_bound"] = out.pop("mean_log_likelihood")
+        # same keys as the multi-layer branch so depth-generic callers work
+        out["log_z_top"] = out.pop("log_z")
+        out["mc_std"] = 0.0  # no stochastic Q pass for a bare RBM
         return out
 
     kais, kq = jax.random.split(key)
@@ -254,7 +257,6 @@ def dbn_log_likelihood_bound(
     a_base = base_rate_biases(reps)
     log_z_top, logw = ais_log_z(top_params, a_base, kais, n_chains, n_betas)
 
-    @partial(jax.jit, static_argnums=())
     def one_pass(k, v):
         """One stochastic up-pass: returns log p*(path) - log Q(path)."""
         eps = 1e-7
@@ -282,7 +284,9 @@ def dbn_log_likelihood_bound(
         return total
 
     keys = jax.random.split(kq, n_samples)
-    samples = jnp.stack([one_pass(k, data) for k in keys])  # [S, N]
+    # all S stochastic up-passes in ONE dispatch (vmapped over the keys) —
+    # per-sample dispatches would be pure overhead at these tiny shapes
+    samples = jax.jit(jax.vmap(one_pass, in_axes=(0, None)))(keys, data)  # [S, N]
     bound = jnp.mean(samples) - log_z_top
     return {
         "log_z_top": float(log_z_top),

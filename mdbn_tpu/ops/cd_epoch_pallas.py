@@ -222,7 +222,7 @@ def _cd_train_kernel(
     inject: bool = False,
     hbm_state: bool = False,
 ):
-    use_momentum = bool(cfg.momentum) or cfg.initial_momentum is not None
+    use_momentum = _uses_momentum(cfg)
     pos = 0
     batch_ref = refs[pos]; pos += 1  # VMEM (1, U, B, V)
     u_h0_ref = u_h_ref = u_v_ref = None
@@ -672,11 +672,16 @@ def _build_pallas_call(cfg: RBMConfig, n_epochs: int, nb: int, unroll: int,
 
 
 def _prepare_run(cfg: RBMConfig, state: TrainState, n: int, n_epochs: int,
-                 ndev: int = 1, hbm_state: bool = False):
+                 ndev: int = 1, hbm_state: bool = False,
+                 pick_cfg: Optional[RBMConfig] = None):
     """Shared host-side setup: batch count, unroll, shuffle permutation, and
-    the per-run seed block. Returns (nb, unroll, nsteps, perm, seed, key)."""
+    the per-run seed block. Returns (nb, unroll, nsteps, perm, seed, key).
+
+    ``pick_cfg``: config used for the unroll/VMEM sizing — under DP the
+    kernel runs with the LOCAL batch (global / ndev), so sizing from the
+    global config would under-select unroll by up to ndev-fold."""
     nb = n // cfg.batch_size
-    unroll = _pick_unroll(nb, cfg, ndev, hbm_state)
+    unroll = _pick_unroll(nb, pick_cfg or cfg, ndev, hbm_state)
     nsteps = nb // unroll
     key, kperm, kepoch = jax.random.split(state.key, 3)
     if cfg.shuffle:
@@ -817,6 +822,11 @@ def make_pallas_dp_train_fn(cfg: RBMConfig, mesh: Mesh, n_epochs: int,
     axis = mesh.axis_names[0]
     ndev = mesh.devices.size
     if ndev == 1:
+        # resolve inject exactly like the multi-device path: None -> True on
+        # CPU (the interpreter's PRNG is stubbed to zeros — silent
+        # degeneration otherwise) and caller-supplied uniforms must be honored
+        if inject is None:
+            inject = jax.default_backend() == "cpu"
         return make_pallas_train_fn(cfg, n_epochs, interpret=interpret,
                                     inject=bool(inject))
     if cfg.batch_size % ndev != 0:
@@ -864,7 +874,7 @@ def _cached_dp_train_fn(cfg: RBMConfig, mesh: Mesh, axis: str, ndev: int,
                  ) -> Tuple[TrainState, jax.Array]:
         n = data.shape[0]
         nb, unroll, nsteps, perm, seed, key = _prepare_run(
-            cfg, state, n, n_epochs, ndev, hbm_state)
+            cfg, state, n, n_epochs, ndev, hbm_state, pick_cfg=local_cfg)
         if inject and uniforms is None:
             key, kdraw = jax.random.split(key)
             uniforms = draw_uniform_blocks(cfg, kdraw, n_epochs, nb)

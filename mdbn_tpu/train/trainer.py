@@ -99,6 +99,17 @@ def _jitted_train_xla_fused(cfg: RBMConfig, n_epochs: int, mesh: Optional[Mesh],
                    out_shardings=(sh, NamedSharding(mesh, P())))
 
 
+def _check_dp_fallback_supports(cfg: RBMConfig) -> None:
+    """The per-step grads kernel (the pallas_dp fallback when the mega-kernel's
+    comm scratch doesn't fit) computes mse/xent only — never silently report a
+    different monitor than the one asked for."""
+    if cfg.error_metric == "pseudo":
+        raise ValueError(
+            "error_metric='pseudo' is only computed by the DP mega-kernel, "
+            "which doesn't fit this config; use error_metric='mse'/'xent' or "
+            "engine='xla'")
+
+
 def _pallas_available(cfg: RBMConfig) -> bool:
     from ..ops.cd_epoch_pallas import pallas_state_mode
 
@@ -194,9 +205,14 @@ def train_rbm(
         if "tp" in mesh.axis_names:
             raise ValueError("engine='pallas' supports dp meshes only; "
                              "use engine='xla' for dp x tp")
-        if not _pallas_available(cfg):
+        # availability is per SHARD: the kernel runs with the local batch
+        # (global batch / ndev), so probe with that, not the global config
+        ndev = len(mesh.devices.flatten())
+        local_cfg = (cfg.replace(batch_size=cfg.batch_size // ndev)
+                     if cfg.batch_size % ndev == 0 else cfg)
+        if not _pallas_available(local_cfg):
             raise ValueError("model too large for the Pallas VMEM-resident "
-                             "kernel; use engine='xla'")
+                             "kernel even per shard; use engine='xla'")
 
     prev_debug_nans = jax.config.jax_debug_nans
     if runtime.debug_nans:
@@ -229,6 +245,7 @@ def train_rbm(
                         st, errs = _fn(st, d)
                         return st, errs[0]
                 else:  # comm scratch doesn't fit: per-step fused fallback
+                    _check_dp_fallback_supports(cfg)
                     from ..parallel.dp import train_rbm_shard_map
 
                     def epoch_fn(st, d):
@@ -263,6 +280,7 @@ def train_rbm(
 
                 train_fn = make_pallas_dp_train_fn(cfg, mesh, cfg.epochs)
                 if train_fn is None:  # per-step fused fallback
+                    _check_dp_fallback_supports(cfg)
                     from ..parallel.dp import train_rbm_shard_map
 
                     def train_fn(st, d):

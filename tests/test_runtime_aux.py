@@ -236,3 +236,41 @@ def test_init_uniform_glorot4():
     assert np.abs(o.params["W"]).max() <= bound
     with pytest.raises(ValueError, match="init"):
         RBMConfig(n_visible=4, n_hidden=4, init="bogus")
+
+
+def test_dp_guard_uses_local_batch_and_pseudo_fallback_raises():
+    """Review fixes: (a) the pallas_dp 'too large' probe must use the
+    per-shard batch, not the ndev-times-larger global batch; (b) the per-step
+    fallback kernel computes mse/xent only, so asking it for the pseudo
+    monitor must raise instead of silently reporting cross-entropy; (c) a
+    1-device mesh on CPU must auto-inject host-drawn uniforms (the
+    interpreter's PRNG is stubbed to zeros)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mdbn_tpu.core.state import init_train_state
+    from mdbn_tpu.data.synthetic import mnist_like
+    from mdbn_tpu.ops.cd_epoch_pallas import make_pallas_dp_train_fn
+    from mdbn_tpu.parallel.mesh import make_mesh
+    from mdbn_tpu.train.trainer import (_check_dp_fallback_supports,
+                                        _pallas_available)
+
+    big = RBMConfig(n_visible=784, n_hidden=500, batch_size=4096,
+                    engine="pallas")
+    assert not _pallas_available(big)                       # global batch: no
+    assert _pallas_available(big.replace(batch_size=512))   # per-shard: yes
+    assert make_pallas_dp_train_fn(big, make_mesh(8), 1) is not None
+
+    with pytest.raises(ValueError, match="pseudo"):
+        _check_dp_fallback_supports(big.replace(error_metric="pseudo"))
+
+    if jax.default_backend() == "cpu":
+        cfg = RBMConfig(n_visible=32, n_hidden=16, batch_size=4, epochs=2,
+                        seed=0)
+        fn = make_pallas_dp_train_fn(cfg, make_mesh(1), 2)
+        data = mnist_like(16, n_features=32, seed=1)
+        _, errs = fn(init_train_state(cfg), jnp.asarray(data))
+        # zero-bits degeneration would sample every unit to 1 and blow the
+        # error up; real injected math keeps it at the ~0.25 data scale
+        assert 0.05 < float(np.asarray(errs)[-1]) < 0.5
