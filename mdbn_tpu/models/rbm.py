@@ -53,6 +53,14 @@ class RBM:
     def free_energy(self, v) -> jax.Array:
         return free_energy(self.params, jnp.asarray(v, self._dtype), self.cfg)
 
+    def free_energy_gap(self, train_v, valid_v) -> float:
+        """Hinton practical-guide overfitting monitor: mean free energy of a
+        held-out subset minus a training subset. The gap growing over
+        training means the model is overfitting the training data (the
+        unknown log Z cancels in the difference)."""
+        return float(jnp.mean(self.free_energy(valid_v))
+                     - jnp.mean(self.free_energy(train_v)))
+
     def sample(self, n_samples: int = 16, n_gibbs: int = 200,
                v_init=None, seed: int = 0) -> jax.Array:
         """Generate samples by prolonged Gibbs chains ("daydreaming").

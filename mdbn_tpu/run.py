@@ -136,14 +136,58 @@ def main(argv=None):
             np.save(out, codes)
         log.info("wrote %s latent codes to %s", codes.shape, out)
 
+    def run_analysis(model, mw):
+        """config "analysis" block: k-means (fixed k or "auto" via silhouette)
+        + optional survival evaluation. Used after training AND in --load
+        inference mode (cluster a new cohort with a saved model)."""
+        analysis = exp.get("analysis")
+        if not analysis or "kmeans" not in analysis:
+            return
+        codes = extract_latent(model, data)
+        spec = analysis["kmeans"]
+        if spec == "auto":
+            from .analysis.cluster import select_n_clusters
+
+            k, scores = select_n_clusters(codes,
+                                          k_min=int(analysis.get("k_min", 2)),
+                                          k_max=int(analysis.get("k_max", 8)))
+            log.info("silhouette-selected k=%d (scores: %s)", k,
+                     {kk: round(s, 3) for kk, s in scores.items()})
+        else:
+            k, scores = int(spec), None
+        pred, _ = kmeans_cluster(codes, k, seed=0)
+        rec = {"kind": "kmeans", "k": k,
+               "cluster_sizes": np.bincount(pred, minlength=k).tolist()}
+        if scores is not None:
+            rec["silhouette_scores"] = {str(kk): s for kk, s in scores.items()}
+        if labels is not None:
+            rec["ari_vs_planted"] = adjusted_rand_index(labels, pred)
+            log.info("k-means ARI vs planted clusters: %.3f", rec["ari_vs_planted"])
+        if analysis.get("survival") and labels is not None:
+            # paper-pipeline evaluation (SURVEY.md §1 L4): do the discovered
+            # subgroups separate survival? Synthetic survival is planted on
+            # the true cluster labels, so a good clustering must separate it.
+            from .analysis.survival import logrank_test, synthetic_survival
+
+            times, events = synthetic_survival(labels, seed=0)
+            lr = logrank_test(times, events, pred)
+            rec["logrank"] = lr
+            log.info("log-rank test across clusters: chi2=%.2f p=%.2e",
+                     lr["chi2"], lr["p_value"])
+        if mw is not None:
+            mw.write(rec)
+        print(json.dumps(rec))
+
     if args.load:
         # inference mode: restore a trained model, no training
         model = model_cls.load(args.load)
         if args.transform_out:
             write_codes(model)
-        else:
-            log.info("model loaded from %s (use --transform-out to emit codes)",
-                     args.load)
+        with MetricsWriter(args.metrics) as mw:
+            run_analysis(model, mw)
+        if not args.transform_out and not exp.get("analysis"):
+            log.info("model loaded from %s (use --transform-out to emit codes "
+                     "or an 'analysis' config block to cluster)", args.load)
         return 0
 
     with MetricsWriter(args.metrics) as mw:
@@ -191,29 +235,7 @@ def main(argv=None):
         if args.transform_out:
             write_codes(model)
 
-        analysis = exp.get("analysis")
-        if analysis and "kmeans" in analysis:
-            k = int(analysis["kmeans"])
-            codes = extract_latent(model, data)
-            pred, _ = kmeans_cluster(codes, k, seed=0)
-            rec = {"kind": "kmeans", "k": k,
-                   "cluster_sizes": np.bincount(pred, minlength=k).tolist()}
-            if labels is not None:
-                rec["ari_vs_planted"] = adjusted_rand_index(labels, pred)
-                log.info("k-means ARI vs planted clusters: %.3f", rec["ari_vs_planted"])
-            if analysis.get("survival") and labels is not None:
-                # paper-pipeline evaluation (SURVEY.md §1 L4): do the discovered
-                # subgroups separate survival? Synthetic survival is planted on
-                # the true cluster labels, so a good clustering must separate it.
-                from .analysis.survival import logrank_test, synthetic_survival
-
-                times, events = synthetic_survival(labels, seed=0)
-                lr = logrank_test(times, events, pred)
-                rec["logrank"] = lr
-                log.info("log-rank test across clusters: chi2=%.2f p=%.2e",
-                         lr["chi2"], lr["p_value"])
-            mw.write(rec)
-            print(json.dumps(rec))
+        run_analysis(model, mw)
 
     return 0
 

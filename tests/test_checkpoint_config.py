@@ -255,3 +255,56 @@ def test_cli_save_load_transform(tmp_path):
                  "--transform-out", out_csv]) == 0
     np.testing.assert_allclose(np.loadtxt(out_csv, delimiter=","), codes,
                                rtol=1e-5, atol=1e-6)
+
+
+def test_cli_auto_k_and_inference_analysis(tmp_path):
+    """'kmeans': 'auto' picks k by silhouette; --load + analysis clusters a
+    cohort with a saved model (no retraining)."""
+    from mdbn_tpu.run import main
+
+    cfg_path = str(tmp_path / "exp.json")
+    save_config({
+        "model": MDBNConfig(
+            towers={m: DBNConfig(layer_sizes=[16, 8], visible="gaussian",
+                                 epochs=2, batch_size=10, engine="xla", seed=i)
+                    for i, m in enumerate(["ge", "meth", "mirna"])},
+            joint=RBMConfig(n_visible=1, n_hidden=8, epochs=2, batch_size=10,
+                            engine="xla"),
+        ),
+        "data": {"kind": "tcga_like", "n_patients": 80, "n_clusters": 3,
+                 "dims": {"ge": 40, "meth": 30, "mirna": 20}, "seed": 1,
+                 "signal": 3.0},
+        "analysis": {"kmeans": "auto", "k_min": 2, "k_max": 5},
+    }, cfg_path)
+    metrics = str(tmp_path / "m.jsonl")
+    mdir = str(tmp_path / "model")
+    assert main(["--config", cfg_path, "--metrics", metrics,
+                 "--save", mdir]) == 0
+    recs = [json.loads(l) for l in open(metrics)]
+    km = [r for r in recs if r["kind"] == "kmeans"]
+    assert km and 2 <= km[0]["k"] <= 5  # silhouette-selected within range
+    assert km[0]["ari_vs_planted"] > 0.4
+    assert set(km[0]["silhouette_scores"]) == {"2", "3", "4", "5"}
+
+    # inference mode: saved model + analysis block, no training
+    m2 = str(tmp_path / "m2.jsonl")
+    assert main(["--config", cfg_path, "--load", mdir, "--metrics", m2]) == 0
+    recs2 = [json.loads(l) for l in open(m2)]
+    km2 = [r for r in recs2 if r["kind"] == "kmeans"]
+    # same codes from the restored model -> same selected k and clustering
+    assert km2 and km2[0]["k"] == km[0]["k"]
+    assert km2[0]["cluster_sizes"] == km[0]["cluster_sizes"]
+    assert not [r for r in recs2 if r["kind"] == "tower"]  # no training ran
+
+
+def test_free_energy_gap():
+    from mdbn_tpu.models.rbm import RBM
+
+    data = mnist_like(120, seed=2)
+    rbm = RBM(RBMConfig(n_visible=784, n_hidden=16, epochs=3, batch_size=20,
+                        engine="xla", seed=0)).train(data[:100])
+    gap_valid = rbm.free_energy_gap(data[:100], data[100:])
+    assert np.isfinite(gap_valid)
+    # random noise must have much higher free energy than training data
+    noise = (np.random.default_rng(0).random((20, 784)) < 0.5).astype(np.float32)
+    assert rbm.free_energy_gap(data[:100], noise) > gap_valid
