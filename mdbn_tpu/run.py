@@ -127,8 +127,19 @@ def main(argv=None):
 
     def write_codes(model):
         """The serving path: deterministic latent codes for the whole cohort
-        (SURVEY.md §3.4), written to disk."""
-        codes = np.asarray(model.transform(data))
+        (SURVEY.md §3.4), written to disk. Chunked over rows so cohorts far
+        larger than HBM still stream through (one jit per chunk shape; the
+        last ragged chunk is the only re-compile)."""
+        chunk = 65536
+        n = (len(next(iter(data.values()))) if isinstance(data, dict)
+             else len(data))
+        parts = []
+        for lo in range(0, n, chunk):
+            sl = (slice(lo, lo + chunk),)
+            part = (data[sl[0]] if not isinstance(data, dict)
+                    else {m: v[sl[0]] for m, v in data.items()})
+            parts.append(np.asarray(model.transform(part)))
+        codes = np.concatenate(parts, axis=0)
         out = args.transform_out
         if out.endswith(".csv"):
             np.savetxt(out, codes, delimiter=",")
