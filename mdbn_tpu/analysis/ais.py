@@ -284,9 +284,11 @@ def dbn_log_likelihood_bound(
         return total
 
     keys = jax.random.split(kq, n_samples)
-    # all S stochastic up-passes in ONE dispatch (vmapped over the keys) —
-    # per-sample dispatches would be pure overhead at these tiny shapes
-    samples = jax.jit(jax.vmap(one_pass, in_axes=(0, None)))(keys, data)  # [S, N]
+    # all S stochastic up-passes in ONE dispatch, but sequential on device
+    # (lax.map = scan): peak memory stays at ONE pass's activations instead
+    # of vmapping S cohort-sized intermediates live at once
+    samples = jax.jit(
+        lambda ks, v: jax.lax.map(lambda k: one_pass(k, v), ks))(keys, data)  # [S, N]
     bound = jnp.mean(samples) - log_z_top
     return {
         "log_z_top": float(log_z_top),

@@ -43,22 +43,26 @@ def adjusted_rand_index(a: np.ndarray, b: np.ndarray) -> float:
 
 
 def select_n_clusters(codes: np.ndarray, k_min: int = 2, k_max: int = 8,
-                      seed: int = 0) -> Tuple[int, Dict[int, float]]:
+                      seed: int = 0) -> Tuple[int, Dict[int, float], np.ndarray]:
     """Pick the cluster count by silhouette score over ``[k_min, k_max]``.
 
     The paper pipeline the reference reproduces (Liang et al. 2015) chooses
     the patient-subgroup count from the data rather than fixing it; the
     silhouette criterion is the standard model-free way. Returns
-    ``(best_k, {k: score})``."""
+    ``(best_k, {k: score}, labels_of_best_k)`` — the winning assignment is
+    returned so callers don't re-fit the same k-means."""
     from sklearn.metrics import silhouette_score
 
     k_max = min(k_max, len(codes) - 1)
     scores: Dict[int, float] = {}
+    fits: Dict[int, np.ndarray] = {}
     for k in range(k_min, k_max + 1):
         labels, _ = kmeans_cluster(codes, k, seed=seed)
         if len(np.unique(labels)) < 2:
             continue
         scores[k] = float(silhouette_score(codes, labels))
+        fits[k] = labels
     if not scores:
         raise ValueError("no k in range produced >= 2 distinct clusters")
-    return max(scores, key=scores.get), scores
+    best = max(scores, key=scores.get)
+    return best, scores, fits[best]

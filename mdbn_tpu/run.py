@@ -19,7 +19,7 @@ import sys
 
 import numpy as np
 
-from .analysis.cluster import adjusted_rand_index, extract_latent, kmeans_cluster
+from .analysis.cluster import adjusted_rand_index, kmeans_cluster
 from .config import DBNConfig, MDBNConfig, RBMConfig, TrainRuntimeConfig, load_config
 from .data import synthetic
 from .models.dbn import DBN
@@ -125,21 +125,30 @@ def main(argv=None):
     if model_cls is None:
         raise TypeError(f"unsupported model config {type(model_cfg)}")
 
+    _codes_cache = {}
+
+    def cohort_codes(model) -> np.ndarray:
+        """Latent codes for the whole configured cohort, chunked over rows so
+        cohorts far larger than HBM still stream through (one jit per chunk
+        shape; the last ragged chunk is the only re-compile). Cached — an
+        invocation that both writes codes and runs analysis transforms once."""
+        if "codes" not in _codes_cache:
+            chunk = 65536
+            n = (len(next(iter(data.values()))) if isinstance(data, dict)
+                 else len(data))
+            parts = []
+            for lo in range(0, n, chunk):
+                sl = slice(lo, lo + chunk)
+                part = (data[sl] if not isinstance(data, dict)
+                        else {m: v[sl] for m, v in data.items()})
+                parts.append(np.asarray(model.transform(part)))
+            _codes_cache["codes"] = np.concatenate(parts, axis=0)
+        return _codes_cache["codes"]
+
     def write_codes(model):
         """The serving path: deterministic latent codes for the whole cohort
-        (SURVEY.md §3.4), written to disk. Chunked over rows so cohorts far
-        larger than HBM still stream through (one jit per chunk shape; the
-        last ragged chunk is the only re-compile)."""
-        chunk = 65536
-        n = (len(next(iter(data.values()))) if isinstance(data, dict)
-             else len(data))
-        parts = []
-        for lo in range(0, n, chunk):
-            sl = (slice(lo, lo + chunk),)
-            part = (data[sl[0]] if not isinstance(data, dict)
-                    else {m: v[sl[0]] for m, v in data.items()})
-            parts.append(np.asarray(model.transform(part)))
-        codes = np.concatenate(parts, axis=0)
+        (SURVEY.md §3.4), written to disk."""
+        codes = cohort_codes(model)
         out = args.transform_out
         if out.endswith(".csv"):
             np.savetxt(out, codes, delimiter=",")
@@ -152,21 +161,26 @@ def main(argv=None):
         + optional survival evaluation. Used after training AND in --load
         inference mode (cluster a new cohort with a saved model)."""
         analysis = exp.get("analysis")
-        if not analysis or "kmeans" not in analysis:
+        if not analysis:
             return
-        codes = extract_latent(model, data)
+        if "kmeans" not in analysis:
+            log.warning("config has an 'analysis' block without a 'kmeans' "
+                        "key — nothing to run; keys seen: %s",
+                        sorted(analysis))
+            return
+        codes = cohort_codes(model)
         spec = analysis["kmeans"]
         if spec == "auto":
             from .analysis.cluster import select_n_clusters
 
-            k, scores = select_n_clusters(codes,
-                                          k_min=int(analysis.get("k_min", 2)),
-                                          k_max=int(analysis.get("k_max", 8)))
+            k, scores, pred = select_n_clusters(
+                codes, k_min=int(analysis.get("k_min", 2)),
+                k_max=int(analysis.get("k_max", 8)))
             log.info("silhouette-selected k=%d (scores: %s)", k,
                      {kk: round(s, 3) for kk, s in scores.items()})
         else:
             k, scores = int(spec), None
-        pred, _ = kmeans_cluster(codes, k, seed=0)
+            pred, _ = kmeans_cluster(codes, k, seed=0)
         rec = {"kind": "kmeans", "k": k,
                "cluster_sizes": np.bincount(pred, minlength=k).tolist()}
         if scores is not None:
@@ -196,13 +210,14 @@ def main(argv=None):
             write_codes(model)
         with MetricsWriter(args.metrics) as mw:
             run_analysis(model, mw)
-        if not args.transform_out and not exp.get("analysis"):
+        if not args.transform_out and "kmeans" not in (exp.get("analysis") or {}):
             log.info("model loaded from %s (use --transform-out to emit codes "
-                     "or an 'analysis' config block to cluster)", args.load)
+                     "or an 'analysis' config block with 'kmeans' to cluster)",
+                     args.load)
         return 0
 
     with MetricsWriter(args.metrics) as mw:
-        if isinstance(model_cfg, RBMConfig):
+        if model_cls is RBM:
             model = RBM(override(model_cfg))
             model.train(data, mesh=mesh, runtime=runtime)
             for ep, (err, ups) in enumerate(zip(model.metrics.errors,
@@ -211,7 +226,7 @@ def main(argv=None):
                           "updates_per_sec": ups, "engine": model.metrics.engine})
             log.info("RBM trained (%s engine): err %.5f -> %.5f",
                      model.metrics.engine, model.history[0], model.history[-1])
-        elif isinstance(model_cfg, DBNConfig):
+        elif model_cls is DBN:
             model = DBN(override(model_cfg))
 
             def layer_cb(l, rbm):
@@ -230,7 +245,7 @@ def main(argv=None):
                     log.info("resuming: restoring completed layers %s", done)
             model.train(data, mesh=mesh, runtime=layer_runtime,
                         layer_callback=layer_cb, checkpointer=ck)
-        elif isinstance(model_cfg, MDBNConfig):
+        elif model_cls is MDBN:
             model = MDBN(override(model_cfg))
             model.train(data, mesh=mesh, runtime=layer_runtime,
                         checkpoint_dir=args.checkpoint_dir)

@@ -208,8 +208,10 @@ def train_rbm(
         # availability is per SHARD: the kernel runs with the local batch
         # (global batch / ndev), so probe with that, not the global config
         ndev = len(mesh.devices.flatten())
-        local_cfg = (cfg.replace(batch_size=cfg.batch_size // ndev)
-                     if cfg.batch_size % ndev == 0 else cfg)
+        if cfg.batch_size % ndev != 0:
+            raise ValueError(f"batch_size {cfg.batch_size} not divisible by "
+                             f"{ndev} devices")
+        local_cfg = cfg.replace(batch_size=cfg.batch_size // ndev)
         if not _pallas_available(local_cfg):
             raise ValueError("model too large for the Pallas VMEM-resident "
                              "kernel even per shard; use engine='xla'")
