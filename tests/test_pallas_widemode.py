@@ -47,15 +47,18 @@ def _assert_states_equal(s1, s2):
     np.testing.assert_array_equal(np.asarray(s1.chain_h), np.asarray(s2.chain_h))
 
 
-@pytest.mark.parametrize("momentum,persistent,visible", [
-    (0.0, False, "bernoulli"),   # momentum-free: velocity is write-only
-    (0.5, True, "bernoulli"),    # full velocity recursion + PCD chain
-    (0.0, False, "gaussian"),
+@pytest.mark.parametrize("momentum,persistent,visible,extra", [
+    (0.0, False, "bernoulli", {}),   # momentum-free: velocity is write-only
+    (0.5, True, "bernoulli", {}),    # full velocity recursion + PCD chain
+    (0.0, False, "gaussian", {}),
+    (0.0, False, "bernoulli", {"shuffle": True}),         # permuted data path
+    (0.0, False, "bernoulli", {"error_metric": "pseudo"}),  # reads b + W rows
+    (0.5, False, "bernoulli", {"error_metric": "xent"}),
 ])
-def test_hbm_state_bitmatches_const_mode(momentum, persistent, visible):
+def test_hbm_state_bitmatches_const_mode(momentum, persistent, visible, extra):
     cfg = RBMConfig(n_visible=32, n_hidden=16, batch_size=4, k=2, epochs=3,
                     momentum=momentum, persistent=persistent, visible=visible,
-                    l2=1e-4, lr=0.05, seed=0)
+                    l2=1e-4, lr=0.05, seed=0, **extra)
     st = init_train_state(cfg)
     data = jax.random.uniform(jax.random.PRNGKey(1), (40, 32))
     if visible == "bernoulli":
