@@ -99,6 +99,33 @@ class DBN:
 
         return predict_stack([(r.params, r.cfg) for r in self.layers], self._head, x)
 
+    def finetune_autoencoder(self, data, epochs: int = 10, lr: float = 1e-3,
+                             batch_size: Optional[int] = None):
+        """Unsupervised deep-autoencoder fine-tuning (Hinton & Salakhutdinov
+        2006): unroll the pretrained stack into encoder + untied decoder and
+        backprop the reconstruction loss. Updates the layers' weights in
+        place (transform then uses the fine-tuned encoder) and stores the
+        untied decoder for reconstruct(). Returns the per-epoch loss
+        history."""
+        from ..train.autoencoder import finetune_autoencoder_stack
+
+        tuned, decoder, history = finetune_autoencoder_stack(
+            [(r.params, r.cfg) for r in self.layers], data, epochs=epochs,
+            lr=lr, batch_size=batch_size or self.cfg.batch_size)
+        for rbm, new_params in zip(self.layers, tuned):
+            rbm.state = rbm.state._replace(params=new_params)
+        self._decoder = decoder
+        return history
+
+    def reconstruct(self, v) -> jax.Array:
+        """Deterministic encode->decode through the whole stack: the untied
+        fine-tuned decoder after finetune_autoencoder(), else the tied W^T
+        down-pass."""
+        from ..train.autoencoder import reconstruct_stack
+
+        return reconstruct_stack([(r.params, r.cfg) for r in self.layers],
+                                 getattr(self, "_decoder", None), v)
+
     def generate(self, n_samples: int = 16, n_gibbs: int = 200, seed: int = 0) -> jax.Array:
         """Sample from the DBN: Gibbs in the top RBM, mean-field down-pass."""
         from ..ops.sample import generate_from_stack
@@ -122,6 +149,7 @@ class DBN:
         with open(os.path.join(directory, "stack.json"), "w") as f:
             json.dump({"n_layers": len(self.layers)}, f)
         save_head(getattr(self, "_head", None), directory)
+        save_decoder(getattr(self, "_decoder", None), directory)
 
     @classmethod
     def load(cls, directory: str) -> "DBN":
@@ -134,6 +162,9 @@ class DBN:
         head = load_head(directory)
         if head is not None:
             dbn._head = head
+        decoder = load_decoder(directory)
+        if decoder is not None:
+            dbn._decoder = decoder
         return dbn
 
 
@@ -156,3 +187,24 @@ def load_head(directory: str):
 
     with np.load(path) as z:
         return (jnp.asarray(z["W"]), jnp.asarray(z["b"]))
+
+
+def save_decoder(decoder, directory: str) -> None:
+    """Persist the untied finetune_autoencoder() decoder weights, so a
+    save/load round-trip of a fine-tuned model keeps reconstruct()."""
+    if decoder is None:
+        return
+    import numpy as np
+
+    np.savez(os.path.join(directory, "decoder.npz"),
+             **{f"D{i}": np.asarray(D) for i, D in enumerate(decoder)})
+
+
+def load_decoder(directory: str):
+    path = os.path.join(directory, "decoder.npz")
+    if not os.path.exists(path):
+        return None
+    import numpy as np
+
+    with np.load(path) as z:
+        return [jnp.asarray(z[f"D{i}"]) for i in range(len(z.files))]

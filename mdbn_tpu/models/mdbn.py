@@ -116,6 +116,42 @@ class MDBN:
         return predict_mdbn(towers, (self.joint.params, self.joint.cfg),
                             self._head, modalities)
 
+    def finetune_autoencoder(self, modalities: Dict[str, jax.Array],
+                             epochs: int = 10, lr: float = 1e-3,
+                             batch_size: int = 20):
+        """Unsupervised multimodal deep-autoencoder fine-tuning (Hinton &
+        Salakhutdinov 2006 applied across the towers + joint layer):
+        encoder = towers -> concat -> joint code; the untied mirrored decoder
+        reconstructs every modality; backprop the summed reconstruction loss.
+        Updates all weights in place; returns the per-epoch loss history."""
+        if self.joint is None:
+            raise RuntimeError("MDBN.finetune_autoencoder called before train")
+        from ..train.autoencoder import finetune_autoencoder_mdbn
+
+        towers = {m: [(r.params, r.cfg) for r in self.towers[m].layers]
+                  for m in self.cfg.towers}
+        tower_p, joint_p, decoder, history = finetune_autoencoder_mdbn(
+            towers, (self.joint.params, self.joint.cfg), modalities,
+            epochs=epochs, lr=lr, batch_size=batch_size)
+        for m, plist in tower_p.items():
+            for rbm, new_params in zip(self.towers[m].layers, plist):
+                rbm.state = rbm.state._replace(params=new_params)
+        self.joint.state = self.joint.state._replace(params=joint_p)
+        self._decoder = decoder
+        return history
+
+    def reconstruct(self, modalities: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+        """Deterministic encode->decode of every modality (untied fine-tuned
+        decoder after finetune_autoencoder(), else the tied W^T down-pass)."""
+        if self.joint is None:
+            raise RuntimeError("MDBN.reconstruct called before train")
+        from ..train.autoencoder import reconstruct_mdbn
+
+        towers = {m: [(r.params, r.cfg) for r in self.towers[m].layers]
+                  for m in self.cfg.towers}
+        return reconstruct_mdbn(towers, (self.joint.params, self.joint.cfg),
+                                getattr(self, "_decoder", None), modalities)
+
     def generate(self, n_samples: int = 16, n_gibbs: int = 200, seed: int = 0) -> Dict[str, jax.Array]:
         """Generate synthetic multi-omics profiles: Gibbs in the joint RBM,
         split the concatenated code, mean-field down-pass per tower."""
@@ -157,6 +193,13 @@ class MDBN:
         from .dbn import save_head
 
         save_head(getattr(self, "_head", None), directory)
+        decoder = getattr(self, "_decoder", None)
+        if decoder is not None:
+            import numpy as np
+
+            np.savez(os.path.join(directory, "mdbn_decoder.npz"),
+                     **{f"{m}::{i}": np.asarray(D)
+                        for m, Ds in decoder.items() for i, D in enumerate(Ds)})
 
     @classmethod
     def load(cls, directory: str) -> "MDBN":
@@ -176,6 +219,17 @@ class MDBN:
         head = load_head(directory)
         if head is not None:
             mdbn._head = head
+        dec_path = os.path.join(directory, "mdbn_decoder.npz")
+        if os.path.exists(dec_path):
+            import numpy as np
+
+            decoder: Dict[str, list] = {}
+            with np.load(dec_path) as z:
+                for key in z.files:
+                    m, i = key.rsplit("::", 1)
+                    decoder.setdefault(m, []).append((int(i), jnp.asarray(z[key])))
+            mdbn._decoder = {m: [D for _, D in sorted(lst)]
+                             for m, lst in decoder.items()}
         return mdbn
 
     @property
