@@ -156,17 +156,44 @@ def main(argv=None):
             np.save(out, codes)
         log.info("wrote %s latent codes to %s", codes.shape, out)
 
+    def run_ais(model, mw, analysis):
+        """AIS log-likelihood of the trained model on (a subsample of) the
+        data: RBM -> Salakhutdinov-Murray AIS; DBN -> the variational bound;
+        MDBN has no single likelihood over the multimodal join."""
+        if model_cls is MDBN:
+            log.warning("'ais': true is only defined for RBM/DBN configs "
+                        "(no joint likelihood over the multimodal join)")
+            return
+        from .analysis import ais as ais_mod
+
+        n_rows = int(analysis.get("ais_samples", 1000))
+        sample = data[:n_rows]
+        if model_cls is RBM:
+            out = ais_mod.log_likelihood(model.params, model.cfg, sample)
+        else:
+            out = ais_mod.dbn_log_likelihood_bound(
+                [(r.params, r.cfg) for r in model.layers], sample)
+        rec = {"kind": "ais", "n_rows": int(len(sample)), **out}
+        log.info("AIS evaluation: %s", {k: round(v, 3) for k, v in out.items()})
+        if mw is not None:
+            mw.write(rec)
+        print(json.dumps(rec))
+
     def run_analysis(model, mw):
         """config "analysis" block: k-means (fixed k or "auto" via silhouette)
-        + optional survival evaluation. Used after training AND in --load
-        inference mode (cluster a new cohort with a saved model)."""
+        + optional survival evaluation + optional AIS likelihood. Used after
+        training AND in --load inference mode (evaluate/cluster a new cohort
+        with a saved model)."""
         analysis = exp.get("analysis")
         if not analysis:
             return
+        if analysis.get("ais"):
+            run_ais(model, mw, analysis)
         if "kmeans" not in analysis:
-            log.warning("config has an 'analysis' block without a 'kmeans' "
-                        "key — nothing to run; keys seen: %s",
-                        sorted(analysis))
+            if not analysis.get("ais"):
+                log.warning("config has an 'analysis' block without a "
+                            "'kmeans' or 'ais' key — nothing to run; keys "
+                            "seen: %s", sorted(analysis))
             return
         codes = cohort_codes(model)
         spec = analysis["kmeans"]

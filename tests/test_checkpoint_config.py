@@ -308,3 +308,37 @@ def test_free_energy_gap():
     # random noise must have much higher free energy than training data
     noise = (np.random.default_rng(0).random((20, 784)) < 0.5).astype(np.float32)
     assert rbm.free_energy_gap(data[:100], noise) > gap_valid
+
+
+def test_cli_ais_evaluation(tmp_path):
+    """'analysis': {'ais': true} evaluates the trained model's AIS
+    log-likelihood (RBM) / variational bound (DBN) through the CLI."""
+    from mdbn_tpu.run import main
+
+    cfg_path = str(tmp_path / "exp.json")
+    save_config({
+        "model": RBMConfig(n_visible=36, n_hidden=8, epochs=2, batch_size=10,
+                           engine="xla", seed=0),
+        "data": {"kind": "mnist_like", "n_samples": 60, "n_features": 36,
+                 "seed": 2},
+        "analysis": {"ais": True, "ais_samples": 40},
+    }, cfg_path)
+    metrics = str(tmp_path / "m.jsonl")
+    assert main(["--config", cfg_path, "--metrics", metrics]) == 0
+    recs = [json.loads(l) for l in open(metrics)]
+    ais = [r for r in recs if r["kind"] == "ais"]
+    assert ais and ais[0]["n_rows"] == 40
+    assert np.isfinite(ais[0]["mean_log_likelihood"])
+
+    save_config({
+        "model": DBNConfig(layer_sizes=[12, 6], epochs=2, batch_size=10,
+                           engine="xla", seed=0),
+        "data": {"kind": "mnist_like", "n_samples": 60, "n_features": 36,
+                 "seed": 2},
+        "analysis": {"ais": True, "ais_samples": 30},
+    }, cfg_path)
+    metrics2 = str(tmp_path / "m2.jsonl")
+    assert main(["--config", cfg_path, "--metrics", metrics2]) == 0
+    recs = [json.loads(l) for l in open(metrics2)]
+    bound = [r for r in recs if r["kind"] == "ais"]
+    assert bound and np.isfinite(bound[0]["mean_log_likelihood_bound"])
