@@ -34,7 +34,7 @@ def main():
     import matplotlib.pyplot as plt
 
     # ---- 1. Bernoulli RBM on binarized MNIST-like digits -------------------
-    print("[1/3] Bernoulli RBM on MNIST-like data ...")
+    print("[1/4] Bernoulli RBM on MNIST-like data ...")
     data = mnist_like(2000, seed=2)
     rbm = RBM(RBMConfig(n_visible=784, n_hidden=100, k=1, lr=0.1,
                         epochs=args.epochs, batch_size=20, seed=0))
@@ -77,7 +77,7 @@ def main():
           f"{ll['mean_log_likelihood']:.1f} nats")
 
     # ---- 2. 3-modality MDBN on TCGA-like multi-omics -----------------------
-    print("[2/3] 3-modality MDBN on TCGA-like data ...")
+    print("[2/4] 3-modality MDBN on TCGA-like data ...")
     mods, labels = tcga_like(n_patients=400, n_clusters=3, seed=1)
     towers = {
         "ge": DBNConfig(layer_sizes=[400, 100], visible="gaussian",
@@ -105,7 +105,7 @@ def main():
     fig.savefig(os.path.join(args.outdir, "mdbn_training.png"), dpi=100)
 
     # ---- 3. Latent extraction + k-means patient clustering -----------------
-    print("[3/3] joint latent codes -> on-device k-means ...")
+    print("[3/4] joint latent codes -> on-device k-means ...")
     codes = extract_latent(mdbn, mods)
     pred, _ = kmeans_cluster_jax(codes, 3, seed=0)
     ari = adjusted_rand_index(labels, pred)
@@ -140,6 +140,30 @@ def main():
     ax.legend()
     fig.tight_layout()
     fig.savefig(os.path.join(args.outdir, "survival.png"), dpi=100)
+
+    # ---- 4. deep-autoencoder fine-tuning (Hinton & Salakhutdinov 2006) ------
+    print("[4/4] deep-autoencoder fine-tuning of a DBN ...")
+    dbn = DBN(DBNConfig(layer_sizes=[128, 32], epochs=max(3, args.epochs // 3),
+                        batch_size=20, seed=0)).train(data)
+    before = np.asarray(dbn.reconstruct(data[:8]))
+    mse_before = float(np.mean((np.asarray(data) - np.asarray(dbn.reconstruct(data))) ** 2))
+    ae_hist = dbn.finetune_autoencoder(data, epochs=20, lr=1e-3)
+    after = np.asarray(dbn.reconstruct(data[:8]))
+    mse_after = float(np.mean((np.asarray(data) - np.asarray(dbn.reconstruct(data))) ** 2))
+    print(f"    recon MSE {mse_before:.4f} -> {mse_after:.4f} "
+          f"(AE loss {ae_hist[0]:.1f} -> {ae_hist[-1]:.1f})")
+    fig, axes = plt.subplots(3, 8, figsize=(12, 4.5))
+    for i in range(8):
+        axes[0, i].imshow(np.asarray(data[i]).reshape(28, 28), cmap="gray")
+        axes[1, i].imshow(before[i].reshape(28, 28), cmap="gray")
+        axes[2, i].imshow(after[i].reshape(28, 28), cmap="gray")
+        for r in range(3):
+            axes[r, i].axis("off")
+    axes[0, 0].set_title("data", loc="left")
+    axes[1, 0].set_title(f"pretrained decode (MSE {mse_before:.3f})", loc="left")
+    axes[2, 0].set_title(f"AE fine-tuned (MSE {mse_after:.3f})", loc="left")
+    fig.tight_layout()
+    fig.savefig(os.path.join(args.outdir, "autoencoder.png"), dpi=100)
 
     print(f"figures saved to {args.outdir}/")
 
