@@ -54,13 +54,21 @@ def select_n_clusters(codes: np.ndarray, k_min: int = 2, k_max: int = 8,
     from sklearn.metrics import silhouette_score
 
     k_max = min(k_max, len(codes) - 1)
+    if k_max < k_min:
+        raise ValueError(f"cohort of {len(codes)} samples is too small for "
+                         f"k_min={k_min} (need more than k_min samples)")
+    # the silhouette is O(n^2) pairwise distances; a fixed-size subsample
+    # gives the same k selection on large (streamed) cohorts
+    sample_size = min(len(codes), 10_000)
     scores: Dict[int, float] = {}
     fits: Dict[int, np.ndarray] = {}
     for k in range(k_min, k_max + 1):
         labels, _ = kmeans_cluster(codes, k, seed=seed)
         if len(np.unique(labels)) < 2:
             continue
-        scores[k] = float(silhouette_score(codes, labels))
+        scores[k] = float(silhouette_score(codes, labels,
+                                           sample_size=sample_size,
+                                           random_state=seed))
         fits[k] = labels
     if not scores:
         raise ValueError("no k in range produced >= 2 distinct clusters")

@@ -105,13 +105,19 @@ class DBN:
         2006): unroll the pretrained stack into encoder + untied decoder and
         backprop the reconstruction loss. Updates the layers' weights in
         place (transform then uses the fine-tuned encoder) and stores the
-        untied decoder for reconstruct(). Returns the per-epoch loss
-        history."""
+        untied decoder for reconstruct(); calling again RESUMES from the
+        stored decoder. Returns the per-epoch loss history.
+
+        After this phase the weights define an autoencoder, not an RBM
+        energy model: transform/reconstruct are the supported outputs, while
+        energy-based methods (free_energy, generate, AIS likelihood) refer
+        to the pretrained generative semantics this phase leaves behind."""
         from ..train.autoencoder import finetune_autoencoder_stack
 
         tuned, decoder, history = finetune_autoencoder_stack(
             [(r.params, r.cfg) for r in self.layers], data, epochs=epochs,
-            lr=lr, batch_size=batch_size or self.cfg.batch_size)
+            lr=lr, batch_size=batch_size or self.cfg.batch_size,
+            decoder=getattr(self, "_decoder", None))  # resume, don't reset
         for rbm, new_params in zip(self.layers, tuned):
             rbm.state = rbm.state._replace(params=new_params)
         self._decoder = decoder
@@ -121,6 +127,8 @@ class DBN:
         """Deterministic encode->decode through the whole stack: the untied
         fine-tuned decoder after finetune_autoencoder(), else the tied W^T
         down-pass."""
+        if not self.layers:
+            raise RuntimeError("DBN.reconstruct called before train")
         from ..train.autoencoder import reconstruct_stack
 
         return reconstruct_stack([(r.params, r.cfg) for r in self.layers],
@@ -170,13 +178,16 @@ class DBN:
 
 def save_head(head, directory: str) -> None:
     """Persist a finetune() softmax head (Wh, bh) so a save/load round-trip of
-    a finetuned model keeps predict() working."""
+    a finetuned model keeps predict() working. With ``head=None`` any stale
+    head.npz from a previous save into the same directory is removed."""
+    path = os.path.join(directory, "head.npz")
     if head is None:
+        if os.path.exists(path):
+            os.remove(path)
         return
     import numpy as np
 
-    np.savez(os.path.join(directory, "head.npz"),
-             W=np.asarray(head[0]), b=np.asarray(head[1]))
+    np.savez(path, W=np.asarray(head[0]), b=np.asarray(head[1]))
 
 
 def load_head(directory: str):
@@ -189,22 +200,40 @@ def load_head(directory: str):
         return (jnp.asarray(z["W"]), jnp.asarray(z["b"]))
 
 
-def save_decoder(decoder, directory: str) -> None:
-    """Persist the untied finetune_autoencoder() decoder weights, so a
-    save/load round-trip of a fine-tuned model keeps reconstruct()."""
+def save_decoder(decoder, directory: str,
+                 filename: str = "decoder.npz") -> None:
+    """Persist untied finetune_autoencoder() decoder weights (a list for a
+    DBN stack, or the MDBN's {modality: [D...], "__joint__": [Dj]} dict), so
+    a save/load round-trip of a fine-tuned model keeps reconstruct(). With
+    ``decoder=None`` any stale file from a previous save into the same
+    directory is removed — load() must never pair an old decoder with a new
+    encoder."""
+    path = os.path.join(directory, filename)
     if decoder is None:
+        if os.path.exists(path):
+            os.remove(path)
         return
     import numpy as np
 
-    np.savez(os.path.join(directory, "decoder.npz"),
-             **{f"D{i}": np.asarray(D) for i, D in enumerate(decoder)})
+    if isinstance(decoder, dict):
+        arrays = {f"{m}::{i}": np.asarray(D)
+                  for m, Ds in decoder.items() for i, D in enumerate(Ds)}
+    else:
+        arrays = {f"D{i}": np.asarray(D) for i, D in enumerate(decoder)}
+    np.savez(path, **arrays)
 
 
-def load_decoder(directory: str):
-    path = os.path.join(directory, "decoder.npz")
+def load_decoder(directory: str, filename: str = "decoder.npz"):
+    path = os.path.join(directory, filename)
     if not os.path.exists(path):
         return None
     import numpy as np
 
     with np.load(path) as z:
+        if any("::" in k for k in z.files):  # MDBN dict layout
+            out = {}
+            for key in z.files:
+                m, i = key.rsplit("::", 1)
+                out.setdefault(m, []).append((int(i), jnp.asarray(z[key])))
+            return {m: [D for _, D in sorted(lst)] for m, lst in out.items()}
         return [jnp.asarray(z[f"D{i}"]) for i in range(len(z.files))]

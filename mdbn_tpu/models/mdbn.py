@@ -132,7 +132,8 @@ class MDBN:
                   for m in self.cfg.towers}
         tower_p, joint_p, decoder, history = finetune_autoencoder_mdbn(
             towers, (self.joint.params, self.joint.cfg), modalities,
-            epochs=epochs, lr=lr, batch_size=batch_size)
+            epochs=epochs, lr=lr, batch_size=batch_size,
+            decoder=getattr(self, "_decoder", None))  # resume, don't reset
         for m, plist in tower_p.items():
             for rbm, new_params in zip(self.towers[m].layers, plist):
                 rbm.state = rbm.state._replace(params=new_params)
@@ -190,16 +191,11 @@ class MDBN:
         save_config(self.cfg, os.path.join(directory, "mdbn.config.json"))
         with open(os.path.join(directory, "structure.json"), "w") as f:
             json.dump({"towers": list(self.towers), "has_joint": self.joint is not None}, f)
-        from .dbn import save_head
+        from .dbn import save_decoder, save_head
 
         save_head(getattr(self, "_head", None), directory)
-        decoder = getattr(self, "_decoder", None)
-        if decoder is not None:
-            import numpy as np
-
-            np.savez(os.path.join(directory, "mdbn_decoder.npz"),
-                     **{f"{m}::{i}": np.asarray(D)
-                        for m, Ds in decoder.items() for i, D in enumerate(Ds)})
+        save_decoder(getattr(self, "_decoder", None), directory,
+                     filename="mdbn_decoder.npz")
 
     @classmethod
     def load(cls, directory: str) -> "MDBN":
@@ -219,17 +215,11 @@ class MDBN:
         head = load_head(directory)
         if head is not None:
             mdbn._head = head
-        dec_path = os.path.join(directory, "mdbn_decoder.npz")
-        if os.path.exists(dec_path):
-            import numpy as np
+        from .dbn import load_decoder
 
-            decoder: Dict[str, list] = {}
-            with np.load(dec_path) as z:
-                for key in z.files:
-                    m, i = key.rsplit("::", 1)
-                    decoder.setdefault(m, []).append((int(i), jnp.asarray(z[key])))
-            mdbn._decoder = {m: [D for _, D in sorted(lst)]
-                             for m, lst in decoder.items()}
+        decoder = load_decoder(directory, filename="mdbn_decoder.npz")
+        if decoder is not None:
+            mdbn._decoder = decoder
         return mdbn
 
     @property

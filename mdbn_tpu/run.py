@@ -164,6 +164,14 @@ def main(argv=None):
             log.warning("'ais': true is only defined for RBM/DBN configs "
                         "(no joint likelihood over the multimodal join)")
             return
+        if getattr(model, "_decoder", None) is not None:
+            # after finetune_autoencoder the weights define an autoencoder,
+            # not a consistent energy model — an AIS likelihood on them is
+            # not meaningful
+            log.warning("'ais': true skipped — this model was autoencoder-"
+                        "fine-tuned; its weights no longer define a "
+                        "consistent RBM energy model to evaluate")
+            return
         from .analysis import ais as ais_mod
 
         n_rows = int(analysis.get("ais_samples", 1000))

@@ -96,6 +96,7 @@ def finetune_autoencoder_stack(
     epochs: int = 10,
     lr: float = 1e-3,
     batch_size: int = 20,
+    decoder: List[jax.Array] = None,
 ) -> Tuple[List[RBMParams], List[jax.Array], List[float]]:
     """Unroll + reconstruction fine-tuning of a DBN stack.
 
@@ -103,12 +104,16 @@ def finetune_autoencoder_stack(
     per-epoch mean reconstruction loss). Tuned layer i packs the encoder's
     (W, c) and the decoder's visible bias into the usual RBMParams triple;
     the untied decoder weights come back separately (transform stays the
-    plain up-pass; reconstruction uses them)."""
+    plain up-pass; reconstruction uses them). Pass the previous call's
+    ``decoder`` to RESUME fine-tuning instead of re-initializing the decoder
+    from the current encoder's W^T."""
     visible = layers[0][1].visible
     data = jnp.asarray(data, jnp.float32)
     n, nb = _batched(batch_size, data.shape[0])
     xb = data[:n].reshape(nb, batch_size, -1)
     enc, dec = unroll_stack(layers)
+    if decoder is not None:
+        dec = [(D, b) for D, (_, b) in zip(decoder, dec)]
 
     def loss_of_batch(params, x):
         enc, dec = params
@@ -138,11 +143,13 @@ def finetune_autoencoder_mdbn(
     epochs: int = 10,
     lr: float = 1e-3,
     batch_size: int = 20,
+    decoder: Dict[str, list] = None,
 ):
     """Multimodal deep autoencoder: per-tower encoders -> concat -> joint
     code -> mirrored decode back to every modality; loss is the sum of the
     per-modality reconstruction losses. Returns
-    (tuned towers, tuned joint params, decoder dict, history)."""
+    (tuned towers, tuned joint params, decoder dict, history). Pass the
+    previous call's ``decoder`` dict to RESUME fine-tuning."""
     names = list(towers)
     widths = {m: towers[m][-1][1].n_hidden for m in names}
     visibles = {m: towers[m][0][1].visible for m in names}
@@ -157,6 +164,10 @@ def finetune_autoencoder_mdbn(
     dec = {m: unroll_stack(towers[m])[1] for m in names}
     jenc = (joint_params.W, joint_params.c)
     jdec = (joint_params.W.T, joint_params.b)
+    if decoder is not None:
+        dec = {m: [(D, b) for D, (_, b) in zip(decoder[m], dec[m])]
+               for m in names}
+        jdec = (decoder["__joint__"][0], jdec[1])
 
     def loss_of_batch(params, x):
         enc, dec, jenc, jdec = params

@@ -83,3 +83,42 @@ def test_mdbn_autoencoder(tmp_path):
     for m in mods:
         np.testing.assert_allclose(np.asarray(r2[m]), np.asarray(recons[m]),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_decoder_resume_and_stale_file_removal(tmp_path):
+    import pytest
+
+    data = mnist_like(100, n_features=36, seed=4)
+    dbn = DBN(DBNConfig(layer_sizes=[16, 8], epochs=2, batch_size=10,
+                        engine="xla", seed=0)).train(data)
+    h1 = dbn.finetune_autoencoder(data, epochs=8, lr=1e-3, batch_size=10)
+    # resume: the second call must continue from the trained decoder, not
+    # re-initialize it from W^T (loss would jump back up)
+    h2 = dbn.finetune_autoencoder(data, epochs=3, lr=1e-3, batch_size=10)
+    assert h2[0] <= h1[-1] * 1.1
+
+    # stale-decoder removal: re-saving a NON-fine-tuned model into the same
+    # directory must not leave the old decoder.npz for load() to pick up
+    d = str(tmp_path / "m")
+    dbn.save(d)
+    fresh = DBN(DBNConfig(layer_sizes=[16, 8], epochs=1, batch_size=10,
+                          engine="xla", seed=1)).train(data)
+    fresh.save(d)
+    loaded = DBN.load(d)
+    assert not hasattr(loaded, "_decoder")
+    np.testing.assert_allclose(np.asarray(loaded.reconstruct(data[:4])),
+                               np.asarray(fresh.reconstruct(data[:4])),
+                               rtol=1e-5, atol=1e-6)
+
+    # untrained-model guard
+    with pytest.raises(RuntimeError, match="before train"):
+        DBN(DBNConfig(layer_sizes=[4])).reconstruct(data)
+
+
+def test_select_n_clusters_tiny_cohort_error():
+    import pytest
+
+    from mdbn_tpu.analysis.cluster import select_n_clusters
+
+    with pytest.raises(ValueError, match="too small"):
+        select_n_clusters(np.zeros((2, 4), np.float32), k_min=2, k_max=8)
