@@ -14,6 +14,13 @@ import jax
 import jax.numpy as jnp
 
 
+def _sq_dists(x: jax.Array, x2: jax.Array, centers: jax.Array) -> jax.Array:
+    """||x - c||^2 for all pairs via the matmul identity
+    ``||x||^2 - 2 x.c + ||c||^2`` (the x.c term is one [N, K] matmul; avoids
+    an N x K x D broadcast). ``x2`` is the precomputed [N, 1] row norms."""
+    return x2 - 2.0 * x @ centers.T + jnp.sum(centers * centers, axis=1)[None, :]
+
+
 def _plus_plus_init(key: jax.Array, x: jax.Array, k: int) -> jax.Array:
     """k-means++ seeding: sample each next center with prob ∝ D²(x)."""
     n = x.shape[0]
@@ -24,8 +31,7 @@ def _plus_plus_init(key: jax.Array, x: jax.Array, k: int) -> jax.Array:
 
     def body(carry, i):
         centers, key = carry
-        # ||x-c||^2 via the matmul identity (avoids an N x K x D broadcast)
-        d2_all = x2 - 2.0 * x @ centers.T + jnp.sum(centers * centers, axis=1)[None, :]
+        d2_all = _sq_dists(x, x2, centers)
         d2 = jnp.min(d2_all + jnp.where(jnp.arange(k) < i, 0.0, jnp.inf)[None, :],
                      axis=1)
         key, kc = jax.random.split(key)
@@ -45,8 +51,7 @@ def kmeans_fit(key: jax.Array, x: jax.Array, k: int, n_iters: int = 50
     x2 = jnp.sum(x * x, axis=1, keepdims=True)  # [N, 1], reused every iter
 
     def step(centers, _):
-        # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; the x.c term is the matmul
-        d2 = x2 - 2.0 * x @ centers.T + jnp.sum(centers * centers, axis=1)[None, :]
+        d2 = _sq_dists(x, x2, centers)
         labels = jnp.argmin(d2, axis=1)
         onehot = jax.nn.one_hot(labels, k, dtype=x.dtype)  # [N, K]
         counts = onehot.sum(axis=0)  # [K]
@@ -57,7 +62,7 @@ def kmeans_fit(key: jax.Array, x: jax.Array, k: int, n_iters: int = 50
         return new_centers, None
 
     centers, _ = jax.lax.scan(step, centers, None, length=n_iters)
-    d2 = x2 - 2.0 * x @ centers.T + jnp.sum(centers * centers, axis=1)[None, :]
+    d2 = _sq_dists(x, x2, centers)
     labels = jnp.argmin(d2, axis=1)
     inertia = jnp.sum(jnp.min(d2, axis=1))
     return labels, centers, inertia
@@ -65,16 +70,15 @@ def kmeans_fit(key: jax.Array, x: jax.Array, k: int, n_iters: int = 50
 
 def kmeans_cluster_jax(codes, n_clusters: int, seed: int = 0, n_init: int = 10,
                        n_iters: int = 50):
-    """sklearn-shaped wrapper: best of ``n_init`` seedings by inertia.
+    """sklearn-shaped wrapper: best of ``n_init`` seedings by inertia, all
+    restarts batched into ONE device dispatch (vmapped over the seed keys).
     Returns (labels, centers) as numpy arrays."""
     import numpy as np
 
     x = jnp.asarray(codes, jnp.float32)
-    best = None
-    for i in range(n_init):
-        labels, centers, inertia = kmeans_fit(
-            jax.random.PRNGKey(seed * 1000 + i), x, n_clusters, n_iters)
-        inertia = float(inertia)
-        if best is None or inertia < best[0]:
-            best = (inertia, labels, centers)
-    return np.asarray(best[1]), np.asarray(best[2])
+    keys = jnp.stack([jax.random.PRNGKey(seed * 1000 + i)
+                      for i in range(n_init)])
+    labels, centers, inertia = jax.vmap(
+        lambda kk: kmeans_fit(kk, x, n_clusters, n_iters))(keys)
+    best = int(jnp.argmin(inertia))
+    return np.asarray(labels[best]), np.asarray(centers[best])

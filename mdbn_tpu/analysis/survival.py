@@ -84,14 +84,22 @@ def logrank_test(times: np.ndarray, events: np.ndarray, groups: np.ndarray,
             "observed": O.tolist(), "expected": E.tolist()}
 
 
-def synthetic_survival(labels: np.ndarray, hazard_scale: Tuple[float, ...] = (1.0, 2.0, 4.0),
+def synthetic_survival(labels: np.ndarray, mean_survival: Tuple[float, ...] = (1.0, 2.0, 4.0),
                        censor_rate: float = 0.2, seed: int = 0
                        ) -> Tuple[np.ndarray, np.ndarray]:
     """Planted-survival generator for tests/demos: exponential survival times
-    with per-cluster hazards + uniform censoring."""
+    with a per-cluster MEAN survival time (= 1/hazard; numpy's exponential
+    ``scale``) + uniform censoring. Clusters beyond ``len(mean_survival)``
+    get the geometric extension (each further cluster doubles the last given
+    mean) so distinct planted clusters never silently share a distribution."""
     rng = np.random.default_rng(seed)
-    scales = np.asarray(hazard_scale, float)
-    t = rng.exponential(scales[np.asarray(labels) % len(scales)])
+    labels = np.asarray(labels)
+    n_groups = int(labels.max()) + 1 if len(labels) else 0
+    scales = list(map(float, mean_survival))
+    while len(scales) < n_groups:
+        scales.append(scales[-1] * 2.0)
+    scales = np.asarray(scales, float)
+    t = rng.exponential(scales[labels])
     censored = rng.random(len(t)) < censor_rate
     t = np.where(censored, t * rng.random(len(t)), t)
     return t, (~censored).astype(int)

@@ -22,9 +22,13 @@ def load_mnist_images(path: str, binarize: str = "threshold", threshold: float =
     """Load an IDX-format MNIST image file (optionally .gz) and binarize.
 
     Binarization method is a knob because the reference's choice is unverified
-    (SURVEY.md §7 hard-part #5): "threshold" (p > 0.5) or "sample"
-    (pixel-probability Bernoulli draw).
+    (SURVEY.md §7 hard-part #5): "threshold" (p > 0.5), "sample"
+    (pixel-probability Bernoulli draw), or "none" (raw [0, 1] intensities,
+    e.g. for mean-field experiments).
     """
+    if binarize not in ("threshold", "sample", "none"):
+        raise ValueError(f"binarize must be 'threshold', 'sample', or 'none', "
+                         f"got {binarize!r}")
     if not os.path.exists(path):
         raise FileNotFoundError(
             f"MNIST file not found: {path}. This sandbox has no network; "
@@ -37,6 +41,8 @@ def load_mnist_images(path: str, binarize: str = "threshold", threshold: float =
             raise ValueError(f"not an IDX image file (magic={magic})")
         raw = np.frombuffer(f.read(), np.uint8).reshape(n, rows * cols)
     probs = raw.astype(np.float32) / 255.0
+    if binarize == "none":
+        return probs
     if binarize == "sample":
         rng = np.random.default_rng(seed)
         return (rng.random(probs.shape) < probs).astype(np.float32)
@@ -53,6 +59,8 @@ def load_omics_csv(paths: Dict[str, str], zscore_features: bool = True) -> Dict[
                 f"omics file not found: {path}. Use mdbn_tpu.data.synthetic.tcga_like "
                 "for a local stand-in."
             )
-        mat = np.loadtxt(path, delimiter=",", dtype=np.float32)
+        # ndmin=2: a single-row CSV must stay [1, features], not collapse
+        # to 1-D (which would z-score across features)
+        mat = np.loadtxt(path, delimiter=",", dtype=np.float32, ndmin=2)
         out[name] = zscore(mat) if zscore_features else mat
     return out

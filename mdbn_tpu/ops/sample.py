@@ -34,17 +34,21 @@ def gibbs_sample(
     Returns (v_mean, v_sample) at the final step — mean-field probabilities
     (for display) and the sampled state (for chaining).
     """
+    # the chain runs in f32 regardless of the storage dtype: visible_mean
+    # accumulates in f32 (preferred_element_type), so a bf16-stored model
+    # would otherwise mismatch the scan carry's dtype
+    v_init = jnp.asarray(v_init, jnp.float32)
 
     def step(carry, k):
         v, _ = carry
         kh, kv = jax.random.split(k)
         hp = hidden_mean(params, v, cfg)
-        h = (jax.random.uniform(kh, hp.shape) < hp).astype(v.dtype)
+        h = (jax.random.uniform(kh, hp.shape) < hp).astype(jnp.float32)
         vmean = visible_mean(params, h, cfg)
         if cfg.visible == "bernoulli":
-            v = (jax.random.uniform(kv, vmean.shape) < vmean).astype(v.dtype)
+            v = (jax.random.uniform(kv, vmean.shape) < vmean).astype(jnp.float32)
         else:
-            v = vmean + jax.random.normal(kv, vmean.shape, v.dtype)
+            v = vmean + jax.random.normal(kv, vmean.shape, jnp.float32)
         return (v, vmean), None  # carry the mean; no per-step stacking
 
     (v, vmean), _ = jax.lax.scan(step, (v_init, v_init),

@@ -204,6 +204,11 @@ class OracleRBM:
     def train_step(self, v0: np.ndarray, uniforms: Optional[Dict[str, np.ndarray]] = None) -> float:
         if uniforms is None:
             uniforms = draw_uniforms(self.cfg, v0.shape[0], self.rng)
+        if self.cfg.persistent and self.chain_h is None:
+            # Theano-tutorial convention, matching core.state.init_train_state:
+            # the persistent chain starts at ZEROS, not at the first batch's
+            # hidden sample
+            self.chain_h = np.zeros((v0.shape[0], self.cfg.n_hidden), v0.dtype)
         grads, new_chain, err, _ = cd_step_stats(self.params, v0, self.chain_h, uniforms, self.cfg)
         if self.cfg.error_metric == "pseudo":
             err = pseudo_likelihood(self.params, v0,
@@ -218,6 +223,9 @@ class OracleRBM:
     def train(self, data: np.ndarray) -> "OracleRBM":
         cfg = self.cfg
         n = (data.shape[0] // cfg.batch_size) * cfg.batch_size
+        if n == 0:
+            raise ValueError(f"dataset has {data.shape[0]} samples — fewer "
+                             f"than one minibatch (batch_size={cfg.batch_size})")
         for _epoch in range(cfg.epochs):
             order = self.rng.permutation(data.shape[0])[:n] if cfg.shuffle else np.arange(n)
             errs = []

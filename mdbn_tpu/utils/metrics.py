@@ -8,6 +8,7 @@ updates/sec, wall seconds, engine) to a metrics file for offline analysis.
 from __future__ import annotations
 
 import json
+import os
 import logging
 import time
 from typing import Any, Dict, Optional
@@ -28,6 +29,10 @@ class MetricsWriter:
 
     def __init__(self, path: Optional[str]):
         self.path = path
+        if path:
+            parent = os.path.dirname(path)
+            if parent:
+                os.makedirs(parent, exist_ok=True)
         self._fh = open(path, "a") if path else None
 
     def write(self, record: Dict[str, Any]) -> None:

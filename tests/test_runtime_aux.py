@@ -274,3 +274,61 @@ def test_dp_guard_uses_local_batch_and_pseudo_fallback_raises():
         # zero-bits degeneration would sample every unit to 1 and blow the
         # error up; real injected math keeps it at the ~0.25 data scale
         assert 0.05 < float(np.asarray(errs)[-1]) < 0.5
+
+
+def test_fourth_review_pass_fixes(tmp_path):
+    """Regression coverage for the round-1-corner review findings."""
+    import jax.numpy as jnp
+    import pytest
+
+    from mdbn_tpu.data.loaders import load_mnist_images, load_omics_csv
+    from mdbn_tpu.models.rbm import RBM
+    from mdbn_tpu.oracle import OracleRBM
+    from mdbn_tpu.utils.metrics import MetricsWriter
+
+    # bf16-stored model sampling (scan-carry dtype crash)
+    data = mnist_like(40, n_features=16, seed=0)
+    rbm = RBM(RBMConfig(n_visible=16, n_hidden=8, epochs=1, batch_size=8,
+                        seed=0, param_dtype="bfloat16",
+                        compute_dtype="bfloat16", engine="xla")).train(data)
+    s = np.asarray(rbm.sample(n_samples=2, n_gibbs=5, seed=1))
+    assert s.shape == (2, 16) and np.isfinite(s).all()
+
+    # oracle PCD chain starts at zeros (matches init_train_state), and a
+    # too-small dataset raises instead of producing NaN history
+    o = OracleRBM(RBMConfig(n_visible=16, n_hidden=8, persistent=True,
+                            epochs=1, batch_size=8))
+    o.train_step(np.asarray(data[:8]))
+    with pytest.raises(ValueError, match="fewer than one"):
+        OracleRBM(RBMConfig(n_visible=16, n_hidden=8, batch_size=64)).train(
+            np.asarray(data))
+
+    # loaders: binarize validation, 'none' mode, single-row CSV stays 2-D
+    import struct
+    imgs = np.random.default_rng(0).integers(0, 256, (3, 28, 28)).astype(np.uint8)
+    p = str(tmp_path / "im.idx")
+    with open(p, "wb") as f:
+        f.write(struct.pack(">IIII", 2051, *imgs.shape) + imgs.tobytes())
+    with pytest.raises(ValueError, match="binarize"):
+        load_mnist_images(p, binarize="bernoulli")
+    raw = load_mnist_images(p, binarize="none")
+    assert raw.min() >= 0 and raw.max() <= 1 and len(np.unique(raw)) > 2
+    csv = str(tmp_path / "one.csv")
+    np.savetxt(csv, np.arange(5, dtype=np.float32)[None, :], delimiter=",")
+    out = load_omics_csv({"ge": csv}, zscore_features=False)
+    assert out["ge"].shape == (1, 5)
+
+    # metrics path in a not-yet-existing directory
+    mp = str(tmp_path / "sub" / "dir" / "m.jsonl")
+    with MetricsWriter(mp) as mw:
+        mw.write({"kind": "x"})
+    assert os.path.exists(mp)
+
+    # synthetic survival: clusters beyond the given means get distinct
+    # geometric extensions (no modulo aliasing)
+    from mdbn_tpu.analysis.survival import synthetic_survival
+
+    labels5 = np.repeat(np.arange(5), 200)
+    t, e = synthetic_survival(labels5, seed=0)
+    means = [t[labels5 == g].mean() for g in range(5)]
+    assert means == sorted(means)  # strictly increasing mean survival

@@ -27,7 +27,7 @@ def test_km_with_censoring():
 def test_logrank_separates_planted_hazards():
     rng = np.random.default_rng(0)
     labels = rng.integers(0, 3, 300)
-    times, events = synthetic_survival(labels, hazard_scale=(1.0, 3.0, 9.0), seed=1)
+    times, events = synthetic_survival(labels, mean_survival=(1.0, 3.0, 9.0), seed=1)
     out = logrank_test(times, events, labels)
     assert out["p_value"] < 1e-6
     assert out["dof"] == 2
@@ -68,7 +68,7 @@ def test_logrank_exact_vs_approx_cross_check():
     separated example, and both detect the planted hazard difference."""
     rng = np.random.default_rng(2)
     labels = rng.integers(0, 2, 200)
-    times, events = synthetic_survival(labels, hazard_scale=(1.0, 5.0), seed=3)
+    times, events = synthetic_survival(labels, mean_survival=(1.0, 5.0), seed=3)
     exact = logrank_test(times, events, labels, method="exact")
     approx = logrank_test(times, events, labels, method="approx")
     assert exact["p_value"] < 1e-4 and approx["p_value"] < 1e-3
