@@ -104,6 +104,9 @@ class RBMConfig:
             if not self.sparsity_cost:
                 raise ValueError("sparsity_target set but sparsity_cost is 0 — "
                                  "the regularizer would be a silent no-op")
+        elif self.sparsity_cost:
+            raise ValueError("sparsity_cost set but sparsity_target is None — "
+                             "the regularizer would be a silent no-op")
 
     @property
     def resolved_sample_visible(self) -> bool:

@@ -27,14 +27,21 @@ def reconstruct(params: RBMParams, v: jax.Array, cfg: RBMConfig) -> jax.Array:
     return visible_mean(params, hidden_mean(params, v, cfg), cfg)
 
 
+def stack_hidden(params_list, cfgs, x: jax.Array) -> jax.Array:
+    """Un-jitted mean-field upward pass through a stack — the ONE definition
+    of the forward semantics, shared by transform and the fine-tuning paths
+    (callers jit/differentiate it as needed)."""
+    h = x
+    for p, cfg in zip(params_list, cfgs):
+        h = hidden_mean(p, h, cfg)
+    return h
+
+
 @lru_cache(maxsize=None)
 def _stack_fwd(cfgs: Tuple[RBMConfig, ...]):
     @jax.jit
     def fwd(params_list, v):
-        h = v
-        for p, cfg in zip(params_list, cfgs):
-            h = hidden_mean(p, h, cfg)
-        return h
+        return stack_hidden(params_list, cfgs, v)
 
     return fwd
 

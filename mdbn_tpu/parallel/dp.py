@@ -39,6 +39,23 @@ def train_rbm_shard_map(
     n_epochs: int,
     pallas_step: bool = False,
 ) -> Tuple[TrainState, jax.Array]:
+    if cfg.error_metric == "pseudo":
+        raise ValueError("error_metric='pseudo' is not computed on the "
+                         "shard_map DP path (the per-step kernels monitor "
+                         "mse/xent); use the DP mega-kernel (engine='pallas' "
+                         "via train_rbm) or engine='xla' without a mesh")
+    if pallas_step and cfg.param_dtype != "float32":
+        raise ValueError("pallas_step=True requires param_dtype='float32' "
+                         "(the grads kernel's refs are f32); use the XLA "
+                         "step for bfloat16 storage")
+    usable = (data.shape[0] // cfg.batch_size) * cfg.batch_size
+    if usable == 0:
+        raise ValueError(f"dataset has {data.shape[0]} samples — fewer than "
+                         f"one global minibatch (batch_size={cfg.batch_size})")
+    # truncate the remainder rows BEFORE sharding: the batching drops them
+    # anyway, and P(axis) requires the row count to divide by the mesh size
+    # (usable does, since batch_size must divide by ndev)
+    data = data[:usable]
     fused = _build_shard_map_train(cfg, mesh, n_epochs, pallas_step,
                                    data.shape[0], data.shape[1])
     axis = mesh.axis_names[0]

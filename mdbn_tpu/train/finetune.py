@@ -21,9 +21,9 @@ from ..core.rbm_math import RBMParams, hidden_mean
 
 def _forward_logits(stack_params: List[RBMParams], head: Tuple[jax.Array, jax.Array],
                     cfgs: Tuple[RBMConfig, ...], x: jax.Array) -> jax.Array:
-    h = x
-    for p, cfg in zip(stack_params, cfgs):
-        h = hidden_mean(p, h, cfg)
+    from ..ops.transform import stack_hidden
+
+    h = stack_hidden(stack_params, cfgs, x)
     Wh, bh = head
     return h @ Wh + bh
 
@@ -36,6 +36,17 @@ def _batched(batch_size: int, n_rows: int):
         raise ValueError(f"dataset has {n_rows} samples — fewer than one "
                          f"minibatch (batch_size={batch_size})")
     return n, nb
+
+
+def _check_labels(labels, n_classes: int) -> None:
+    """Out-of-range labels would yield NaN losses (take_along_axis fill mode
+    under jit) or silently train on the wrong class — validate on host."""
+    import numpy as np
+
+    lab = np.asarray(labels)
+    if lab.size and (lab.min() < 0 or lab.max() >= n_classes):
+        raise ValueError(f"labels must be in [0, {n_classes}); got range "
+                         f"[{lab.min()}, {lab.max()}]")
 
 
 def _sgd(params, forward_logits, xb, yb, epochs: int, lr: float):
@@ -76,6 +87,7 @@ def finetune_stack(
 ) -> Tuple[List[RBMParams], Tuple[jax.Array, jax.Array], List[float]]:
     """Backprop fine-tuning. Returns (tuned stack params, softmax head,
     per-epoch mean cross-entropy)."""
+    _check_labels(labels, n_classes)
     cfgs = tuple(cfg for _, cfg in layers)
     stack = [p for p, _ in layers]
     key = jax.random.PRNGKey(seed)
@@ -111,6 +123,7 @@ def finetune_mdbn(
     """Multimodal supervised fine-tuning: backprop through every tower, the
     concat, and the joint RBM layer into a softmax head. Returns
     (tuned towers dict, tuned joint params, head, per-epoch loss history)."""
+    _check_labels(labels, n_classes)
     names = list(towers)
     tower_cfgs = {m: tuple(cfg for _, cfg in towers[m]) for m in names}
     joint_params, joint_cfg = joint
@@ -140,12 +153,9 @@ def finetune_mdbn(
 
 
 def _mdbn_logits(tower_p, tower_cfgs, joint_p, joint_cfg, head, names, xs):
-    codes = []
-    for m in names:
-        h = xs[m]
-        for p_l, cfg in zip(tower_p[m], tower_cfgs[m]):
-            h = hidden_mean(p_l, h, cfg)
-        codes.append(h)
+    from ..ops.transform import stack_hidden
+
+    codes = [stack_hidden(tower_p[m], tower_cfgs[m], xs[m]) for m in names]
     h = hidden_mean(joint_p, jnp.concatenate(codes, axis=1), joint_cfg)
     Wh, bh = head
     return h @ Wh + bh

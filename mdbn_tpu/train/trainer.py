@@ -79,23 +79,26 @@ def _train_xla_fused(state: TrainState, data: jax.Array, cfg: RBMConfig,
 
 
 @lru_cache(maxsize=512)
-def _jitted_epoch_xla(cfg: RBMConfig, mesh: Optional[Mesh], axis: str):
+def _jitted_epoch_xla(cfg: RBMConfig, mesh: Optional[Mesh], axis: str,
+                      rows_sharded: bool = True):
     epoch = partial(_epoch_xla, cfg=cfg)
     if mesh is None:
         return jax.jit(epoch)
     sh = _state_shardings(mesh, axis)
-    return jax.jit(epoch, in_shardings=(sh, NamedSharding(mesh, P(axis))),
+    dspec = P(axis) if rows_sharded else P()
+    return jax.jit(epoch, in_shardings=(sh, NamedSharding(mesh, dspec)),
                    out_shardings=(sh, NamedSharding(mesh, P())))
 
 
 @lru_cache(maxsize=512)
 def _jitted_train_xla_fused(cfg: RBMConfig, n_epochs: int, mesh: Optional[Mesh],
-                            axis: str):
+                            axis: str, rows_sharded: bool = True):
     fused = partial(_train_xla_fused, cfg=cfg, n_epochs=n_epochs)
     if mesh is None:
         return jax.jit(fused)
     sh = _state_shardings(mesh, axis)
-    return jax.jit(fused, in_shardings=(sh, NamedSharding(mesh, P(axis))),
+    dspec = P(axis) if rows_sharded else P()
+    return jax.jit(fused, in_shardings=(sh, NamedSharding(mesh, dspec)),
                    out_shardings=(sh, NamedSharding(mesh, P())))
 
 
@@ -223,14 +226,21 @@ def train_rbm(
     use_pallas = False if pallas_dp else _use_pallas(cfg, mesh)
     engine_name = "pallas_dp" if pallas_dp else ("pallas" if use_pallas else "xla")
 
-    if mesh is not None and not pallas_dp:  # the shard_map path lays out its own
-        data = jax.device_put(data, NamedSharding(mesh, P(axis)))
-        state = jax.device_put(state, _state_shardings(mesh, axis))
-
     nb = data.shape[0] // cfg.batch_size
     if nb == 0:
         raise ValueError(f"dataset has {data.shape[0]} samples — fewer than one "
                          f"minibatch (batch_size={cfg.batch_size})")
+
+    if mesh is not None and not pallas_dp:  # the shard_map path lays out its own
+        # truncate remainder rows (the batching drops them anyway); shard the
+        # row dim only when it divides the mesh, else replicate — GSPMD
+        # partitions the compute either way
+        data = data[: nb * cfg.batch_size]
+        n_mesh = len(mesh.devices.flatten())
+        rows_sharded = data.shape[0] % n_mesh == 0
+        data = jax.device_put(
+            data, NamedSharding(mesh, P(axis) if rows_sharded else P()))
+        state = jax.device_put(state, _state_shardings(mesh, axis))
     per_epoch = epoch_callback is not None or runtime.checkpoint_every_epochs > 0
     metrics = EpochMetrics(engine_name)
 
@@ -259,7 +269,8 @@ def train_rbm(
 
                 epoch_fn = make_pallas_epoch_fn(cfg)
             else:
-                epoch_fn = _jitted_epoch_xla(cfg, mesh, axis)
+                epoch_fn = _jitted_epoch_xla(cfg, mesh, axis,
+                                             mesh is None or rows_sharded)
             ck_every = runtime.checkpoint_every_epochs
             for ep in range(cfg.epochs):
                 t0 = time.perf_counter()
@@ -293,7 +304,8 @@ def train_rbm(
 
                 train_fn = make_pallas_train_fn(cfg, cfg.epochs)
             else:
-                train_fn = _jitted_train_xla_fused(cfg, cfg.epochs, mesh, axis)
+                train_fn = _jitted_train_xla_fused(cfg, cfg.epochs, mesh, axis,
+                                                   mesh is None or rows_sharded)
             t0 = time.perf_counter()
             state, errs = train_fn(state, data)
             errs = jax.device_get(errs)

@@ -251,3 +251,52 @@ def test_shard_map_honors_shuffle():
     # different visit order -> different trajectories (same init, same streams
     # otherwise); identical results would mean shuffle was ignored
     assert not np.allclose(np.asarray(state_s.params.W), np.asarray(state_n.params.W))
+
+
+def test_shard_map_row_count_and_guard_fixes():
+    """Fifth review pass: (a) dataset rows not divisible by the device count
+    must work (remainder rows are dropped, like every other engine); (b) a
+    sub-minibatch dataset raises instead of returning NaN; (c) pseudo and
+    bf16+pallas_step raise clear errors instead of silently mis-monitoring
+    or crashing in Mosaic."""
+    import pytest
+
+    from mdbn_tpu.core.state import init_train_state
+    from mdbn_tpu.parallel.dp import train_rbm_shard_map
+    from mdbn_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8)
+    cfg = RBMConfig(n_visible=16, n_hidden=8, batch_size=16, epochs=1,
+                    engine="xla", seed=0)
+    data = jnp.asarray(mnist_like(349, n_features=16, seed=0))  # 349 % 8 != 0
+    st, errs = train_rbm_shard_map(init_train_state(cfg), data, cfg, mesh, 1)
+    assert np.isfinite(np.asarray(errs)).all()
+
+    with pytest.raises(ValueError, match="fewer than one"):
+        train_rbm_shard_map(init_train_state(cfg), data[:8], cfg, mesh, 1)
+    with pytest.raises(ValueError, match="pseudo"):
+        train_rbm_shard_map(init_train_state(cfg), data,
+                            cfg.replace(error_metric="pseudo"), mesh, 1)
+    with pytest.raises(ValueError, match="float32"):
+        train_rbm_shard_map(init_train_state(cfg), data,
+                            cfg.replace(param_dtype="bfloat16"), mesh, 1,
+                            pallas_step=True)
+
+    # GSPMD trainer path with non-divisible rows (replicated-data fallback)
+    st2, m = train_rbm(np.asarray(data), cfg, mesh=mesh)
+    assert np.isfinite(m.errors).all()
+
+
+def test_finetune_label_validation():
+    import pytest
+
+    from mdbn_tpu.config import DBNConfig
+    from mdbn_tpu.models.dbn import DBN
+
+    data, labels = mnist_like(40, n_features=16, seed=0, return_labels=True)
+    dbn = DBN(DBNConfig(layer_sizes=[8], epochs=1, batch_size=8,
+                        engine="xla")).train(data)
+    with pytest.raises(ValueError, match="labels must be in"):
+        dbn.finetune(data, np.full(40, 12), n_classes=10, batch_size=8)
+    with pytest.raises(ValueError, match="labels must be in"):
+        dbn.finetune(data, np.full(40, -1), n_classes=10, batch_size=8)
