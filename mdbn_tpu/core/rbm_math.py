@@ -76,13 +76,28 @@ def free_energy(params: RBMParams, v: jax.Array, cfg: RBMConfig) -> jax.Array:
     return 0.5 * (diff * diff).sum(axis=1) - softplus
 
 
-def recon_error(v0: jax.Array, v1mean: jax.Array, metric: str) -> jax.Array:
+def recon_error(v0: jax.Array, v1mean: jax.Array, metric: str,
+                row_mask: Optional[jax.Array] = None,
+                norm: Optional[float] = None) -> jax.Array:
+    """Reconstruction-error monitor. With ``row_mask`` ([B, 1] of 0/1) and
+    ``norm`` (the effective row count to average over), pad rows are excluded
+    — used by uneven DP sharding, where per-shard masked sums scaled by
+    1/norm pmean to the exact global-batch mean."""
+    masked = row_mask is not None or norm is not None
+    n = jnp.float32(norm if norm is not None else v0.shape[0])
     if metric == "mse":
         d = v0 - v1mean
-        return jnp.mean(d * d)
+        if row_mask is not None:
+            d = d * row_mask
+        return jnp.sum(d * d) / (n * v0.shape[1]) if masked else jnp.mean(d * d)
     eps = 1e-7
     p = jnp.clip(v1mean, eps, 1.0 - eps)
-    return -jnp.mean(jnp.sum(v0 * jnp.log(p) + (1.0 - v0) * jnp.log(1.0 - p), axis=1))
+    xe = v0 * jnp.log(p) + (1.0 - v0) * jnp.log(1.0 - p)
+    if row_mask is not None:
+        xe = xe * row_mask
+    if masked:
+        return -jnp.sum(xe) / n
+    return -jnp.mean(jnp.sum(xe, axis=1))
 
 
 def cd_step_stats(
@@ -91,14 +106,24 @@ def cd_step_stats(
     chain_h: Optional[jax.Array],
     uniforms: Dict[str, jax.Array],
     cfg: RBMConfig,
+    row_mask: Optional[jax.Array] = None,
+    norm: Optional[float] = None,
+    sparsity_scale: float = 1.0,
 ) -> Tuple[RBMParams, jax.Array, jax.Array]:
     """One CD-k/PCD step's statistics; mirrors oracle.cd_step_stats.
 
     Returns (grads, new_chain_h, err). The k-step Gibbs chain is a static
     Python loop (k is a small compile-time constant; unrolling keeps every
     matmul visible to XLA for fusion — no scan overhead for k=1).
+
+    ``row_mask`` ([B, 1] of 0/1) + ``norm`` support uneven DP sharding: pad
+    rows are zeroed out of every statistic and sums divide by ``norm``
+    (= global_batch / ndev) instead of the local row count, so the pmean of
+    per-shard stats is the exact global-batch mean. ``sparsity_scale``
+    multiplies the sparsity *target* term (1/ndev under a plain-sum-style
+    reduce so the constant enters exactly once; 1 under pmean, where every
+    shard contributing the same constant preserves it).
     """
-    B = v0.shape[0]
     dtype = v0.dtype
     h0p = hidden_mean(params, v0, cfg)
     h0s = (uniforms["h0"] < h0p).astype(dtype)
@@ -118,13 +143,21 @@ def cd_step_stats(
         hmean = hidden_mean(params, vs, cfg)
         h = (uniforms["h"][t] < hmean).astype(dtype)
 
-    inv_b = jnp.asarray(1.0 / B, jnp.float32)
-    gc = (h0p - hmean).mean(axis=0)
+    n = jnp.float32(norm if norm is not None else v0.shape[0])
+    inv_b = 1.0 / n
+    # masking the v side of each outer product zeroes pad rows' contributions
+    v_pos = v0 * row_mask if row_mask is not None else v0
+    v_neg = vs * row_mask if row_mask is not None else vs
+    hd = (h0p - hmean) * row_mask if row_mask is not None else (h0p - hmean)
+    gc = jnp.sum(hd, axis=0) * inv_b
     if cfg.sparsity_target is not None and cfg.sparsity_cost:
-        gc = gc + cfg.sparsity_cost * (cfg.sparsity_target - h0p.mean(axis=0))
+        h0m = h0p * row_mask if row_mask is not None else h0p
+        gc = gc + cfg.sparsity_cost * (
+            sparsity_scale * cfg.sparsity_target - jnp.sum(h0m, axis=0) * inv_b)
     grads = RBMParams(
-        W=(_dot(v0.T, h0p, cfg.compute_dtype) - _dot(vs.T, hmean, cfg.compute_dtype)) * inv_b,
-        b=(v0 - vs).mean(axis=0),
+        W=(_dot(v_pos.T, h0p, cfg.compute_dtype)
+           - _dot(v_neg.T, hmean, cfg.compute_dtype)) * inv_b,
+        b=jnp.sum(v_pos - v_neg, axis=0) * inv_b,
         c=gc,
     )
     if cfg.persistent and chain_h is not None:
@@ -132,7 +165,7 @@ def cd_step_stats(
     else:
         v1mean_data = v1mean
     metric = cfg.error_metric if cfg.error_metric in ("mse", "xent") else "mse"
-    err = recon_error(v0, v1mean_data, metric)
+    err = recon_error(v0, v1mean_data, metric, row_mask, norm)
     return grads, h, err
 
 

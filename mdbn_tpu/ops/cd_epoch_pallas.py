@@ -79,13 +79,13 @@ def _uses_momentum(cfg: RBMConfig) -> bool:
 
 
 def _pick_unroll(nb: int, cfg: RBMConfig, ndev: int = 1,
-                 hbm_state: bool = False) -> int:
+                 hbm_state: bool = False, dp_reduce: str = "factor") -> int:
     """Largest divisor of nb <= _MAX_UNROLL whose data block stays small and
     whose total footprint fits the VMEM budget."""
     budget_rows = max(1, (2 * 1024 * 1024) // max(1, 4 * cfg.n_visible))  # ~2MB block
     max_u = max(1, min(_MAX_UNROLL, budget_rows // max(1, cfg.batch_size)))
-    while max_u > 1 and estimate_vmem_bytes(cfg, max_u, ndev,
-                                            hbm_state) > _VMEM_BUDGET:
+    while max_u > 1 and estimate_vmem_bytes(cfg, max_u, ndev, hbm_state,
+                                            dp_reduce) > _VMEM_BUDGET:
         max_u -= 1
     for u in range(max_u, 0, -1):
         if nb % u == 0:
@@ -93,12 +93,41 @@ def _pick_unroll(nb: int, cfg: RBMConfig, ndev: int = 1,
     return 1
 
 
+def factor_comm_shape(cfg: RBMConfig, ndev: int) -> Tuple[int, int]:
+    """(rows_p, F) of one factor-exchange slot: the packed per-shard phase
+    factors [v0 | h0p] over rows 0:B and [vs | -hmean] over rows B:2B, rows
+    padded to the f32 sublane tile (8) and each feature block padded to the
+    lane tile (128) so the h block starts lane-aligned."""
+    rows_p = _round_up(2 * cfg.batch_size, 8)
+    F = _round_up(cfg.n_visible, 128) + _round_up(cfg.n_hidden, 128)
+    return rows_p, F
+
+
+# byte target of one gradient/update row-chunk ([rows, H] f32)
+_UPDATE_CHUNK_BYTES = 2 * 1024 * 1024
+
+
+def _param_bytes(cfg: RBMConfig) -> int:
+    return 2 if cfg.param_dtype == "bfloat16" else 4
+
+
+def w_chunk_rows_for(cfg: RBMConfig) -> int:
+    """Row-chunk granularity for W-blocked passes: ~2 MB of f32 per chunk,
+    rows a multiple of 32 (covers both the f32 (8,128) and bf16 (16,128)
+    sublane tilings)."""
+    rows = max(32, (_UPDATE_CHUNK_BYTES // (4 * cfg.n_hidden)) // 32 * 32)
+    return min(rows, _round_up(cfg.n_visible, 32))
+
+
 def estimate_vmem_bytes(cfg: RBMConfig, unroll: int = _MAX_UNROLL,
-                        ndev: int = 1, hbm_state: bool = False) -> int:
+                        ndev: int = 1, hbm_state: bool = False,
+                        dp_reduce: str = "factor",
+                        w_chunked: bool = False) -> int:
     f = 4  # float32
-    w = cfg.n_visible * cfg.n_hidden * f
+    ps = _param_bytes(cfg)  # parameter storage bytes/element
+    we = cfg.n_visible * cfg.n_hidden  # W elements
     batch = cfg.batch_size * (cfg.n_visible + cfg.n_hidden) * f
-    data_block = 2 * unroll * cfg.batch_size * cfg.n_visible * f  # double-buffered
+    data_block = 2 * unroll * cfg.batch_size * cfg.n_visible * ps  # double-buffered
     # pre-drawn PRNG blocks (u_h0 + u_h + u_v/n_v), which scale with k*unroll;
     # the Gaussian path's Box-Muller holds 2 transient uniforms alongside the
     # output, hence the extra factor
@@ -108,37 +137,83 @@ def estimate_vmem_bytes(cfg: RBMConfig, unroll: int = _MAX_UNROLL,
         per_v = cfg.k * unroll * cfg.batch_size * cfg.n_visible * f
         rng += per_v if cfg.visible == "bernoulli" else 3 * per_v
     comm = 0
-    if ndev > 1:
-        # DP ring-allreduce scratch: padded work buffer + ndev comm slots for
-        # dW (together ~2x W) + the small bias buffers. The gW transient below
-        # is the work buffer itself in this mode, so don't double-count it.
+    if ndev > 1 and dp_reduce == "factor":
+        # factor-exchange scratch: the all-gather buffer + ndev comm slots of
+        # packed phase factors — O(ndev * B * (V + H)), tiny next to W
+        rows_p, F = factor_comm_shape(cfg, ndev)
+        comm = 2 * ndev * rows_p * F * f
+    elif ndev > 1:
+        # dW ring-allreduce scratch: padded work buffer + ndev comm slots for
+        # dW (together ~2x W, lanes padded to the 128 DMA tiling) + the small
+        # bias buffers. The gW transient below is the work buffer itself in
+        # this mode, so don't double-count it.
         chunk = _round_up(-(-cfg.n_visible // ndev), 8)
+        hp = _round_up(cfg.n_hidden, 128)
         pbc = _round_up(max(cfg.n_visible, cfg.n_hidden), 128)
-        comm = 2 * chunk * ndev * cfg.n_hidden * f + 2 * ndev * 2 * pbc * f
-    # the [V, H] gradient is a live w-sized transient in every mode (it IS the
-    # DP work buffer when ndev > 1); a bf16 compute cast of W adds w/2 more
-    transients = (0 if ndev > 1 else w)
-    if cfg.compute_dtype == "bfloat16":
-        transients += w // 2
+        comm = 2 * chunk * ndev * hp * f + 2 * ndev * 8 * pbc * f
+    # ---- Mosaic-stack transients (hardware-validated accounting, round 3:
+    # the scoped-vmem OOM at the ring's boundary shape showed the W *read*
+    # (`Wv = W[:]`) and the full [V, H] f32 gradient are both live) ----
+    ring = ndev > 1 and dp_reduce == "ring"
+    transients = 0
+    if w_chunked:
+        # fully W-blocked kernel: W is only ever read/updated in ~2 MB row
+        # chunks and the [2B, V] factor stack is sliced lazily; the live
+        # activations are covered by the generic batch term below; per chunk
+        # ~3 chunk-sized values coexist (gWc, the W-row read, the update)
+        transients += 3 * _UPDATE_CHUNK_BYTES
+    else:
+        transients += we * ps  # the Wv read
+        if cfg.compute_dtype != cfg.param_dtype:
+            transients += we * (2 if cfg.compute_dtype == "bfloat16" else 4)
+        if ring:
+            pass  # gW lives in the gw_work comm buffer
+        elif hbm_state:
+            transients += 4 * _UPDATE_CHUNK_BYTES  # chunked update
+        else:
+            transients += we * f  # full [V, H] f32 gradient
     if hbm_state:
         # wide-model mode: state lives in HBM, one VMEM master copy of W
         # (plus one for the velocity only when momentum is actually used)
-        state = (2 * w if _uses_momentum(cfg) else w)
+        state = (2 * we * ps if _uses_momentum(cfg) else we * ps)
     else:
         # const-block mode: W+velW in/out VMEM blocks (4x w)
-        state = 4 * w
-    return (state + 4 * (cfg.n_visible + cfg.n_hidden) * f + 8 * batch
+        state = 4 * we * ps
+    # activation working set: the W-blocked kernel keeps at most ~4
+    # [B, V]+[B, H] values live at once (v0f/vs/vmean/pre_v; the rest die
+    # before the update loop); the small-shape kernels get the conservative
+    # 8x multiplier (immaterial there)
+    act = (4 if w_chunked else 8) * batch
+    return (state + 4 * (cfg.n_visible + cfg.n_hidden) * ps + act
             + data_block + rng + comm + transients)
 
 
-def pallas_state_mode(cfg: RBMConfig, ndev: int = 1) -> Optional[bool]:
+def needs_w_chunking(cfg: RBMConfig, ndev: int = 1,
+                     dp_reduce: str = "factor") -> bool:
+    """True when the HBM-state kernel must run fully W-blocked (W too large
+    to ever materialize as a VMEM value — e.g. 40000x1000 bf16, 80 MB).
+    Single-chip only; multi-chip wide shapes use the XLA engine."""
+    return (ndev == 1
+            and estimate_vmem_bytes(cfg, unroll=1, ndev=ndev, hbm_state=True,
+                                    dp_reduce=dp_reduce) > _VMEM_BUDGET
+            and estimate_vmem_bytes(cfg, unroll=1, ndev=ndev, hbm_state=True,
+                                    dp_reduce=dp_reduce,
+                                    w_chunked=True) <= _VMEM_BUDGET)
+
+
+def pallas_state_mode(cfg: RBMConfig, ndev: int = 1,
+                      dp_reduce: str = "factor") -> Optional[bool]:
     """Engine-availability probe: False -> const-block (VMEM in/out blocks)
     mega-kernel fits; True -> only the HBM-state (manual-DMA master copy)
-    variant fits; None -> neither does (caller must use the XLA engine)."""
-    if estimate_vmem_bytes(cfg, unroll=1, ndev=ndev) <= _VMEM_BUDGET:
-        return False
+    variant fits (possibly fully W-blocked, see needs_w_chunking); None ->
+    neither does (caller must use the XLA engine)."""
     if estimate_vmem_bytes(cfg, unroll=1, ndev=ndev,
-                           hbm_state=True) <= _VMEM_BUDGET:
+                           dp_reduce=dp_reduce) <= _VMEM_BUDGET:
+        return False
+    if estimate_vmem_bytes(cfg, unroll=1, ndev=ndev, hbm_state=True,
+                           dp_reduce=dp_reduce) <= _VMEM_BUDGET:
+        return True
+    if needs_w_chunking(cfg, ndev, dp_reduce):
         return True
     return None
 
@@ -179,13 +254,15 @@ def _dot_tn(a, b, cd=jnp.float32):  # a.T @ b without materializing the transpos
                                preferred_element_type=jnp.float32)
 
 
-def _pseudo_likelihood_err(W, b, pre_h, v0, bit_idx, n_visible: int) -> jax.Array:
+def _pseudo_likelihood_err(W, b, pre_h, v0, bit_idx, n_visible: int,
+                           row_mask=None, w_row=None) -> jax.Array:
     """Theano-lineage stochastic pseudo-likelihood monitor, matmul-free given
     the already-computed hidden pre-activation ``pre_h = v0 @ W + c``:
     flipping one (rotating) visible bit i is a rank-1 update
     ``pre_flip = pre_h + (1-2*v0[:,i]) * W[i,:]``. Mirrors
-    core.rbm_math.pseudo_likelihood (mean of n_visible * softplus(-(dFE)))."""
-    B = v0.shape[0]
+    core.rbm_math.pseudo_likelihood (sum over rows of n_visible *
+    softplus(-(dFE)); the caller scales by the effective batch size).
+    ``row_mask`` [B, 1] zeroes padding rows under uneven DP sharding."""
     # lane-dim dynamic indexing is not supported by Mosaic: select column i of
     # v0 / entry i of b with a one-hot mask + reduction instead
     onehot = (jax.lax.broadcasted_iota(jnp.int32, (1, n_visible), 1)
@@ -195,15 +272,18 @@ def _pseudo_likelihood_err(W, b, pre_h, v0, bit_idx, n_visible: int) -> jax.Arra
     delta = 1.0 - 2.0 * v0_i  # [B, 1]
     # row i of W via mask+reduce (Mosaic lowers neither dynamic_slice on
     # values nor lane-dim dynamic refs; a [V,1] one-hot contraction does it
-    # on the VPU in one pass)
-    w_row = jnp.sum(W * onehot.reshape(-1, 1), axis=0, keepdims=True)  # [1, H]
+    # on the VPU in one pass) — precomputed by the caller in W-blocked mode
+    if w_row is None:
+        w_row = jnp.sum(W * onehot.reshape(-1, 1), axis=0, keepdims=True)  # [1, H]
     v0b = _dot_tt(v0, b, jnp.float32)  # [B, 1]
     fe = -v0b - jnp.sum(jax.nn.softplus(pre_h), axis=1, keepdims=True)  # [B, 1]
     fe_flip = (-(v0b + delta * b_i)
                - jnp.sum(jax.nn.softplus(pre_h + delta * w_row), axis=1,
                          keepdims=True))
-    return jnp.sum(jnp.float32(n_visible)
-                   * jax.nn.softplus(-(fe_flip - fe))) * jnp.float32(1.0 / B)
+    rows = jnp.float32(n_visible) * jax.nn.softplus(-(fe_flip - fe))
+    if row_mask is not None:
+        rows = rows * row_mask
+    return jnp.sum(rows)
 
 
 def _cd_train_kernel(
@@ -221,6 +301,11 @@ def _cd_train_kernel(
     ndev: int = 1,
     inject: bool = False,
     hbm_state: bool = False,
+    dp_reduce: str = "factor",
+    global_b: Optional[int] = None,  # global minibatch size under DP
+    barrier: bool = False,  # entry barrier (real hardware; interpreter lacks it)
+    _self_loop: bool = False,  # test-only: every RDMA targets my own chip
+    w_chunk_rows: Optional[int] = None,  # W-blocked mode: rows per chunk
 ):
     use_momentum = _uses_momentum(cfg)
     pos = 0
@@ -233,7 +318,9 @@ def _cd_train_kernel(
             u_v_ref = refs[pos]; pos += 1  # (1, 1, k*U*B, V)
     W_in, b_in, c_in, vW_in, vb_in, vc_in, chain_in = refs[pos:pos + 7]; pos += 7
     W, b, c, vW, vb, vc, chain, err_ref = refs[pos:pos + 8]; pos += 8
-    if ndev > 1:
+    if ndev > 1 and dp_reduce == "factor":
+        fx_all, comm_fx, send_fx, recv_fx = refs[pos:pos + 4]; pos += 4
+    elif ndev > 1:
         (gw_work, comm_w, bc_all, comm_bc,
          send_w, recv_w, send_bc, recv_bc) = refs[pos:pos + 8]; pos += 8
         chunk = gw_work.shape[0] // ndev  # padded row-chunk per ring hop
@@ -283,7 +370,12 @@ def _cd_train_kernel(
             vb[:] = vb_in[:]
             vc[:] = vc_in[:]
             chain[:] = chain_in[:]
-        if ndev > 1:
+        if ndev > 1 and dp_reduce == "factor":
+            # zero once: factor writes only ever touch rows [:2B] and the
+            # [:V]/[:H] lane blocks of each slot, RDMA hops copy whole slots,
+            # so every pad row/lane stays 0 on every shard forever.
+            fx_all[:] = jnp.zeros_like(fx_all)
+        elif ndev > 1:
             # zero once: grads only ever write rows [:V] of the work buffer
             # and columns [:V]/[:H] of the bias rows, so the padding stays 0
             # through every reduce (all shards' pads are 0).
@@ -300,8 +392,22 @@ def _cd_train_kernel(
         # updates within the step. prng_seed takes <=2 values.
         pltpu.prng_seed(seed_ref[0], e * nsteps + i)
 
-    B = cfg.batch_size
-    inv_b = jnp.float32(1.0 / B)
+    B = cfg.batch_size  # LOCAL (per-shard) minibatch rows, padding included
+    gB = global_b if global_b is not None else B * ndev
+    uneven = gB != B * ndev  # padded shards: mask pad rows out of every stat
+    # gradient stats normalize by the GLOBAL batch (the DP reduce is a plain
+    # sum, so sum-of-local-sums / gB == the exact global batch mean even with
+    # uneven per-shard row counts); the monitor scales by ndev/gB so the
+    # post-kernel pmean over shards yields the global mean too
+    inv_b = jnp.float32(1.0 / gB)
+    inv_beff = jnp.float32(ndev / gB)
+    row_mask = None
+    if uneven:
+        # valid rows: my*B + i < gB (the padded global batch lays its gB real
+        # rows first; only the tail shard(s) carry zero-pad rows)
+        my_rows = seed_ref[3] * B
+        row_mask = ((jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0) + my_rows)
+                    < gB).astype(jnp.float32)
     cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     lr = jnp.float32(cfg.lr)
     is_last_step = jnp.logical_and(e == pl.num_programs(0) - 1, i == nsteps - 1)
@@ -339,7 +445,26 @@ def _cd_train_kernel(
 
     if ndev > 1:
         my = seed_ref[3]
-        right = jax.lax.rem(my + 1, ndev)
+        right = my if _self_loop else jax.lax.rem(my + 1, ndev)
+        left = my if _self_loop else jax.lax.rem(my - 1 + ndev, ndev)
+
+        if barrier:
+            # Entry barrier (real hardware): every shard signals both ring
+            # neighbors and waits for both signals before any RDMA, so no
+            # shard's first remote write can land on a chip that hasn't
+            # entered the kernel yet. Requires CompilerParams(collective_id=);
+            # Mosaic REJECTS collective_id without a barrier semaphore use —
+            # found on hardware this round, the interpreter never checks.
+            @pl.when(jnp.logical_and(e == 0, i == 0))
+            def _entry_barrier():
+                bar = pltpu.get_barrier_semaphore()
+                pltpu.semaphore_signal(
+                    bar, device_id=left,
+                    device_id_type=pltpu.DeviceIdType.LOGICAL)
+                pltpu.semaphore_signal(
+                    bar, device_id=right,
+                    device_id_type=pltpu.DeviceIdType.LOGICAL)
+                pltpu.semaphore_wait(bar, 2)
 
         def _ring_hop(gs, src_ref, comm, send_sem, recv_sem):
             """One ring hop: push `src_ref` to the right neighbor's comm slot
@@ -362,24 +487,63 @@ def _cd_train_kernel(
             rdma.wait()
             return slot
 
+    # storage dtype of the parameter state (bf16 when param_dtype is
+    # bfloat16: masters/blocks hold rounded parameters, update arithmetic
+    # stays f32 and rounds once — the apply_update recipe)
+    sdt = W.dtype
+    # chunked W update (hbm_state, non-ring): the [V, H] f32 gradient is
+    # never materialized — it is computed and applied to the master in ~2 MB
+    # row chunks, directly from the phase factors
+    chunked_update = hbm_state and not (ndev > 1 and dp_reduce == "ring")
+    upd_rows = w_chunk_rows if w_chunk_rows is not None else (
+        w_chunk_rows_for(cfg) if chunked_update else None)
+
+    def _w_rows(c0: int, rows: int):
+        return W[pl.ds(c0, rows), :]
+
+    def _mm_h(x):
+        """x [N, V] @ W -> [N, H] f32 (W read chunk-wise in W-blocked mode)."""
+        if w_chunk_rows is None:
+            return _dot_nt(x, Wc, cd)
+        acc = None
+        for c0 in range(0, V, w_chunk_rows):
+            rows = min(w_chunk_rows, V - c0)
+            part = _dot_nt(x[:, c0:c0 + rows], _w_rows(c0, rows).astype(cd), cd)
+            acc = part if acc is None else acc + part
+        return acc
+
+    def _mm_v(hh):
+        """hh [N, H] @ W.T -> [N, V] f32 (chunked over W rows = output cols)."""
+        if w_chunk_rows is None:
+            return _dot_tt(hh, Wc, cd)
+        parts = []
+        for c0 in range(0, V, w_chunk_rows):
+            rows = min(w_chunk_rows, V - c0)
+            parts.append(_dot_tt(hh, _w_rows(c0, rows).astype(cd), cd))
+        return jnp.concatenate(parts, axis=1)
+
     err_acc = jnp.float32(0.0)
     for u in range(unroll):
-        v0 = batch_ref[0, u]  # [B, V]
-        Wv = W[:]
-        Wc = Wv.astype(cd)
+        v0 = batch_ref[0, u]  # [B, V] in storage dtype
+        v0f = v0 if v0.dtype == jnp.float32 else v0.astype(jnp.float32)
+        if w_chunk_rows is None:
+            Wv = W[:]
+            Wc = Wv.astype(cd)
+        else:
+            Wv = Wc = None  # W never materializes; every pass is chunked
 
         # positive phase
-        pre_h0 = _dot_nt(v0, Wc, cd) + c[0]  # [B, H]
+        pre_h0 = _mm_h(v0) + c[0]  # [B, H]
         h0p = jax.nn.sigmoid(pre_h0)
         h0s = (u_h0[u * B:(u + 1) * B] < h0p).astype(jnp.float32)
 
         h = chain[:] if cfg.persistent else h0s
-        vs = v0
+        vs = v0f
         hmean = h0p
         v1mean_cd = None
         for t in range(cfg.k):
             r = (u * cfg.k + t) * B  # row offset into the pre-drawn blocks
-            pre_v = _dot_tt(h, Wc, cd) + b[0]  # [B, V]
+            pre_v = _mm_v(h) + b[0]  # [B, V]
             vmean = jax.nn.sigmoid(pre_v) if cfg.visible == "bernoulli" else pre_v
             if t == 0:
                 v1mean_cd = vmean
@@ -389,33 +553,112 @@ def _cd_train_kernel(
             else:
                 vs = (vmean + n_v[r:r + B]
                       if cfg.resolved_sample_visible else vmean)
-            hmean = jax.nn.sigmoid(_dot_nt(vs, Wc, cd) + c[0])
+            hmean = jax.nn.sigmoid(_mm_h(vs) + c[0])
             h = (u_h[r:r + B] < hmean).astype(jnp.float32)
 
         if cfg.persistent:
-            chain[:] = h
-            pre_vd = _dot_tt(h0s, Wc, cd) + b[0]
+            chain[:] = h.astype(sdt)
+            pre_vd = _mm_v(h0s) + b[0]
             v1mean = jax.nn.sigmoid(pre_vd) if cfg.visible == "bernoulli" else pre_vd
         else:
             v1mean = v1mean_cd
 
-        # gradients (log-likelihood ascent direction, batch mean);
-        # positive and negative phases merged into ONE MXU call over [2B] rows
-        gW = _dot_tn(jnp.concatenate([v0, vs], axis=0),
-                     jnp.concatenate([h0p, -hmean], axis=0), cd) * inv_b  # [V, H]
-        gb = jnp.sum(v0 - vs, axis=0, keepdims=True) * inv_b  # [1, V]
-        gc = jnp.sum(h0p - hmean, axis=0, keepdims=True) * inv_b  # [1, H]
-        if cfg.sparsity_target is not None and cfg.sparsity_cost:
-            gc = gc + jnp.float32(cfg.sparsity_cost) * (
-                jnp.float32(cfg.sparsity_target)
-                - jnp.sum(h0p, axis=0, keepdims=True) * inv_b)
-
-        if ndev > 1:
-            # ---- in-kernel DP allreduce over ICI (mean of per-shard means;
-            # clip/L2/momentum apply to the reduced grads, matching the XLA
-            # dp path's pmean-then-update ordering) ----
+        if ndev > 1 and dp_reduce == "factor":
+            # ---- factor-exchange DP allreduce over ICI: the CD gradient is
+            # an outer product of the phase factors, so instead of ring-
+            # reducing the O(V*H) dW we ring-ALL-GATHER the packed factors
+            # [v0|h0p ; vs|-hmean] (O(B*(V+H)) bytes) and compute the
+            # global-batch gradient locally — identically (and therefore
+            # bit-identically) on every shard, since each shard sees the
+            # gathered rows in the same shard-id order. Exposed ICI traffic:
+            # (ndev-1)*rows_p*F*4 bytes/update vs the dW ring's
+            # 2(ndev-1)/ndev*V*H*4 — ~9-15x less at graded shapes
+            # (BENCH_DETAIL.md DP roofline table).
             upd = (e * nsteps + i) * unroll + u  # running update counter
-            gw_work[pl.ds(0, V), :] = gW
+            rows_p = fx_all.shape[1]
+            Vp = _round_up(V, 128)  # h block starts lane-aligned
+            if uneven:
+                v0w, vsw = v0f * row_mask, vs * row_mask
+                h0w, hmw = h0p * row_mask, hmean * row_mask
+            else:
+                v0w, vsw, h0w, hmw = v0f, vs, h0p, hmean
+            fx_all[my, pl.ds(0, B), pl.ds(0, V)] = v0w
+            fx_all[my, pl.ds(0, B), pl.ds(Vp, H)] = h0w
+            fx_all[my, pl.ds(B, B), pl.ds(0, V)] = vsw
+            fx_all[my, pl.ds(B, B), pl.ds(Vp, H)] = -hmw
+
+            # ring all-gather: hop s forwards slot (my-s) to the right
+            # neighbor, so after ndev-1 hops every shard holds every shard's
+            # factors (same slot discipline as the bias ring it replaces)
+            def fx_body(s, _):
+                fwd = jax.lax.rem(my - s + 2 * ndev, ndev)
+                src = jax.lax.rem(my - s - 1 + 2 * ndev, ndev)
+                slot = _ring_hop(upd * (ndev - 1) + s, fx_all.at[fwd],
+                                 comm_fx, send_fx, recv_fx)
+                fx_all[src] = comm_fx[slot]
+                return 0
+
+            jax.lax.fori_loop(0, ndev - 1, fx_body, 0)
+            flat = fx_all[:].reshape(ndev * rows_p, fx_all.shape[2])
+            v_cat = flat[:, 0:V]
+            h_cat = flat[:, Vp:Vp + H]  # rows: +h0p then -hmean per shard
+            srow = jax.lax.rem(
+                jax.lax.broadcasted_iota(jnp.int32, (ndev * rows_p, 1), 0),
+                rows_p)
+            sign = jnp.where(srow < B, jnp.float32(1.0),
+                             jnp.where(srow < 2 * B, jnp.float32(-1.0),
+                                       jnp.float32(0.0)))
+            gb = jnp.sum(v_cat * sign, axis=0, keepdims=True) * inv_b  # [1,V]
+            # the h block already carries the negative phase negated, so the
+            # plain row sum is sum(h0p) - sum(hmean)
+            gc = jnp.sum(h_cat, axis=0, keepdims=True) * inv_b  # [1, H]
+            if cfg.sparsity_target is not None and cfg.sparsity_cost:
+                pos = (srow < B).astype(jnp.float32)
+                gc = gc + jnp.float32(cfg.sparsity_cost) * (
+                    jnp.float32(cfg.sparsity_target)
+                    - jnp.sum(h_cat * pos, axis=0, keepdims=True) * inv_b)
+        else:
+            # gradients (log-likelihood ascent direction, global-batch mean:
+            # inv_b = 1/gB and the DP ring reduce below is a plain sum);
+            # positive and negative phases stacked for ONE MXU call over
+            # [2B] rows. Under uneven DP sharding the v side is row-masked,
+            # which zeroes pad rows' outer products.
+            v_pos = v0f * row_mask if uneven else v0f
+            v_neg = vs * row_mask if uneven else vs
+            v_cat = None  # chunked mode stacks v chunks lazily (VMEM)
+            h_cat = jnp.concatenate([h0p, -hmean], axis=0)
+            gb = jnp.sum(v_pos - v_neg, axis=0, keepdims=True) * inv_b  # [1, V]
+            hd = (h0p - hmean) * row_mask if uneven else (h0p - hmean)
+            gc = jnp.sum(hd, axis=0, keepdims=True) * inv_b  # [1, H]
+            if cfg.sparsity_target is not None and cfg.sparsity_cost:
+                h0m = h0p * row_mask if uneven else h0p
+                # target/ndev per shard: the plain-sum reduce restores the
+                # full target term exactly once
+                gc = gc + jnp.float32(cfg.sparsity_cost) * (
+                    jnp.float32(cfg.sparsity_target / ndev)
+                    - jnp.sum(h0m, axis=0, keepdims=True) * inv_b)
+
+        # chunk c0 of the stacked positive/negative v factors ([2B, rows]):
+        # the factor-exchange path slices its gathered buffer, the local path
+        # stacks the two phase chunks lazily so no [2B, V] value ever lives
+        def _v_cat_chunk(c0, rows):
+            if v_cat is not None:
+                return v_cat[:, c0:c0 + rows]
+            return jnp.concatenate(
+                [v_pos[:, c0:c0 + rows], v_neg[:, c0:c0 + rows]], axis=0)
+
+        # the full [V, H] gradient exists as a value only in the non-chunked
+        # update paths; chunked mode applies it straight to the master below
+        gW = (None if chunked_update
+              else _dot_tn(_v_cat_chunk(0, V), h_cat, cd) * inv_b)  # [V, H]
+
+        if ndev > 1 and dp_reduce == "ring":
+            # ---- dW ring allreduce over ICI (plain sum of the 1/gB-scaled
+            # local stats = the global batch mean; clip/L2/momentum apply to
+            # the reduced grads, matching the XLA dp path's
+            # pmean-then-update ordering) ----
+            upd = (e * nsteps + i) * unroll + u  # running update counter
+            gw_work[pl.ds(0, V), pl.ds(0, H)] = gW
 
             # dW: ring reduce-scatter (after ndev-1 hops shard d owns the
             # fully reduced row-chunk (d+1)%ndev, summed in one canonical
@@ -442,7 +685,7 @@ def _cd_train_kernel(
                 return 0
 
             jax.lax.fori_loop(0, ndev - 1, ag_body, 0)
-            gW = gw_work[pl.ds(0, V), :] * jnp.float32(1.0 / ndev)
+            gW = gw_work[pl.ds(0, V), pl.ds(0, H)]
 
             # (db, dc): tiny — ring all-gather into per-source slots, then
             # sum in device-id order (deterministic across shards)
@@ -461,74 +704,135 @@ def _cd_train_kernel(
             bc_sum = bc_all[0]
             for d in range(1, ndev):
                 bc_sum = bc_sum + bc_all[d]
-            bc_sum = bc_sum * jnp.float32(1.0 / ndev)
             gb = bc_sum[0:1, 0:V]
             gc = bc_sum[1:2, 0:H]
 
         # error monitor (the graded parity metric) — BEFORE the update: the
         # monitor is defined on the parameters the batch was seen with
         # (pseudo reads b, so ordering matters; mse/xent only use v1mean)
+        # masked row sums scaled by ndev/gB: the post-kernel pmean over
+        # shards then yields the exact global-batch mean monitor even under
+        # uneven sharding (single-chip: ndev/gB == 1/B, unchanged)
         if cfg.error_metric == "pseudo":
             # rotating-bit index matches the XLA engine's
             # (epoch * nb + batch_index) % n_visible schedule
             bit_idx = jax.lax.rem(
                 (seed_ref[2] + e) * nb + i * unroll + u, V)
-            err_acc += _pseudo_likelihood_err(Wv, b[:], pre_h0, v0, bit_idx, V)
+            w_row = None
+            if w_chunk_rows is not None:
+                onehot = (jax.lax.broadcasted_iota(jnp.int32, (1, V), 1)
+                          == bit_idx).astype(jnp.float32)
+                for c0 in range(0, V, w_chunk_rows):
+                    rows = min(w_chunk_rows, V - c0)
+                    part = jnp.sum(
+                        _w_rows(c0, rows) * onehot[:, c0:c0 + rows].reshape(-1, 1),
+                        axis=0, keepdims=True)
+                    w_row = part if w_row is None else w_row + part
+            err_acc += _pseudo_likelihood_err(Wv, b[:], pre_h0, v0f, bit_idx, V,
+                                              row_mask, w_row) * inv_beff
         elif cfg.error_metric == "mse":
-            d = v0 - v1mean
-            err_acc += jnp.sum(d * d) * jnp.float32(1.0 / (B * V))
+            d = (v0f - v1mean) * row_mask if uneven else v0f - v1mean
+            err_acc += jnp.sum(d * d) * jnp.float32(ndev / (gB * V))
         else:
             eps = 1e-7
             p = jnp.clip(v1mean, eps, 1.0 - eps)
-            err_acc += -jnp.sum(v0 * jnp.log(p) + (1.0 - v0) * jnp.log(1.0 - p)) * inv_b
+            xe = v0f * jnp.log(p) + (1.0 - v0f) * jnp.log(1.0 - p)
+            if uneven:
+                xe = xe * row_mask
+            err_acc += -jnp.sum(xe) * inv_beff
 
-        # momentum + L2 (decay on W only) update, fused
+        # momentum + L2 (decay on W only) update, fused. Update arithmetic
+        # is f32; the result rounds ONCE into the storage dtype (bf16-safe —
+        # the apply_update recipe, core/rbm_math.py).
         if cfg.grad_clip is not None:
             clip = jnp.float32(cfg.grad_clip)
-            gW = jnp.clip(gW, -clip, clip)
             gb = jnp.clip(gb, -clip, clip)
             gc = jnp.clip(gc, -clip, clip)
-        if cfg.l2:
-            gW = gW - jnp.float32(cfg.l2) * Wv
         if use_momentum:
-            # full momentum path: velocity buffers read+written every update
-            nvW = m * vW[:] + lr * gW
-            nvb = m * vb[:] + lr * gb
-            nvc = m * vc[:] + lr * gc
-            vW[:] = nvW
+            nvb = (m * vb[:].astype(jnp.float32) + lr * gb).astype(sdt)
+            nvc = (m * vc[:].astype(jnp.float32) + lr * gc).astype(sdt)
             vb[:] = nvb
             vc[:] = nvc
-            W[:] = Wv + nvW
             b[:] = b[:] + nvb
             c[:] = c[:] + nvc
         else:
-            # momentum=0 (default): velocity = lr*grad is not part of the
-            # recursion; skip its per-update traffic. Write it only at the very
-            # last update for state parity with the XLA engine.
-            W[:] = Wv + lr * gW
-            b[:] = b[:] + lr * gb
-            c[:] = c[:] + lr * gc
+            b[:] = b[:] + (lr * gb).astype(sdt)
+            c[:] = c[:] + (lr * gc).astype(sdt)
             if u == unroll - 1 and not hbm_state:
                 @pl.when(is_last_step)
-                def _final_vel():
-                    vW[:] = lr * gW
-                    vb[:] = lr * gb
-                    vc[:] = lr * gc
+                def _final_vel_bc():
+                    vb[:] = (lr * gb).astype(sdt)
+                    vc[:] = (lr * gc).astype(sdt)
+
+        final_update = u == unroll - 1  # (guarded by is_last_step below)
+        if not chunked_update:
+            if cfg.grad_clip is not None:
+                gW = jnp.clip(gW, -clip, clip)
+            if cfg.l2:
+                gW = gW - jnp.float32(cfg.l2) * Wv
+            if use_momentum:
+                nvW = (m * vW[:].astype(jnp.float32) + lr * gW).astype(sdt)
+                vW[:] = nvW
+                W[:] = Wv + nvW
+            else:
+                W[:] = Wv + (lr * gW).astype(sdt)
+                if final_update and not hbm_state:
+                    @pl.when(is_last_step)
+                    def _final_vel_w():
+                        vW[:] = (lr * gW).astype(sdt)
+        else:
+            # chunked in-place update of the HBM-state master: per ~2 MB row
+            # block, ONE small MXU call over the phase-factor stack, then
+            # clip/L2/momentum and the master write — the full [V, H]
+            # gradient never exists. In the momentum-free case the final
+            # update also streams the updated rows to HBM immediately and
+            # restages the velocity rows into the master (so the velocity
+            # state writes out without a second W-sized buffer).
+            for c0 in range(0, V, upd_rows):
+                rows = min(upd_rows, V - c0)
+                sl = pl.ds(c0, rows)
+                gWc = _dot_tn(_v_cat_chunk(c0, rows), h_cat, cd) * inv_b
+                if cfg.grad_clip is not None:
+                    gWc = jnp.clip(gWc, -clip, clip)
+                Wrow = W[sl, :]
+                if cfg.l2:
+                    gWc = gWc - jnp.float32(cfg.l2) * Wrow
+                if use_momentum:
+                    nv = (m * vW[sl, :].astype(jnp.float32)
+                          + lr * gWc).astype(sdt)
+                    vW[sl, :] = nv
+                    W[sl, :] = Wrow + nv
+                else:
+                    vel_rows = (lr * gWc).astype(sdt)
+                    W[sl, :] = Wrow + vel_rows
+                    if final_update:
+                        @pl.when(is_last_step)
+                        def _stream_final_rows():
+                            dma = pltpu.make_async_copy(
+                                W.at[sl, :], state_out[0].at[sl, :],
+                                ssem.at[0])
+                            dma.start()
+                            dma.wait()
+                            W[sl, :] = vel_rows
 
         if hbm_state and u == unroll - 1:
             @pl.when(is_last_step)
             def _writeback():
-                # W goes out first so its master copy can stage the final
-                # velocity in the momentum-free case
-                dw = pltpu.make_async_copy(W, state_out[0], ssem.at[0])
-                dw.start()
-                dw.wait()
-                if not use_momentum:
+                if use_momentum or not chunked_update:
+                    # W goes out first so its master copy can stage the final
+                    # velocity in the momentum-free full-tensor case
+                    dw = pltpu.make_async_copy(W, state_out[0], ssem.at[0])
+                    dw.start()
+                    dw.wait()
+                if not use_momentum and not chunked_update:
                     # velocity-at-end = lr * (last grad after clip/L2),
                     # matching the XLA engine and the const-block mode
-                    W[:] = lr * gW
-                    vb[:] = lr * gb
-                    vc[:] = lr * gc
+                    W[:] = (lr * gW).astype(sdt)
+                if not use_momentum:
+                    # (chunked mode already streamed W rows out and restaged
+                    # the velocity rows into the master above)
+                    vb[:] = (lr * gb).astype(sdt)
+                    vc[:] = (lr * gc).astype(sdt)
                 vel_w_src = W if not use_momentum else vW
                 stores = [(b, 1), (c, 2), (chain, 3), (vel_w_src, 4),
                           (vb, 5), (vc, 6)]
@@ -546,7 +850,21 @@ def _cd_train_kernel(
 
 def _build_pallas_call(cfg: RBMConfig, n_epochs: int, nb: int, unroll: int,
                        shuffle: bool, interpret, ndev: int = 1,
-                       inject: bool = False, hbm_state: bool = False):
+                       inject: bool = False, hbm_state: bool = False,
+                       dp_reduce: str = "factor",
+                       global_b: Optional[int] = None,
+                       _self_loop: bool = False,
+                       _force_w_chunk: Optional[int] = None):
+    # the entry barrier + collective_id pair is required by Mosaic on real
+    # hardware and unsupported by the interpreter, which simulates inter-
+    # device DMA without it (race detection covers the schedule there)
+    barrier = ndev > 1 and interpret is False
+    # storage dtype of parameters/velocities/chain (bf16 halves master/block
+    # VMEM and HBM traffic; update arithmetic stays f32 in-kernel)
+    pdt = jnp.bfloat16 if cfg.param_dtype == "bfloat16" else jnp.float32
+    w_chunk_rows = _force_w_chunk if _force_w_chunk is not None else (
+        w_chunk_rows_for(cfg)
+        if hbm_state and needs_w_chunking(cfg, ndev, dp_reduce) else None)
     if interpret is True:
         # the generic interpreter lacks pltpu.prng_*; use the TPU interpreter
         # (NB: it stubs prng_random_bits to zeros — use inject=True for real
@@ -568,7 +886,7 @@ def _build_pallas_call(cfg: RBMConfig, n_epochs: int, nb: int, unroll: int,
     in_specs = [
         pl.BlockSpec((1, unroll, B, V), data_index,
                      memory_space=pltpu.VMEM),  # super-batches
-    ]
+    ]  # batches arrive in the storage dtype (train_fn casts)
     n_inject = 0
     if inject:
         # injected uniforms are consumed in grid-step order (matching the XLA
@@ -601,14 +919,27 @@ def _build_pallas_call(cfg: RBMConfig, n_epochs: int, nb: int, unroll: int,
     in_specs += state_in_specs
 
     scratch_shapes = []
-    if ndev > 1:
+    if ndev > 1 and dp_reduce == "factor":
+        rows_p, F = factor_comm_shape(cfg, ndev)
+        scratch_shapes = [
+            pltpu.VMEM((ndev, rows_p, F), f32),         # fx_all (per source)
+            pltpu.VMEM((ndev, rows_p, F), f32),         # comm_fx slots
+            pltpu.SemaphoreType.DMA((ndev,)),           # send_fx
+            pltpu.SemaphoreType.DMA((ndev,)),           # recv_fx
+        ]
+    elif ndev > 1:
         chunk = _round_up(-(-V // ndev), 8)
+        # lane dim padded to the DMA tiling (128): Mosaic rejects remote
+        # copies of lane-unaligned slices (hardware finding, round 3 — the
+        # interpreter never checks this)
+        hp = _round_up(H, 128)
         pbc = _round_up(max(V, H), 128)
         scratch_shapes = [
-            pltpu.VMEM((chunk * ndev, H), f32),        # gw_work (padded)
-            pltpu.VMEM((ndev, chunk, H), f32),          # comm_w slots
-            pltpu.VMEM((ndev, 2, pbc), f32),            # bc_all (per source)
-            pltpu.VMEM((ndev, 2, pbc), f32),            # comm_bc slots
+            pltpu.VMEM((chunk * ndev, hp), f32),        # gw_work (padded)
+            pltpu.VMEM((ndev, chunk, hp), f32),         # comm_w slots
+            pltpu.VMEM((ndev, 8, pbc), f32),            # bc_all (per source;
+            # 8 sublanes for DMA tiling, rows 0/1 = db/dc)
+            pltpu.VMEM((ndev, 8, pbc), f32),            # comm_bc slots
             pltpu.SemaphoreType.DMA((ndev,)),           # send_w
             pltpu.SemaphoreType.DMA((ndev,)),           # recv_w
             pltpu.SemaphoreType.DMA((ndev,)),           # send_bc
@@ -616,14 +947,14 @@ def _build_pallas_call(cfg: RBMConfig, n_epochs: int, nb: int, unroll: int,
         ]
     if hbm_state:
         # the VMEM master copies of the state + their staging DMA semaphores
-        scratch_shapes += [pltpu.VMEM((V, H), f32),   # W master
-                           pltpu.VMEM((1, V), f32),   # b
-                           pltpu.VMEM((1, H), f32)]   # c
+        scratch_shapes += [pltpu.VMEM((V, H), pdt),   # W master
+                           pltpu.VMEM((1, V), pdt),   # b
+                           pltpu.VMEM((1, H), pdt)]   # c
         if _uses_momentum(cfg):
-            scratch_shapes += [pltpu.VMEM((V, H), f32)]  # vW master
-        scratch_shapes += [pltpu.VMEM((1, V), f32),   # vb
-                           pltpu.VMEM((1, H), f32),   # vc
-                           pltpu.VMEM((B, H), f32),   # chain
+            scratch_shapes += [pltpu.VMEM((V, H), pdt)]  # vW master
+        scratch_shapes += [pltpu.VMEM((1, V), pdt),   # vb
+                           pltpu.VMEM((1, H), pdt),   # vc
+                           pltpu.VMEM((B, H), pdt),   # chain
                            pltpu.SemaphoreType.DMA((7,))]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -637,18 +968,21 @@ def _build_pallas_call(cfg: RBMConfig, n_epochs: int, nb: int, unroll: int,
         scratch_shapes=scratch_shapes,
     )
     out_shape = [
-        jax.ShapeDtypeStruct((V, H), f32), jax.ShapeDtypeStruct((1, V), f32),
-        jax.ShapeDtypeStruct((1, H), f32),
-        jax.ShapeDtypeStruct((V, H), f32), jax.ShapeDtypeStruct((1, V), f32),
-        jax.ShapeDtypeStruct((1, H), f32),
-        jax.ShapeDtypeStruct((B, H), f32),
+        jax.ShapeDtypeStruct((V, H), pdt), jax.ShapeDtypeStruct((1, V), pdt),
+        jax.ShapeDtypeStruct((1, H), pdt),
+        jax.ShapeDtypeStruct((V, H), pdt), jax.ShapeDtypeStruct((1, V), pdt),
+        jax.ShapeDtypeStruct((1, H), pdt),
+        jax.ShapeDtypeStruct((B, H), pdt),
         jax.ShapeDtypeStruct((n_epochs, 1), f32),
     ]
     steps = n_epochs * nb
     flops_step = 2 * B * V * H * (2 + 2 * cfg.k)
     return pl.pallas_call(
         functools.partial(_cd_train_kernel, cfg=cfg, unroll=unroll, nb=nb,
-                          ndev=ndev, inject=inject, hbm_state=hbm_state),
+                          ndev=ndev, inject=inject, hbm_state=hbm_state,
+                          dp_reduce=dp_reduce, global_b=global_b,
+                          barrier=barrier, _self_loop=_self_loop,
+                          w_chunk_rows=w_chunk_rows),
         grid_spec=grid_spec,
         out_shape=out_shape,
         # params/velocities/chain update in place: operands are
@@ -658,9 +992,11 @@ def _build_pallas_call(cfg: RBMConfig, n_epochs: int, nb: int, unroll: int,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),  # strictly sequential SGD
             collective_id=0 if ndev > 1 else None,
-            # wide-model mode carries a w-sized gradient transient on the
-            # Mosaic stack; the default scoped-vmem limit is 16 MB
-            vmem_limit_bytes=112 * 1024 * 1024 if hbm_state else None,
+            # the kernel carries w-sized values (the W read + the gradient)
+            # on the Mosaic stack; the default scoped-vmem limit is 16 MB,
+            # which binds far below the 128 MB VMEM for wide shapes (found on
+            # hardware at the DP ring's near-boundary shape this round)
+            vmem_limit_bytes=112 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=steps * flops_step,
@@ -673,15 +1009,16 @@ def _build_pallas_call(cfg: RBMConfig, n_epochs: int, nb: int, unroll: int,
 
 def _prepare_run(cfg: RBMConfig, state: TrainState, n: int, n_epochs: int,
                  ndev: int = 1, hbm_state: bool = False,
-                 pick_cfg: Optional[RBMConfig] = None):
+                 pick_cfg: Optional[RBMConfig] = None,
+                 dp_reduce: str = "factor"):
     """Shared host-side setup: batch count, unroll, shuffle permutation, and
     the per-run seed block. Returns (nb, unroll, nsteps, perm, seed, key).
 
     ``pick_cfg``: config used for the unroll/VMEM sizing — under DP the
-    kernel runs with the LOCAL batch (global / ndev), so sizing from the
-    global config would under-select unroll by up to ndev-fold."""
+    kernel runs with the LOCAL batch (ceil(global / ndev)), so sizing from
+    the global config would under-select unroll by up to ndev-fold."""
     nb = n // cfg.batch_size
-    unroll = _pick_unroll(nb, pick_cfg or cfg, ndev, hbm_state)
+    unroll = _pick_unroll(nb, pick_cfg or cfg, ndev, hbm_state, dp_reduce)
     nsteps = nb // unroll
     key, kperm, kepoch = jax.random.split(state.key, 3)
     if cfg.shuffle:
@@ -752,6 +1089,7 @@ def _cached_train_fn(cfg: RBMConfig, n_epochs: int, interpret: bool,
         if inject and uniforms is None:
             key, kdraw = jax.random.split(key)
             uniforms = draw_uniform_blocks(cfg, kdraw, n_epochs, nb)
+        data = jnp.asarray(data, jnp.dtype(cfg.param_dtype))
         batches = data[: nb * cfg.batch_size].reshape(
             nsteps, unroll, cfg.batch_size, cfg.n_visible)
 
@@ -799,19 +1137,55 @@ def make_pallas_epoch_fn(cfg: RBMConfig, interpret: Optional[bool] = None):
 # BASELINE.json:5 with zero kernel relaunches).
 
 
+def dp_comm_bytes_per_update(cfg: RBMConfig, ndev: int,
+                             dp_reduce: str) -> int:
+    """Exposed ICI bytes one shard moves per update (the BENCH_DETAIL DP
+    roofline quantities). ``cfg`` is the LOCAL (per-shard) config."""
+    if dp_reduce == "factor":
+        rows_p, F = factor_comm_shape(cfg, ndev)
+        return (ndev - 1) * rows_p * F * 4
+    chunk = _round_up(-(-cfg.n_visible // ndev), 8)
+    hp = _round_up(cfg.n_hidden, 128)
+    pbc = _round_up(max(cfg.n_visible, cfg.n_hidden), 128)
+    return 2 * (ndev - 1) * chunk * hp * 4 + (ndev - 1) * 8 * pbc * 4
+
+
+def _resolve_dp_reduce(local_cfg: RBMConfig, ndev: int) -> Optional[str]:
+    """Pick the in-kernel reduce scheme: cheapest exposed ICI traffic among
+    the schemes whose comm scratch fits VMEM (factor's scratch scales with
+    ndev * B * (V + H), so huge local batches fall back to the dW ring)."""
+    fits = {r: pallas_state_mode(local_cfg, ndev=ndev, dp_reduce=r) is not None
+            for r in ("factor", "ring")}
+    if not any(fits.values()):
+        return None
+    candidates = [r for r, ok in fits.items() if ok]
+    return min(candidates,
+               key=lambda r: dp_comm_bytes_per_update(local_cfg, ndev, r))
+
+
 def make_pallas_dp_train_fn(cfg: RBMConfig, mesh: Mesh, n_epochs: int,
                             interpret: Optional[bool] = None,
                             inject: Optional[bool] = None,
-                            _skip_allreduce: bool = False):
+                            _skip_allreduce: bool = False,
+                            dp_reduce: str = "auto"):
     """Build ``fn(state, data[, uniforms]) -> (state, errs[n_epochs])``: one
-    mega-kernel launch per shard, per-update in-kernel ring allreduce.
+    mega-kernel launch per shard, per-update in-kernel allreduce over ICI.
 
-    ``cfg.batch_size`` is the GLOBAL minibatch; it is split evenly across the
-    mesh (the DP invariant: allreduced mean-of-local-means == global batch
-    mean, so DP changes throughput, not the update rule). The PCD chain and
-    the error monitor are per-shard; per-epoch errors are pmean'd after the
-    kernel. Returns None when the per-shard state + comm scratch doesn't fit
-    VMEM.
+    ``cfg.batch_size`` is the GLOBAL minibatch; it is split across the mesh
+    in ceil(B/ndev)-row shards — when it doesn't divide evenly, the tail
+    shard(s) carry zero-pad rows that are masked out of every statistic, and
+    the reduce is a plain sum of 1/B-scaled local sums, so the update rule is
+    EXACTLY the global batch mean either way (DP changes throughput, never
+    the math). The PCD chain and the error monitor are per-shard; per-epoch
+    errors are pmean'd after the kernel. Returns None when the per-shard
+    state + comm scratch doesn't fit VMEM.
+
+    ``dp_reduce``: "factor" all-gathers the packed phase factors (O(B(V+H))
+    ICI bytes/update) and computes the global gradient locally on every
+    shard; "ring" reduce-scatter+all-gathers dW itself (O(VH) bytes);
+    "auto" (default) picks whichever fits VMEM with the least exposed ICI
+    traffic — factor at the graded batch 20, ring once B(V+H) outgrows VH
+    (see BENCH_DETAIL.md's DP roofline).
 
     ``inject=None`` resolves to True on the CPU backend: the TPU interpreter
     stubs the in-kernel PRNG to zeros, so CPU runs auto-draw their uniforms
@@ -819,6 +1193,9 @@ def make_pallas_dp_train_fn(cfg: RBMConfig, mesh: Mesh, n_epochs: int,
     everywhere, never silent degeneration. ``_skip_allreduce`` disables the
     ring collectives (test-only: proves the parity tests actually exercise
     them)."""
+    if dp_reduce not in ("auto", "factor", "ring"):
+        raise ValueError(f"dp_reduce must be 'auto', 'factor', or 'ring', "
+                         f"got {dp_reduce!r}")
     axis = mesh.axis_names[0]
     ndev = mesh.devices.size
     if ndev == 1:
@@ -829,11 +1206,12 @@ def make_pallas_dp_train_fn(cfg: RBMConfig, mesh: Mesh, n_epochs: int,
             inject = jax.default_backend() == "cpu"
         return make_pallas_train_fn(cfg, n_epochs, interpret=interpret,
                                     inject=bool(inject))
-    if cfg.batch_size % ndev != 0:
-        raise ValueError(f"batch_size {cfg.batch_size} not divisible by "
-                         f"{ndev} devices")
-    local_cfg = cfg.replace(batch_size=cfg.batch_size // ndev)
-    mode = pallas_state_mode(local_cfg, ndev=ndev)
+    local_cfg = cfg.replace(batch_size=-(-cfg.batch_size // ndev))
+    if dp_reduce == "auto":
+        dp_reduce = _resolve_dp_reduce(local_cfg, ndev)
+        if dp_reduce is None:
+            return None
+    mode = pallas_state_mode(local_cfg, ndev=ndev, dp_reduce=dp_reduce)
     if mode is None:
         return None
     if interpret is None:
@@ -841,7 +1219,7 @@ def make_pallas_dp_train_fn(cfg: RBMConfig, mesh: Mesh, n_epochs: int,
     if inject is None:
         inject = jax.default_backend() == "cpu"
     return _cached_dp_train_fn(cfg, mesh, axis, ndev, n_epochs, interpret,
-                               inject, _skip_allreduce, mode)
+                               inject, _skip_allreduce, mode, dp_reduce)
 
 
 def draw_uniform_blocks(cfg: RBMConfig, key: jax.Array, n_epochs: int,
@@ -865,28 +1243,45 @@ def draw_uniform_blocks(cfg: RBMConfig, key: jax.Array, n_epochs: int,
 @lru_cache(maxsize=512)
 def _cached_dp_train_fn(cfg: RBMConfig, mesh: Mesh, axis: str, ndev: int,
                         n_epochs: int, interpret: bool, inject: bool,
-                        _skip_allreduce: bool = False, hbm_state: bool = False):
-    local_cfg = cfg.replace(batch_size=cfg.batch_size // ndev)
-    local_b = local_cfg.batch_size
+                        _skip_allreduce: bool = False, hbm_state: bool = False,
+                        dp_reduce: str = "factor"):
+    B = cfg.batch_size  # global minibatch
+    local_b = -(-B // ndev)  # ceil: uneven batches pad the tail shard(s)
+    pad = local_b * ndev - B
+    local_cfg = cfg.replace(batch_size=local_b)
+
+    def _pad_rows(a: jax.Array, axis_idx: int) -> jax.Array:
+        """Zero-pad the global-batch row dim from B to local_b * ndev."""
+        if pad == 0:
+            return a
+        widths = [(0, 0)] * a.ndim
+        widths[axis_idx] = (0, pad)
+        return jnp.pad(a, widths)
 
     def train_fn(state: TrainState, data: jax.Array,
                  uniforms: Optional[Dict[str, jax.Array]] = None
                  ) -> Tuple[TrainState, jax.Array]:
         n = data.shape[0]
         nb, unroll, nsteps, perm, seed, key = _prepare_run(
-            cfg, state, n, n_epochs, ndev, hbm_state, pick_cfg=local_cfg)
+            cfg, state, n, n_epochs, ndev, hbm_state, pick_cfg=local_cfg,
+            dp_reduce=dp_reduce)
         if inject and uniforms is None:
             key, kdraw = jax.random.split(key)
             uniforms = draw_uniform_blocks(cfg, kdraw, n_epochs, nb)
         # [nsteps, U, ndev, local_b, V]: each global minibatch's rows split
-        # contiguously across shards
-        batches = data[: nb * cfg.batch_size].reshape(
-            nsteps, unroll, ndev, local_b, cfg.n_visible)
+        # contiguously across shards (pad rows, if any, land on the tail
+        # shard(s) and are masked out of every statistic in-kernel)
+        data = jnp.asarray(data, jnp.dtype(cfg.param_dtype))
+        batches = _pad_rows(
+            data[: nb * B].reshape(nsteps, unroll, B, cfg.n_visible), 2
+        ).reshape(nsteps, unroll, ndev, local_b, cfg.n_visible)
         extra = []
         u_specs = ()
         if inject:
+            uniforms = {k: _pad_rows(a, a.ndim - 2)
+                        for k, a in uniforms.items()}
             flat = _flatten_uniforms(cfg, uniforms, n_epochs, nsteps, unroll)
-            # the global draw blocks are row-major [..., B, D] with B =
+            # the global draw blocks are row-major [..., Bp, D] with Bp =
             # ndev * local_b: shard the row dim so each shard consumes its
             # local slice of every global draw
             extra = [a.reshape(n_epochs, nsteps, -1, ndev, local_b, a.shape[-1])
@@ -896,7 +1291,9 @@ def _cached_dp_train_fn(cfg: RBMConfig, mesh: Mesh, axis: str, ndev: int,
 
         call = _build_pallas_call(local_cfg, n_epochs, nb, unroll, cfg.shuffle,
                                   interpret, ndev=1 if _skip_allreduce else ndev,
-                                  inject=inject, hbm_state=hbm_state)
+                                  inject=inject, hbm_state=hbm_state,
+                                  dp_reduce=dp_reduce,
+                                  global_b=None if _skip_allreduce else B)
         state_specs = TrainState(
             params=RBMParams(P(), P(), P()),
             velocity=RBMParams(P(), P(), P()),
@@ -937,6 +1334,10 @@ def _cached_dp_train_fn(cfg: RBMConfig, mesh: Mesh, axis: str, ndev: int,
             )
             return new_st, errs
 
+        # PCD chains live with their batch shard: pad the global [B, H] chain
+        # to [local_b * ndev, H] on entry, slice the pad rows back off on
+        # exit (pad-row chain states never enter any statistic)
+        state = state._replace(chain_h=_pad_rows(state.chain_h, 0))
         st = jax.device_put(state, jax.tree.map(
             lambda s: NamedSharding(mesh, s), state_specs,
             is_leaf=lambda x: isinstance(x, P)))
@@ -948,7 +1349,9 @@ def _cached_dp_train_fn(cfg: RBMConfig, mesh: Mesh, axis: str, ndev: int,
             st, seed, perm, batches, extra = jax.block_until_ready(
                 (st, seed, perm, batches, extra))
         new_state, errs = run(st, seed, perm, batches, *extra)
-        return new_state._replace(key=key), errs
+        new_state = new_state._replace(key=key,
+                                       chain_h=new_state.chain_h[:B])
+        return new_state, errs
 
     return train_fn if interpret else jax.jit(train_fn)
 
@@ -960,9 +1363,13 @@ def _cached_dp_train_fn(cfg: RBMConfig, mesh: Mesh, axis: str, ndev: int,
 # fit VMEM). The parameter update happens outside, after the allreduce.
 
 
-def _cd_grads_kernel(seed_ref, *refs, cfg: RBMConfig, inject: bool = False):
+def _cd_grads_kernel(seed_ref, *refs, cfg: RBMConfig, inject: bool = False,
+                     norm: Optional[float] = None, with_mask: bool = False):
     pos = 0
     batch_ref = refs[pos]; pos += 1
+    mask_ref = None
+    if with_mask:
+        mask_ref = refs[pos]; pos += 1  # [B, 1] 0/1 valid-row mask
     u_h0_ref = u_h_ref = u_v_ref = None
     if inject:
         u_h0_ref = refs[pos]; pos += 1
@@ -981,7 +1388,10 @@ def _cd_grads_kernel(seed_ref, *refs, cfg: RBMConfig, inject: bool = False):
         return _uniform_from_bits(shape)
 
     B = cfg.batch_size
-    inv_b = jnp.float32(1.0 / B)
+    # stats normalize by `norm` (= global_batch / ndev under DP: masked sums
+    # scaled this way pmean to the exact global-batch mean even when the
+    # batch doesn't divide the mesh)
+    inv_b = jnp.float32(1.0 / (norm if norm is not None else B))
     cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     V, H = cfg.n_visible, cfg.n_hidden
 
@@ -1017,37 +1427,52 @@ def _cd_grads_kernel(seed_ref, *refs, cfg: RBMConfig, inject: bool = False):
         chain_ref[:] = chain_in[:]
         v1mean = v1mean_cd
 
-    gW_ref[:] = _dot_tn(jnp.concatenate([v0, vs], axis=0),
+    if with_mask:
+        m = mask_ref[:]
+        v_pos, v_neg = v0 * m, vs * m
+        hd = (h0p - hmean) * m
+        h0m = h0p * m
+    else:
+        v_pos, v_neg, hd, h0m = v0, vs, h0p - hmean, h0p
+    gW_ref[:] = _dot_tn(jnp.concatenate([v_pos, v_neg], axis=0),
                         jnp.concatenate([h0p, -hmean], axis=0), cd) * inv_b
-    gb_ref[:] = jnp.sum(v0 - vs, axis=0, keepdims=True) * inv_b
-    gc = jnp.sum(h0p - hmean, axis=0, keepdims=True) * inv_b
+    gb_ref[:] = jnp.sum(v_pos - v_neg, axis=0, keepdims=True) * inv_b
+    gc = jnp.sum(hd, axis=0, keepdims=True) * inv_b
     if cfg.sparsity_target is not None and cfg.sparsity_cost:
         gc = gc + jnp.float32(cfg.sparsity_cost) * (
             jnp.float32(cfg.sparsity_target)
-            - jnp.sum(h0p, axis=0, keepdims=True) * inv_b)
+            - jnp.sum(h0m, axis=0, keepdims=True) * inv_b)
     gc_ref[:] = gc
 
+    inv_n = jnp.float32(1.0 / (norm if norm is not None else B))
     if cfg.error_metric == "mse":
-        d = v0 - v1mean
-        err_ref[0, 0] = jnp.sum(d * d) * jnp.float32(1.0 / (B * V))
+        d = (v0 - v1mean) * m if with_mask else v0 - v1mean
+        err_ref[0, 0] = jnp.sum(d * d) * inv_n * jnp.float32(1.0 / V)
     else:
         eps = 1e-7
         p = jnp.clip(v1mean, eps, 1.0 - eps)
-        err_ref[0, 0] = -jnp.sum(v0 * jnp.log(p)
-                                 + (1.0 - v0) * jnp.log(1.0 - p)) * inv_b
+        xe = v0 * jnp.log(p) + (1.0 - v0) * jnp.log(1.0 - p)
+        if with_mask:
+            xe = xe * m
+        err_ref[0, 0] = -jnp.sum(xe) * inv_n
 
 
 @lru_cache(maxsize=512)
 def make_pallas_grads_fn(cfg: RBMConfig, interpret: Optional[bool] = None,
-                         inject: bool = False):
+                         inject: bool = False, norm: Optional[float] = None,
+                         with_mask: bool = False):
     """Fused CD-k step returning (grads, new_chain, err) — no update.
 
-    ``fn(seed[2] int32, v0[B,V], params, chain[B,H][, uniforms])``; usable
-    inside shard_map (one call per local shard per step, pmean the outputs).
-    With ``inject=True`` the sampling uniforms come from the caller in the
-    ``draw_uniforms`` layout ({h0 [B,H], h [k,B,H], v/noise [k,B,V]}) instead
-    of the on-chip PRNG — the exact-math mode mirrored by
-    ``ops.cd_step.draw_uniforms`` for CPU-mesh parity tests."""
+    ``fn(seed[2] int32, v0[B,V], params, chain[B,H][, uniforms][, mask])``;
+    usable inside shard_map (one call per local shard per step, pmean the
+    outputs). With ``inject=True`` the sampling uniforms come from the caller
+    in the ``draw_uniforms`` layout ({h0 [B,H], h [k,B,H], v/noise [k,B,V]})
+    instead of the on-chip PRNG — the exact-math mode mirrored by
+    ``ops.cd_step.draw_uniforms`` for CPU-mesh parity tests.
+
+    ``norm``/``with_mask`` support uneven DP sharding: stats become masked
+    sums scaled by 1/norm (pass mask=[B,1] of 0/1 to the returned fn), whose
+    pmean over shards is the exact global-batch mean."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if interpret is True:
@@ -1058,6 +1483,8 @@ def make_pallas_grads_fn(cfg: RBMConfig, interpret: Optional[bool] = None,
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (2,)
                 vmem()]  # batch [B, V]
+    if with_mask:
+        in_specs += [vmem()]  # row mask [B, 1]
     if inject:
         in_specs += [vmem(), vmem()]  # u_h0 [B,H], u_h [k,B,H]
         if cfg.resolved_sample_visible:
@@ -1065,7 +1492,8 @@ def make_pallas_grads_fn(cfg: RBMConfig, interpret: Optional[bool] = None,
     in_specs += [vmem()] * 4  # W, b (1,V), c (1,H), chain [B,H]
 
     call = pl.pallas_call(
-        functools.partial(_cd_grads_kernel, cfg=cfg, inject=inject),
+        functools.partial(_cd_grads_kernel, cfg=cfg, inject=inject,
+                          norm=norm, with_mask=with_mask),
         in_specs=in_specs,
         out_specs=[
             vmem(), vmem(), vmem(), vmem(),
@@ -1079,10 +1507,14 @@ def make_pallas_grads_fn(cfg: RBMConfig, interpret: Optional[bool] = None,
         interpret=interpret,
     )
 
-    def grads_fn(seed, v0, params: RBMParams, chain, uniforms=None):
+    def grads_fn(seed, v0, params: RBMParams, chain, uniforms=None, mask=None):
         extra = []
+        if with_mask:
+            if mask is None:
+                raise ValueError("with_mask=True kernel needs mask=[B,1]")
+            extra.append(mask)
         if inject:
-            extra = [uniforms["h0"], uniforms["h"]]
+            extra += [uniforms["h0"], uniforms["h"]]
             if cfg.resolved_sample_visible:
                 extra.append(uniforms["v" if cfg.visible == "bernoulli"
                                       else "noise"])

@@ -52,14 +52,27 @@ def train_rbm_shard_map(
     if usable == 0:
         raise ValueError(f"dataset has {data.shape[0]} samples — fewer than "
                          f"one global minibatch (batch_size={cfg.batch_size})")
-    # truncate the remainder rows BEFORE sharding: the batching drops them
-    # anyway, and P(axis) requires the row count to divide by the mesh size
-    # (usable does, since batch_size must divide by ndev)
-    data = data[:usable]
-    fused = _build_shard_map_train(cfg, mesh, n_epochs, pallas_step,
-                                   data.shape[0], data.shape[1])
     axis = mesh.axis_names[0]
+    ndev = mesh.devices.size
+    B = cfg.batch_size
+    local_b = -(-B // ndev)  # ceil: uneven batches pad + mask the tail shards
+    pad = local_b * ndev - B
+    nb = usable // B
+    # pre-batch on host: [nb, ndev, local_b, V], each global minibatch's rows
+    # split contiguously across shards; pad rows (if B doesn't divide) are
+    # zeros that the masked statistics exclude
+    batches = jnp.asarray(data[:usable], jnp.dtype(cfg.param_dtype)).reshape(
+        nb, B, data.shape[1])
+    if pad:
+        batches = jnp.pad(batches, ((0, 0), (0, pad), (0, 0)))
+    batches = batches.reshape(nb, ndev, local_b, data.shape[1])
+    fused = _build_shard_map_train(cfg, mesh, n_epochs, pallas_step,
+                                   usable, data.shape[1])
     # chain state must be laid out over the mesh before entering shard_map
+    chain = state.chain_h
+    if pad:
+        chain = jnp.pad(chain, ((0, pad), (0, 0)))
+    state = state._replace(chain_h=chain)
     state = jax.device_put(
         state,
         TrainState(
@@ -70,9 +83,9 @@ def train_rbm_shard_map(
             epoch=NamedSharding(mesh, P()),
         ),
     )
-    data = jax.device_put(jnp.asarray(data, jnp.dtype(cfg.param_dtype)),
-                          NamedSharding(mesh, P(axis)))
-    return fused(state, data)
+    batches = jax.device_put(batches, NamedSharding(mesh, P(None, axis)))
+    new_state, errs = fused(state, batches)
+    return new_state._replace(chain_h=new_state.chain_h[:B]), errs
 
 
 @lru_cache(maxsize=512)
@@ -91,14 +104,18 @@ def _build_shard_map_train(cfg: RBMConfig, mesh: Mesh, n_epochs: int,
     """
     axis = mesh.axis_names[0]
     ndev = mesh.devices.size
-    if cfg.batch_size % ndev != 0:
-        raise ValueError(f"batch_size {cfg.batch_size} not divisible by {ndev} devices")
-    local_b = cfg.batch_size // ndev
+    B = cfg.batch_size
+    local_b = -(-B // ndev)  # ceil: uneven batches pad + mask the tail shards
+    uneven = local_b * ndev != B
+    # per-shard stats are masked SUMS over valid rows scaled by ndev/B, so
+    # their pmean is the exact global-batch mean even when B % ndev != 0
+    norm = B / ndev
     local_cfg = cfg.replace(batch_size=local_b)
     if pallas_step:
         from ..ops.cd_epoch_pallas import make_pallas_grads_fn
 
-        grads_fn = make_pallas_grads_fn(local_cfg)
+        grads_fn = make_pallas_grads_fn(local_cfg, norm=norm,
+                                        with_mask=uneven)
     else:
         grads_fn = None
 
@@ -125,6 +142,11 @@ def _build_shard_map_train(cfg: RBMConfig, mesh: Mesh, n_epochs: int,
     def run(st: TrainState, batches: jax.Array):
         # batches (local view): [nb, 1, local_b, V]
         my = jax.lax.axis_index(axis)
+        mask = None
+        if uneven:
+            # valid rows: my*local_b + i < B (pad rows sit on the tail shards)
+            mask = ((my * local_b + jnp.arange(local_b)) < B).astype(
+                jnp.float32)[:, None]
 
         def step(carry, xs):
             params, vel, chain = carry
@@ -134,11 +156,13 @@ def _build_shard_map_train(cfg: RBMConfig, mesh: Mesh, n_epochs: int,
                 seed = jax.random.randint(k, (2,), 0, jnp.iinfo(jnp.int32).max,
                                           jnp.int32)
                 # non-persistent configs: the kernel passes chain through
-                grads, new_chain, err = grads_fn(seed, v0, params, chain)
+                grads, new_chain, err = grads_fn(seed, v0, params, chain,
+                                                 mask=mask)
             else:
                 grads, new_chain, err = cd_step_stats(
                     params, v0, chain if cfg.persistent else None,
-                    draw_uniforms(local_cfg, local_b, k), local_cfg)
+                    draw_uniforms(local_cfg, local_b, k), local_cfg,
+                    row_mask=mask, norm=norm)
             grads = jax.lax.pmean(grads, axis)  # ONE allreduce of (dW, db, dc)
             err = jax.lax.pmean(err, axis)
             params, vel = apply_update(params, vel, grads, cfg, epoch=xs["epoch"])
@@ -170,10 +194,8 @@ def _build_shard_map_train(cfg: RBMConfig, mesh: Mesh, n_epochs: int,
         return new_st, errs
 
     @jax.jit
-    def fused(st: TrainState, data: jax.Array):
-        usable = nb * cfg.batch_size
-        # [nb, ndev, local_b, V]: shard axis 1 across dp
-        batches = data[:usable].reshape(nb, ndev, local_b, V)
+    def fused(st: TrainState, batches: jax.Array):
+        # batches: [nb, ndev, local_b, V], pre-padded by the caller
         return run(st, batches)
 
     return fused

@@ -33,30 +33,44 @@ log = get_logger("mdbn_tpu.run")
 def build_data(spec: dict):
     """Synthetic generators and real-data loaders behind one spec format.
 
-    Real kinds (data.loaders): {"kind": "mnist_idx", "path": ..., "binarize":
-    "threshold"|"sample", "limit": N} and {"kind": "omics_csv", "paths":
-    {modality: csv_path}, "zscore": bool} — the reference's whole purpose is
-    real cohort matrices (SURVEY.md §1 L5)."""
+    Returns (data, labels, patient_ids). Real kinds (data.loaders):
+    {"kind": "mnist_idx", "path": ..., "binarize": "threshold"|"sample",
+    "labels_path": ... (IDX1, enables supervised finetune), "limit": N} and
+    {"kind": "omics_csv", "paths": {modality: csv_path}, "zscore": bool,
+    "nan_policy": "error"|"drop"|"impute_mean", "align":
+    "strict"|"intersect"} — the reference's whole purpose is real cohort
+    matrices (SURVEY.md §1 L5)."""
     kind = spec.get("kind", "mnist_like")
     kw = {k: v for k, v in spec.items() if k != "kind"}
     if kind == "mnist_like":
-        return synthetic.mnist_like(**kw), None
+        return synthetic.mnist_like(**kw), None, None
     if kind == "bars_and_stripes":
-        return synthetic.bars_and_stripes(**kw), None
+        return synthetic.bars_and_stripes(**kw), None, None
     if kind == "tcga_like":
         mods, labels = synthetic.tcga_like(**kw)
-        return mods, labels
+        return mods, labels, None
     if kind == "mnist_idx":
-        from .data.loaders import load_mnist_images
+        from .data.loaders import load_mnist_images, load_mnist_labels
 
         limit = kw.pop("limit", None)
+        labels_path = kw.pop("labels_path", None)
         data = load_mnist_images(**kw)
-        return (data[:limit] if limit else data), None
+        labels = None
+        if labels_path:
+            labels = load_mnist_labels(labels_path)
+            if len(labels) != len(data):
+                raise ValueError(f"{len(labels)} labels for {len(data)} "
+                                 "images — mismatched IDX files")
+            labels = labels[:limit] if limit else labels
+        return (data[:limit] if limit else data), labels, None
     if kind == "omics_csv":
         from .data.loaders import load_omics_csv
 
-        return load_omics_csv(kw["paths"],
-                              zscore_features=kw.get("zscore", True)), None
+        mats, ids = load_omics_csv(
+            kw["paths"], zscore_features=kw.get("zscore", True),
+            nan_policy=kw.get("nan_policy", "error"),
+            align=kw.get("align", "strict"), return_ids=True)
+        return mats, None, ids
     raise ValueError(f"unknown data kind {kind!r}")
 
 
@@ -91,7 +105,7 @@ def main(argv=None):
 
     exp = load_config(args.config)
     model_cfg = exp["model"]
-    data, labels = build_data(exp.get("data", {"kind": "mnist_like"}))
+    data, labels, patient_ids = build_data(exp.get("data", {"kind": "mnist_like"}))
     if isinstance(data, dict) and "modality" in exp:
         data = data[exp["modality"]]  # single-modality configs on multi-omics data
 
@@ -187,6 +201,54 @@ def main(argv=None):
             mw.write(rec)
         print(json.dumps(rec))
 
+    def run_finetune(model, mw):
+        """config "finetune" block — the Hinton-Salakhutdinov phase-2 paths,
+        CLI-reachable (VERDICT r2 #5b): {"mode": "autoencoder", "epochs": N,
+        "lr": x} unrolls the stack into a deep autoencoder; {"mode":
+        "classifier", "epochs": N, "lr": x, "n_classes": K} backprops a
+        softmax head through the stack using the data spec's labels (planted
+        synthetic labels or an IDX labels_path)."""
+        spec = exp.get("finetune")
+        if not spec:
+            return
+        if model_cls is RBM:
+            raise ValueError("'finetune' applies to DBN/MDBN configs (an RBM "
+                             "has no stack to fine-tune)")
+        mode = spec.get("mode", "autoencoder")
+        epochs = int(spec.get("epochs", 10))
+        if mode == "autoencoder":
+            kw = {"epochs": epochs, "lr": float(spec.get("lr", 1e-3))}
+            history = model.finetune_autoencoder(data, **kw)
+            rec = {"kind": "finetune", "mode": "autoencoder", "epochs": epochs,
+                   "loss_first": float(history[0]), "loss_last": float(history[-1])}
+            log.info("autoencoder fine-tune: loss %.5f -> %.5f",
+                     history[0], history[-1])
+        elif mode == "classifier":
+            if labels is None:
+                raise ValueError(
+                    "'finetune': {'mode': 'classifier'} needs labels — use a "
+                    "synthetic data kind with planted labels or add "
+                    "'labels_path' (IDX1 file) to a mnist_idx data spec")
+            n_classes = int(spec.get("n_classes", int(np.max(labels)) + 1))
+            history = model.finetune(
+                data, np.asarray(labels), n_classes, epochs=epochs,
+                lr=float(spec.get("lr", 0.1)),
+                batch_size=int(spec.get("batch_size", 20)))
+            pred = np.asarray(model.predict(data))
+            acc = float((pred == np.asarray(labels)[: len(pred)]).mean())
+            rec = {"kind": "finetune", "mode": "classifier", "epochs": epochs,
+                   "n_classes": n_classes, "loss_first": float(history[0]),
+                   "loss_last": float(history[-1]), "train_accuracy": acc}
+            log.info("classifier fine-tune: loss %.5f -> %.5f, train acc %.3f",
+                     history[0], history[-1], acc)
+        else:
+            raise ValueError(f"finetune mode must be 'autoencoder' or "
+                             f"'classifier', got {mode!r}")
+        _codes_cache.pop("codes", None)  # weights changed; codes are stale
+        if mw is not None:
+            mw.write(rec)
+        print(json.dumps(rec))
+
     def run_analysis(model, mw):
         """config "analysis" block: k-means (fixed k or "auto" via silhouette)
         + optional survival evaluation + optional AIS likelihood. Used after
@@ -223,13 +285,35 @@ def main(argv=None):
         if labels is not None:
             rec["ari_vs_planted"] = adjusted_rand_index(labels, pred)
             log.info("k-means ARI vs planted clusters: %.3f", rec["ari_vs_planted"])
-        if analysis.get("survival") and labels is not None:
-            # paper-pipeline evaluation (SURVEY.md §1 L4): do the discovered
-            # subgroups separate survival? Synthetic survival is planted on
-            # the true cluster labels, so a good clustering must separate it.
-            from .analysis.survival import logrank_test, synthetic_survival
+        # paper-pipeline evaluation (SURVEY.md §1 L4): do the discovered
+        # subgroups separate survival? "survival": true plants synthetic
+        # exponential survival on the generator's true cluster labels;
+        # "survival": {"clinical_csv": path} loads REAL per-patient
+        # (time, event) records, aligned to the cohort by patient ID when the
+        # omics CSVs carried one (VERDICT r2 #5a).
+        surv_spec = analysis.get("survival")
+        times = events = None
+        if isinstance(surv_spec, dict) and surv_spec.get("clinical_csv"):
+            from .data.loaders import load_clinical_csv
+
+            times, events, _ = load_clinical_csv(surv_spec["clinical_csv"],
+                                                 patient_ids=patient_ids)
+            if len(times) != len(pred):
+                raise ValueError(
+                    f"clinical file has {len(times)} patients but the "
+                    f"cohort has {len(pred)} — and no patient IDs were "
+                    "available to align them")
+        elif surv_spec and labels is not None:
+            from .analysis.survival import synthetic_survival
 
             times, events = synthetic_survival(labels, seed=0)
+        elif surv_spec:
+            log.warning("'survival': true needs planted labels (synthetic "
+                        "data kinds) or a {'clinical_csv': ...} spec — "
+                        "skipping the survival leg")
+        if times is not None:
+            from .analysis.survival import logrank_test
+
             lr = logrank_test(times, events, pred)
             rec["logrank"] = lr
             log.info("log-rank test across clusters: chi2=%.2f p=%.2e",
@@ -239,12 +323,17 @@ def main(argv=None):
         print(json.dumps(rec))
 
     if args.load:
-        # inference mode: restore a trained model, no training
+        # inference mode: restore a trained model, no training (a 'finetune'
+        # block still applies — resume/extend fine-tuning of a saved model)
         model = model_cls.load(args.load)
-        if args.transform_out:
-            write_codes(model)
         with MetricsWriter(args.metrics) as mw:
+            run_finetune(model, mw)
+            if args.transform_out:
+                write_codes(model)
             run_analysis(model, mw)
+        if args.save:
+            model.save(args.save)
+            log.info("model saved to %s", args.save)
         if not args.transform_out and "kmeans" not in (exp.get("analysis") or {}):
             log.info("model loaded from %s (use --transform-out to emit codes "
                      "or an 'analysis' config block with 'kmeans' to cluster)",
@@ -290,6 +379,7 @@ def main(argv=None):
             if args.checkpoint_dir:
                 model.save(os.path.join(args.checkpoint_dir, "mdbn_final"))
 
+        run_finetune(model, mw)
         if args.save:
             model.save(args.save)
             log.info("model saved to %s", args.save)

@@ -209,12 +209,10 @@ def train_rbm(
             raise ValueError("engine='pallas' supports dp meshes only; "
                              "use engine='xla' for dp x tp")
         # availability is per SHARD: the kernel runs with the local batch
-        # (global batch / ndev), so probe with that, not the global config
+        # (ceil(global batch / ndev); uneven batches pad + mask the tail
+        # shards), so probe with that, not the global config
         ndev = len(mesh.devices.flatten())
-        if cfg.batch_size % ndev != 0:
-            raise ValueError(f"batch_size {cfg.batch_size} not divisible by "
-                             f"{ndev} devices")
-        local_cfg = cfg.replace(batch_size=cfg.batch_size // ndev)
+        local_cfg = cfg.replace(batch_size=-(-cfg.batch_size // ndev))
         if not _pallas_available(local_cfg):
             raise ValueError("model too large for the Pallas VMEM-resident "
                              "kernel even per shard; use engine='xla'")

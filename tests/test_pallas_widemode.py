@@ -116,3 +116,109 @@ def test_state_mode_selection():
     assert (estimate_vmem_bytes(wide, unroll=1, hbm_state=True)
             < estimate_vmem_bytes(wide, unroll=1)) and (
         estimate_vmem_bytes(wide, unroll=1, hbm_state=True) <= _VMEM_BUDGET)
+
+
+# ---------------------------------------------------------------------------
+# Round 3 (VERDICT r2 #4): bf16 parameter storage + the fully W-blocked
+# kernel tier (W never materializes as a VMEM value), which together extend
+# VMEM-resident coverage to ~48M params (40000x1000 bf16).
+
+
+def _host_replay_dtype(cfg, state0, data, uniforms, E):
+    """XLA-engine math at the config's storage dtype (the apply_update
+    rounding recipe) — the reference the kernel must reproduce."""
+    from mdbn_tpu.core.rbm_math import apply_update, cd_step_stats
+
+    nb = data.shape[0] // cfg.batch_size
+    params, vel, chain = state0.params, state0.velocity, state0.chain_h
+    d = jnp.asarray(data, jnp.dtype(cfg.param_dtype))
+    batches = d[: nb * cfg.batch_size].reshape(nb, cfg.batch_size, -1)
+    errs = []
+    for e in range(E):
+        es = []
+        for i in range(nb):
+            u = {k: uniforms[k][e, i] for k in uniforms}
+            grads, chain, err = cd_step_stats(
+                params, batches[i], chain if cfg.persistent else None, u, cfg)
+            params, vel = apply_update(params, vel, grads, cfg, epoch=e)
+            es.append(float(err))
+        errs.append(np.mean(es))
+    return params, vel, chain, np.asarray(errs)
+
+
+@pytest.mark.parametrize("momentum,hbm", [
+    (0.0, False), (0.0, True), (0.5, False), (0.5, True),
+])
+def test_bf16_storage_bitmatches_xla_recipe(momentum, hbm):
+    """param_dtype='bfloat16': masters/blocks hold bf16, update arithmetic is
+    f32 rounded once — BIT-identical to the XLA engine's apply_update recipe
+    on the same injected uniforms (both kernel state modes)."""
+    cfg = RBMConfig(n_visible=48, n_hidden=16, batch_size=8, k=1, epochs=2,
+                    momentum=momentum, persistent=momentum > 0, l2=1e-4,
+                    lr=0.05, seed=0, param_dtype="bfloat16")
+    st = init_train_state(cfg)
+    assert st.params.W.dtype == jnp.bfloat16
+    data = (jax.random.uniform(jax.random.PRNGKey(1), (48, 48))
+            > 0.5).astype(jnp.float32)
+    u = draw_uniform_blocks(cfg, jax.random.PRNGKey(2), 2, 6)
+    s, e = _cached_train_fn(cfg, 2, True, True, hbm)(st, data, u)
+    assert s.params.W.dtype == jnp.bfloat16
+    params, vel, chain, exp = _host_replay_dtype(cfg, st, data, u, 2)
+    np.testing.assert_array_equal(np.asarray(s.params.W, np.float32),
+                                  np.asarray(params.W, np.float32))
+    np.testing.assert_array_equal(np.asarray(s.velocity.W, np.float32),
+                                  np.asarray(vel.W, np.float32))
+    np.testing.assert_allclose(np.asarray(e), exp, rtol=2e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("momentum,metric", [
+    (0.0, "mse"), (0.5, "mse"), (0.0, "pseudo"),
+])
+def test_w_chunked_kernel_matches_full(momentum, metric):
+    """The fully W-blocked tier (forced via _force_w_chunk on a small shape,
+    ragged tail chunk included) matches the full-W HBM-state kernel to
+    split-contraction rounding."""
+    from mdbn_tpu.ops.cd_epoch_pallas import (_build_pallas_call,
+                                              _flatten_uniforms, _prepare_run)
+
+    cfg = RBMConfig(n_visible=48, n_hidden=16, batch_size=8, k=1, epochs=1,
+                    momentum=momentum, persistent=momentum > 0,
+                    error_metric=metric, l2=1e-4, lr=0.05, seed=0)
+    st = init_train_state(cfg)
+    data = (jax.random.uniform(jax.random.PRNGKey(1), (32, 48))
+            > 0.5).astype(jnp.float32)
+    u = draw_uniform_blocks(cfg, jax.random.PRNGKey(2), 1, 4)
+    ref, eref = _cached_train_fn(cfg, 1, True, True, True)(st, data, u)
+
+    nb, unroll, nsteps, perm, seed, _ = _prepare_run(cfg, st, 32, 1,
+                                                     hbm_state=True)
+    call = _build_pallas_call(cfg, 1, nb, unroll, False, True, inject=True,
+                              hbm_state=True, _force_w_chunk=32)
+    extra = _flatten_uniforms(cfg, u, 1, nsteps, unroll)
+    p, vel = st.params, st.velocity
+    batches = jnp.asarray(data)[: nb * 8].reshape(nsteps, unroll, 8, 48)
+    out = call(seed, perm, batches, *extra, p.W, p.b.reshape(1, -1),
+               p.c.reshape(1, -1), vel.W, vel.b.reshape(1, -1),
+               vel.c.reshape(1, -1), st.chain_h)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref.params.W),
+                               rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(out[3]), np.asarray(ref.velocity.W),
+                               rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(out[7][:, 0]), np.asarray(eref),
+                               rtol=2e-4, atol=1e-6)
+
+
+def test_w_chunked_mode_selection():
+    """40000x1000 bf16 (80 MB of weights) is admitted via the W-blocked tier;
+    the same shape in f32 (160 MB) is not; neither is bf16 with momentum
+    (two 80 MB masters)."""
+    from mdbn_tpu.ops.cd_epoch_pallas import needs_w_chunking
+
+    bf = RBMConfig(n_visible=40000, n_hidden=1000, visible="gaussian",
+                   lr=0.001, batch_size=20, param_dtype="bfloat16",
+                   compute_dtype="bfloat16")
+    assert pallas_state_mode(bf) is True and needs_w_chunking(bf)
+    f32 = bf.replace(param_dtype="float32", compute_dtype="float32")
+    assert pallas_state_mode(f32) is None
+    mom = bf.replace(momentum=0.5)
+    assert pallas_state_mode(mom) is None
