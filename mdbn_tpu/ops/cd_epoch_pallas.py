@@ -112,11 +112,18 @@ def _param_bytes(cfg: RBMConfig) -> int:
 
 
 def w_chunk_rows_for(cfg: RBMConfig) -> int:
-    """Row-chunk granularity for W-blocked passes: ~2 MB of f32 per chunk,
-    rows a multiple of 32 (covers both the f32 (8,128) and bf16 (16,128)
-    sublane tilings)."""
-    rows = max(32, (_UPDATE_CHUNK_BYTES // (4 * cfg.n_hidden)) // 32 * 32)
-    return min(rows, _round_up(cfg.n_visible, 32))
+    """Row-chunk granularity for W-blocked passes: the largest multiple-of-32
+    DIVISOR of V at most ~2 MB of f32 per chunk (a constant chunk size lets
+    the chunk loops be jax.lax.fori_loops — unrolled chunk loops keep every
+    W-chunk read live and spill ~|W| of vregs, measured on hardware). Rows
+    stay multiples of 32 (covers the f32 (8,128) and bf16 (16,128) sublane
+    tilings); requires V % 32 == 0 (checked by needs_w_chunking)."""
+    V = cfg.n_visible
+    target = max(32, (_UPDATE_CHUNK_BYTES // (4 * cfg.n_hidden)) // 32 * 32)
+    for rows in range(min(target, V), 31, -32):
+        if V % rows == 0:
+            return rows
+    return 32
 
 
 def estimate_vmem_bytes(cfg: RBMConfig, unroll: int = _MAX_UNROLL,
@@ -157,19 +164,19 @@ def estimate_vmem_bytes(cfg: RBMConfig, unroll: int = _MAX_UNROLL,
     ring = ndev > 1 and dp_reduce == "ring"
     transients = 0
     if w_chunked:
-        # fully W-blocked kernel: W is only ever read/updated in ~2 MB row
-        # chunks and the [2B, V] factor stack is sliced lazily; the live
-        # activations are covered by the generic batch term below; per chunk
-        # ~3 chunk-sized values coexist (gWc, the W-row read, the update)
-        transients += 3 * _UPDATE_CHUNK_BYTES
+        # fully W-blocked kernel (fori_loop chunking, packed V-major factor
+        # scratch): ONE (V, 128) scratch holds [v0T | vsT] packed into lane
+        # groups, the visible bias lives as a broadcast (V, 128) master
+        # (+ its velocity under momentum), plus ~3 chunk-sized loop values
+        transients += cfg.n_visible * 128 * ps  # SFX factor scratch
+        transients += (2 if _uses_momentum(cfg) else 1) * cfg.n_visible * 128 * ps
+        transients += 3 * w_chunk_rows_for(cfg) * cfg.n_hidden * f
     else:
         transients += we * ps  # the Wv read
         if cfg.compute_dtype != cfg.param_dtype:
             transients += we * (2 if cfg.compute_dtype == "bfloat16" else 4)
         if ring:
             pass  # gW lives in the gw_work comm buffer
-        elif hbm_state:
-            transients += 4 * _UPDATE_CHUNK_BYTES  # chunked update
         else:
             transients += we * f  # full [V, H] f32 gradient
     if hbm_state:
@@ -179,26 +186,53 @@ def estimate_vmem_bytes(cfg: RBMConfig, unroll: int = _MAX_UNROLL,
     else:
         # const-block mode: W+velW in/out VMEM blocks (4x w)
         state = 4 * we * ps
-    # activation working set: the W-blocked kernel keeps at most ~4
-    # [B, V]+[B, H] values live at once (v0f/vs/vmean/pre_v; the rest die
-    # before the update loop); the small-shape kernels get the conservative
-    # 8x multiplier (immaterial there)
-    act = (4 if w_chunked else 8) * batch
+    # activation working set: the W-blocked kernel holds NO [B, V] f32
+    # values — just the raw v0 read (storage dtype) and a few [128, Hp]
+    # h-side mats; the full-W kernels get the conservative 8x multiplier
+    if w_chunked:
+        act = (cfg.batch_size * cfg.n_visible * ps
+               + 6 * 128 * cfg.n_hidden * f)
+    else:
+        act = 8 * batch
     return (state + 4 * (cfg.n_visible + cfg.n_hidden) * ps + act
             + data_block + rng + comm + transients)
+
+
+# the W-blocked tier's own admission gate: tighter to the 112 MB compile
+# limit than the general budget because this tier has a dedicated hardware
+# closed-loop test (test_pallas_tpu.py) validating the margin
+_VMEM_BUDGET_CHUNKED = 110 * 1024 * 1024
+
+
+def w_chunk_padded_cfg(cfg: RBMConfig) -> RBMConfig:
+    """The W-blocked tier runs an H-padded problem (lane dim to the 128 DMA
+    tiling): pad hidden units carry zero weights/biases forever, so they
+    never touch the math (gW/gc pad columns are exactly zero each update);
+    the train-fn wrapper pads state in and slices it back out."""
+    return cfg.replace(n_hidden=_round_up(cfg.n_hidden, 128))
 
 
 def needs_w_chunking(cfg: RBMConfig, ndev: int = 1,
                      dp_reduce: str = "factor") -> bool:
     """True when the HBM-state kernel must run fully W-blocked (W too large
     to ever materialize as a VMEM value — e.g. 40000x1000 bf16, 80 MB).
-    Single-chip only; multi-chip wide shapes use the XLA engine."""
-    return (ndev == 1
-            and estimate_vmem_bytes(cfg, unroll=1, ndev=ndev, hbm_state=True,
-                                    dp_reduce=dp_reduce) > _VMEM_BUDGET
-            and estimate_vmem_bytes(cfg, unroll=1, ndev=ndev, hbm_state=True,
-                                    dp_reduce=dp_reduce,
-                                    w_chunked=True) <= _VMEM_BUDGET)
+
+    Scope of the W-blocked kernel: single chip (multi-chip wide shapes use
+    the XLA engine), V a multiple of 32 (fori chunk loops need a constant
+    divisor chunk size), mean-field negative phase (no per-visible sampling
+    draws to chunk — the wide-omics regime IS the Gaussian mean-field one),
+    and mse/xent monitors. Everything else falls back to the XLA engine."""
+    if (ndev != 1 or cfg.n_visible % 32 != 0
+            or cfg.resolved_sample_visible
+            or cfg.error_metric not in ("mse", "xent")):
+        return False
+    if estimate_vmem_bytes(cfg, unroll=1, ndev=ndev, hbm_state=True,
+                           dp_reduce=dp_reduce) <= _VMEM_BUDGET:
+        return False  # the plain HBM-state tier suffices
+    pad = w_chunk_padded_cfg(cfg)
+    return estimate_vmem_bytes(pad, unroll=1, ndev=ndev, hbm_state=True,
+                               dp_reduce=dp_reduce,
+                               w_chunked=True) <= _VMEM_BUDGET_CHUNKED
 
 
 def pallas_state_mode(cfg: RBMConfig, ndev: int = 1,
@@ -305,7 +339,6 @@ def _cd_train_kernel(
     global_b: Optional[int] = None,  # global minibatch size under DP
     barrier: bool = False,  # entry barrier (real hardware; interpreter lacks it)
     _self_loop: bool = False,  # test-only: every RDMA targets my own chip
-    w_chunk_rows: Optional[int] = None,  # W-blocked mode: rows per chunk
 ):
     use_momentum = _uses_momentum(cfg)
     pos = 0
@@ -491,49 +524,15 @@ def _cd_train_kernel(
     # bfloat16: masters/blocks hold rounded parameters, update arithmetic
     # stays f32 and rounds once — the apply_update recipe)
     sdt = W.dtype
-    # chunked W update (hbm_state, non-ring): the [V, H] f32 gradient is
-    # never materialized — it is computed and applied to the master in ~2 MB
-    # row chunks, directly from the phase factors
-    chunked_update = hbm_state and not (ndev > 1 and dp_reduce == "ring")
-    upd_rows = w_chunk_rows if w_chunk_rows is not None else (
-        w_chunk_rows_for(cfg) if chunked_update else None)
-
-    def _w_rows(c0: int, rows: int):
-        return W[pl.ds(c0, rows), :]
-
-    def _mm_h(x):
-        """x [N, V] @ W -> [N, H] f32 (W read chunk-wise in W-blocked mode)."""
-        if w_chunk_rows is None:
-            return _dot_nt(x, Wc, cd)
-        acc = None
-        for c0 in range(0, V, w_chunk_rows):
-            rows = min(w_chunk_rows, V - c0)
-            part = _dot_nt(x[:, c0:c0 + rows], _w_rows(c0, rows).astype(cd), cd)
-            acc = part if acc is None else acc + part
-        return acc
-
-    def _mm_v(hh):
-        """hh [N, H] @ W.T -> [N, V] f32 (chunked over W rows = output cols)."""
-        if w_chunk_rows is None:
-            return _dot_tt(hh, Wc, cd)
-        parts = []
-        for c0 in range(0, V, w_chunk_rows):
-            rows = min(w_chunk_rows, V - c0)
-            parts.append(_dot_tt(hh, _w_rows(c0, rows).astype(cd), cd))
-        return jnp.concatenate(parts, axis=1)
-
     err_acc = jnp.float32(0.0)
     for u in range(unroll):
         v0 = batch_ref[0, u]  # [B, V] in storage dtype
         v0f = v0 if v0.dtype == jnp.float32 else v0.astype(jnp.float32)
-        if w_chunk_rows is None:
-            Wv = W[:]
-            Wc = Wv.astype(cd)
-        else:
-            Wv = Wc = None  # W never materializes; every pass is chunked
+        Wv = W[:]
+        Wc = Wv.astype(cd)
 
         # positive phase
-        pre_h0 = _mm_h(v0) + c[0]  # [B, H]
+        pre_h0 = _dot_nt(v0, Wc, cd) + c[0]  # [B, H]
         h0p = jax.nn.sigmoid(pre_h0)
         h0s = (u_h0[u * B:(u + 1) * B] < h0p).astype(jnp.float32)
 
@@ -543,7 +542,7 @@ def _cd_train_kernel(
         v1mean_cd = None
         for t in range(cfg.k):
             r = (u * cfg.k + t) * B  # row offset into the pre-drawn blocks
-            pre_v = _mm_v(h) + b[0]  # [B, V]
+            pre_v = _dot_tt(h, Wc, cd) + b[0]  # [B, V]
             vmean = jax.nn.sigmoid(pre_v) if cfg.visible == "bernoulli" else pre_v
             if t == 0:
                 v1mean_cd = vmean
@@ -553,12 +552,12 @@ def _cd_train_kernel(
             else:
                 vs = (vmean + n_v[r:r + B]
                       if cfg.resolved_sample_visible else vmean)
-            hmean = jax.nn.sigmoid(_mm_h(vs) + c[0])
+            hmean = jax.nn.sigmoid(_dot_nt(vs, Wc, cd) + c[0])
             h = (u_h[r:r + B] < hmean).astype(jnp.float32)
 
         if cfg.persistent:
             chain[:] = h.astype(sdt)
-            pre_vd = _mm_v(h0s) + b[0]
+            pre_vd = _dot_tt(h0s, Wc, cd) + b[0]
             v1mean = jax.nn.sigmoid(pre_vd) if cfg.visible == "bernoulli" else pre_vd
         else:
             v1mean = v1mean_cd
@@ -625,7 +624,7 @@ def _cd_train_kernel(
             # which zeroes pad rows' outer products.
             v_pos = v0f * row_mask if uneven else v0f
             v_neg = vs * row_mask if uneven else vs
-            v_cat = None  # chunked mode stacks v chunks lazily (VMEM)
+            v_cat = jnp.concatenate([v_pos, v_neg], axis=0)
             h_cat = jnp.concatenate([h0p, -hmean], axis=0)
             gb = jnp.sum(v_pos - v_neg, axis=0, keepdims=True) * inv_b  # [1, V]
             hd = (h0p - hmean) * row_mask if uneven else (h0p - hmean)
@@ -638,19 +637,8 @@ def _cd_train_kernel(
                     jnp.float32(cfg.sparsity_target / ndev)
                     - jnp.sum(h0m, axis=0, keepdims=True) * inv_b)
 
-        # chunk c0 of the stacked positive/negative v factors ([2B, rows]):
-        # the factor-exchange path slices its gathered buffer, the local path
-        # stacks the two phase chunks lazily so no [2B, V] value ever lives
-        def _v_cat_chunk(c0, rows):
-            if v_cat is not None:
-                return v_cat[:, c0:c0 + rows]
-            return jnp.concatenate(
-                [v_pos[:, c0:c0 + rows], v_neg[:, c0:c0 + rows]], axis=0)
-
-        # the full [V, H] gradient exists as a value only in the non-chunked
-        # update paths; chunked mode applies it straight to the master below
-        gW = (None if chunked_update
-              else _dot_tn(_v_cat_chunk(0, V), h_cat, cd) * inv_b)  # [V, H]
+        # ONE MXU call over the stacked positive/negative phase rows
+        gW = _dot_tn(v_cat, h_cat, cd) * inv_b  # [V, H]
 
         if ndev > 1 and dp_reduce == "ring":
             # ---- dW ring allreduce over ICI (plain sum of the 1/gB-scaled
@@ -718,18 +706,8 @@ def _cd_train_kernel(
             # (epoch * nb + batch_index) % n_visible schedule
             bit_idx = jax.lax.rem(
                 (seed_ref[2] + e) * nb + i * unroll + u, V)
-            w_row = None
-            if w_chunk_rows is not None:
-                onehot = (jax.lax.broadcasted_iota(jnp.int32, (1, V), 1)
-                          == bit_idx).astype(jnp.float32)
-                for c0 in range(0, V, w_chunk_rows):
-                    rows = min(w_chunk_rows, V - c0)
-                    part = jnp.sum(
-                        _w_rows(c0, rows) * onehot[:, c0:c0 + rows].reshape(-1, 1),
-                        axis=0, keepdims=True)
-                    w_row = part if w_row is None else w_row + part
             err_acc += _pseudo_likelihood_err(Wv, b[:], pre_h0, v0f, bit_idx, V,
-                                              row_mask, w_row) * inv_beff
+                                              row_mask) * inv_beff
         elif cfg.error_metric == "mse":
             d = (v0f - v1mean) * row_mask if uneven else v0f - v1mean
             err_acc += jnp.sum(d * d) * jnp.float32(ndev / (gB * V))
@@ -764,73 +742,33 @@ def _cd_train_kernel(
                     vb[:] = (lr * gb).astype(sdt)
                     vc[:] = (lr * gc).astype(sdt)
 
-        final_update = u == unroll - 1  # (guarded by is_last_step below)
-        if not chunked_update:
-            if cfg.grad_clip is not None:
-                gW = jnp.clip(gW, -clip, clip)
-            if cfg.l2:
-                gW = gW - jnp.float32(cfg.l2) * Wv
-            if use_momentum:
-                nvW = (m * vW[:].astype(jnp.float32) + lr * gW).astype(sdt)
-                vW[:] = nvW
-                W[:] = Wv + nvW
-            else:
-                W[:] = Wv + (lr * gW).astype(sdt)
-                if final_update and not hbm_state:
-                    @pl.when(is_last_step)
-                    def _final_vel_w():
-                        vW[:] = (lr * gW).astype(sdt)
+        if cfg.grad_clip is not None:
+            gW = jnp.clip(gW, -clip, clip)
+        if cfg.l2:
+            gW = gW - jnp.float32(cfg.l2) * Wv
+        if use_momentum:
+            nvW = (m * vW[:].astype(jnp.float32) + lr * gW).astype(sdt)
+            vW[:] = nvW
+            W[:] = Wv + nvW
         else:
-            # chunked in-place update of the HBM-state master: per ~2 MB row
-            # block, ONE small MXU call over the phase-factor stack, then
-            # clip/L2/momentum and the master write — the full [V, H]
-            # gradient never exists. In the momentum-free case the final
-            # update also streams the updated rows to HBM immediately and
-            # restages the velocity rows into the master (so the velocity
-            # state writes out without a second W-sized buffer).
-            for c0 in range(0, V, upd_rows):
-                rows = min(upd_rows, V - c0)
-                sl = pl.ds(c0, rows)
-                gWc = _dot_tn(_v_cat_chunk(c0, rows), h_cat, cd) * inv_b
-                if cfg.grad_clip is not None:
-                    gWc = jnp.clip(gWc, -clip, clip)
-                Wrow = W[sl, :]
-                if cfg.l2:
-                    gWc = gWc - jnp.float32(cfg.l2) * Wrow
-                if use_momentum:
-                    nv = (m * vW[sl, :].astype(jnp.float32)
-                          + lr * gWc).astype(sdt)
-                    vW[sl, :] = nv
-                    W[sl, :] = Wrow + nv
-                else:
-                    vel_rows = (lr * gWc).astype(sdt)
-                    W[sl, :] = Wrow + vel_rows
-                    if final_update:
-                        @pl.when(is_last_step)
-                        def _stream_final_rows():
-                            dma = pltpu.make_async_copy(
-                                W.at[sl, :], state_out[0].at[sl, :],
-                                ssem.at[0])
-                            dma.start()
-                            dma.wait()
-                            W[sl, :] = vel_rows
+            W[:] = Wv + (lr * gW).astype(sdt)
+            if u == unroll - 1 and not hbm_state:
+                @pl.when(is_last_step)
+                def _final_vel_w():
+                    vW[:] = (lr * gW).astype(sdt)
 
         if hbm_state and u == unroll - 1:
             @pl.when(is_last_step)
             def _writeback():
-                if use_momentum or not chunked_update:
-                    # W goes out first so its master copy can stage the final
-                    # velocity in the momentum-free full-tensor case
-                    dw = pltpu.make_async_copy(W, state_out[0], ssem.at[0])
-                    dw.start()
-                    dw.wait()
-                if not use_momentum and not chunked_update:
+                # W goes out first so its master copy can stage the final
+                # velocity in the momentum-free case
+                dw = pltpu.make_async_copy(W, state_out[0], ssem.at[0])
+                dw.start()
+                dw.wait()
+                if not use_momentum:
                     # velocity-at-end = lr * (last grad after clip/L2),
                     # matching the XLA engine and the const-block mode
                     W[:] = (lr * gW).astype(sdt)
-                if not use_momentum:
-                    # (chunked mode already streamed W rows out and restaged
-                    # the velocity rows into the master above)
                     vb[:] = (lr * gb).astype(sdt)
                     vc[:] = (lr * gc).astype(sdt)
                 vel_w_src = W if not use_momentum else vW
@@ -853,8 +791,7 @@ def _build_pallas_call(cfg: RBMConfig, n_epochs: int, nb: int, unroll: int,
                        inject: bool = False, hbm_state: bool = False,
                        dp_reduce: str = "factor",
                        global_b: Optional[int] = None,
-                       _self_loop: bool = False,
-                       _force_w_chunk: Optional[int] = None):
+                       _self_loop: bool = False):
     # the entry barrier + collective_id pair is required by Mosaic on real
     # hardware and unsupported by the interpreter, which simulates inter-
     # device DMA without it (race detection covers the schedule there)
@@ -862,9 +799,7 @@ def _build_pallas_call(cfg: RBMConfig, n_epochs: int, nb: int, unroll: int,
     # storage dtype of parameters/velocities/chain (bf16 halves master/block
     # VMEM and HBM traffic; update arithmetic stays f32 in-kernel)
     pdt = jnp.bfloat16 if cfg.param_dtype == "bfloat16" else jnp.float32
-    w_chunk_rows = _force_w_chunk if _force_w_chunk is not None else (
-        w_chunk_rows_for(cfg)
-        if hbm_state and needs_w_chunking(cfg, ndev, dp_reduce) else None)
+
     if interpret is True:
         # the generic interpreter lacks pltpu.prng_*; use the TPU interpreter
         # (NB: it stubs prng_random_bits to zeros — use inject=True for real
@@ -981,8 +916,7 @@ def _build_pallas_call(cfg: RBMConfig, n_epochs: int, nb: int, unroll: int,
         functools.partial(_cd_train_kernel, cfg=cfg, unroll=unroll, nb=nb,
                           ndev=ndev, inject=inject, hbm_state=hbm_state,
                           dp_reduce=dp_reduce, global_b=global_b,
-                          barrier=barrier, _self_loop=_self_loop,
-                          w_chunk_rows=w_chunk_rows),
+                          barrier=barrier, _self_loop=_self_loop),
         grid_spec=grid_spec,
         out_shape=out_shape,
         # params/velocities/chain update in place: operands are
@@ -1007,10 +941,366 @@ def _build_pallas_call(cfg: RBMConfig, n_epochs: int, nb: int, unroll: int,
     )
 
 
+
+# ---------------------------------------------------------------------------
+# The W-blocked mega-kernel (single-chip wide-model tier): W never
+# materializes as a VMEM value — every Gibbs matmul, the gradient, and the
+# in-place update read the master in constant-size row chunks inside
+# jax.lax.fori_loops (unrolled chunk loops keep every W-chunk read live and
+# spill ~|W| of vector registers — measured on hardware this round).
+#
+# Layout discipline (all hardware-verified Mosaic rules):
+# - every sliced VMEM ref has a 128-multiple lane dim: H is padded to Hp by
+#   the caller (pad hidden units carry zero weights/biases forever), the
+#   visible bias lives BROADCAST as a (V, 128) master, and the v-side phase
+#   factors live transposed + packed in ONE (V, 128) scratch: lanes [0:B)
+#   hold v0^T, lanes [32:32+B) hold vs^T.
+# - the packed layout makes each pass ONE matmul per chunk: stacking h0p at
+#   rows 0:B and -hmean at rows 32:32+B of a [128, Hp] h-side matrix turns
+#   SFX_chunk @ H128 into the full positive-minus-negative gradient chunk,
+#   and sum(SFX * (mask_v0 - mask_vs)) into the visible-bias gradient.
+# - scope: mean-field negative phase (no per-visible sampling draws to
+#   chunk), mse/xent monitors, single chip (needs_w_chunking).
+
+
+def _cd_train_kernel_wb(
+    seed_ref, perm_ref, *refs,
+    cfg: RBMConfig,  # H already padded to a 128 multiple
+    unroll: int,
+    nb: int,
+    rows: int,  # constant chunk size; divides V
+    inject: bool,
+):
+    use_momentum = _uses_momentum(cfg)
+    pos = 0
+    batch_ref = refs[pos]; pos += 1  # (1, U, B, V) storage dtype
+    u_h0_ref = u_h_ref = None
+    if inject:
+        u_h0_ref = refs[pos]; pos += 1
+        u_h_ref = refs[pos]; pos += 1
+    (W_in, b_in, c_in, vW_in, vb_in, vc_in,
+     chain_in) = refs[pos:pos + 7]; pos += 7
+    (W_out, b_out, c_out, vW_out, vb_out, vc_out, chain_out,
+     err_ref) = refs[pos:pos + 8]; pos += 8
+    W = refs[pos]; pos += 1        # (V, Hp) master
+    bB = refs[pos]; pos += 1       # (V, 128) broadcast visible-bias master
+    cH = refs[pos]; pos += 1       # (1, Hp)
+    if use_momentum:
+        vW = refs[pos]; pos += 1
+        vbB = refs[pos]; pos += 1
+    else:
+        vW = vbB = None
+    vc = refs[pos]; pos += 1
+    chain = refs[pos]; pos += 1
+    ssem = refs[pos]; pos += 1
+    SFX = refs[pos]; pos += 1      # (V, 128) packed v-factor scratch
+
+    V, Hp, B = cfg.n_visible, cfg.n_hidden, cfg.batch_size
+    NC = V // rows
+    sdt = W.dtype
+    cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    f32 = jnp.float32
+    lr = jnp.float32(cfg.lr)
+    inv_b = jnp.float32(1.0 / B)
+    e = pl.program_id(0)
+    i = pl.program_id(1)
+    nsteps = pl.num_programs(1)
+    is_last_step = jnp.logical_and(e == pl.num_programs(0) - 1, i == nsteps - 1)
+    if cfg.initial_momentum is not None:
+        cur_epoch = seed_ref[2] + e
+        m = jnp.where(cur_epoch < cfg.momentum_switch_epoch,
+                      jnp.float32(cfg.initial_momentum),
+                      jnp.float32(cfg.momentum))
+    else:
+        m = jnp.float32(cfg.momentum)
+
+    @pl.when(jnp.logical_and(e == 0, i == 0))
+    def _load_state():
+        loads = [(W_in, W, 0), (b_in, bB, 1), (c_in, cH, 2), (chain_in, chain, 3)]
+        if use_momentum:
+            loads += [(vW_in, vW, 4), (vb_in, vbB, 5), (vc_in, vc, 6)]
+        dmas = [pltpu.make_async_copy(src, dst, ssem.at[k])
+                for src, dst, k in loads]
+        for d in dmas:
+            d.start()
+        for d in dmas:
+            d.wait()
+        SFX[:] = jnp.zeros_like(SFX)
+
+    @pl.when(i == 0)
+    def _zero_epoch_err():
+        err_ref[e, 0] = jnp.float32(0.0)
+
+    if not inject:
+        pltpu.prng_seed(seed_ref[0], e * nsteps + i)
+
+    # static lane masks for the packed factor layout
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    mask_v0 = (lane < B).astype(f32)
+    mask_vs = jnp.logical_and(lane >= 32, lane < 32 + B).astype(f32)
+    sign = mask_v0 - mask_vs
+
+    def _rows_pad(x, at):
+        """[B, Hp] -> [128, Hp] with x at rows at:at+B, zeros elsewhere."""
+        return jnp.pad(x, ((at, 128 - at - B), (0, 0)))
+
+    def _sfx_w_pass():
+        """SFX^T @ W -> [128, Hp] f32: rows 0:B = v0 @ W, rows 32:32+B =
+        vs @ W — both mean-field passes in one chunked sweep."""
+        def body(ci, acc):
+            sl = pl.ds(ci * rows, rows)
+            return acc + _dot_tn(SFX[sl, :].astype(cd), W[sl, :].astype(cd), cd)
+        return jax.lax.fori_loop(0, NC, body,
+                                 jnp.zeros((128, Hp), f32))
+
+    if inject:
+        u_h0 = u_h0_ref[0, 0]
+        u_h = u_h_ref[0, 0]
+    else:
+        u_h0 = _uniform_from_bits((unroll * B, Hp))
+        u_h = _uniform_from_bits((cfg.k * unroll * B, Hp))
+
+    err_acc = jnp.float32(0.0)
+    for u in range(unroll):
+        v0 = batch_ref[0, u]  # [B, V] storage dtype
+        # stage v0^T into SFX lanes 0:B (static loop; per-chunk values are
+        # tiny [B, rows] slices — no register-pressure risk)
+        for ci in range(NC):
+            c0 = ci * rows
+            blk = v0[:, c0:c0 + rows].astype(f32)           # [B, rows]
+            SFX[pl.ds(c0, rows), :] = jnp.pad(
+                blk.T, ((0, 0), (0, 128 - B))).astype(sdt)  # clears vs lanes
+
+        pre128 = _sfx_w_pass()
+        pre_h0 = pre128[0:B, :] + cH[0]
+        h0p = jax.nn.sigmoid(pre_h0)
+        h0s = (u_h0[u * B:(u + 1) * B] < h0p).astype(f32)
+        h = chain[:].astype(f32) if cfg.persistent else h0s
+        hmean = h0p
+
+        def _verr(old, vm):
+            """Per-chunk monitor contribution on the v0 lanes."""
+            if cfg.error_metric == "mse":
+                d = (old - vm) * mask_v0
+                return jnp.sum(d * d)
+            eps = 1e-7
+            p = jnp.clip(vm, eps, 1.0 - eps)
+            xe = (old * jnp.log(p) + (1.0 - old) * jnp.log(1.0 - p)) * mask_v0
+            return -jnp.sum(xe)
+
+        for t in range(cfg.k):
+            r = (u * cfg.k + t) * B
+            # h drives the visible means into lanes 32:32+B (the vs slot);
+            # for the CD monitor at t == 0 it ALSO drives lanes 0:B so the
+            # reconstruction can be compared against v0 in-place
+            want_err = t == 0 and not cfg.persistent
+            h128 = _rows_pad(h, 32) + (_rows_pad(h, 0) if want_err
+                                       else jnp.zeros((128, Hp), f32))
+
+            def gibbs(ci, err_l):
+                sl = pl.ds(ci * rows, rows)
+                pre = _dot_tt(W[sl, :].astype(cd), h128.astype(cd), cd)
+                mm_ = pre + bB[sl, :].astype(f32)
+                vm = jax.nn.sigmoid(mm_) if cfg.visible == "bernoulli" else mm_
+                old = SFX[sl, :].astype(f32)
+                if want_err:
+                    err_l = err_l + _verr(old, vm)
+                SFX[sl, :] = (old * mask_v0 + vm * mask_vs).astype(sdt)
+                return err_l
+
+            err_t = jax.lax.fori_loop(0, NC, gibbs, jnp.float32(0.0))
+            if want_err:
+                err_u = err_t
+            post = _sfx_w_pass()
+            hmean = jax.nn.sigmoid(post[32:32 + B, :] + cH[0])
+            h = (u_h[r:r + B] < hmean).astype(f32)
+
+        if cfg.persistent:
+            chain[:] = h.astype(sdt)
+            # data-driven reconstruction monitor (no store into SFX)
+            h128d = _rows_pad(h0s, 0)
+
+            def verr_pcd(ci, err_l):
+                sl = pl.ds(ci * rows, rows)
+                pre = _dot_tt(W[sl, :].astype(cd), h128d.astype(cd), cd)
+                mm_ = pre + bB[sl, :].astype(f32)
+                vm = jax.nn.sigmoid(mm_) if cfg.visible == "bernoulli" else mm_
+                return err_l + _verr(SFX[sl, :].astype(f32), vm)
+
+            err_u = jax.lax.fori_loop(0, NC, verr_pcd, jnp.float32(0.0))
+
+        err_acc += err_u * jnp.float32(
+            1.0 / (B * V) if cfg.error_metric == "mse" else 1.0 / B)
+
+        # hidden-bias gradient (h-side, small) + its update
+        gc = jnp.sum(h0p - hmean, axis=0, keepdims=True) * inv_b
+        if cfg.sparsity_target is not None and cfg.sparsity_cost:
+            gc = gc + jnp.float32(cfg.sparsity_cost) * (
+                jnp.float32(cfg.sparsity_target)
+                - jnp.sum(h0p, axis=0, keepdims=True) * inv_b)
+        if cfg.grad_clip is not None:
+            clip = jnp.float32(cfg.grad_clip)
+            gc = jnp.clip(gc, -clip, clip)
+        if use_momentum:
+            nvc = (m * vc[:].astype(f32) + lr * gc).astype(sdt)
+            vc[:] = nvc
+            cH[:] = cH[:] + nvc
+        else:
+            cH[:] = cH[:] + (lr * gc).astype(sdt)
+
+        # W + visible-bias update, chunked (ONE matmul per chunk thanks to
+        # the packed factor layout)
+        H128g = _rows_pad(h0p, 0) + _rows_pad(-hmean, 32)
+        final_update = u == unroll - 1
+
+        def upd(ci, _):
+            sl = pl.ds(ci * rows, rows)
+            chunk = SFX[sl, :].astype(f32)
+            gWc = _dot_nt(chunk.astype(cd), H128g.astype(cd), cd) * inv_b
+            gbc = jnp.sum(chunk * sign, axis=1, keepdims=True) * inv_b
+            if cfg.grad_clip is not None:
+                gWc = jnp.clip(gWc, -clip, clip)
+                gbc = jnp.clip(gbc, -clip, clip)
+            Wrow = W[sl, :]
+            if cfg.l2:
+                gWc = gWc - jnp.float32(cfg.l2) * Wrow
+            if use_momentum:
+                nvW = (m * vW[sl, :].astype(f32) + lr * gWc).astype(sdt)
+                vW[sl, :] = nvW
+                W[sl, :] = Wrow + nvW
+                nvb = (m * vbB[sl, :].astype(f32) + lr * gbc).astype(sdt)
+                vbB[sl, :] = nvb
+                bB[sl, :] = bB[sl, :] + nvb
+            else:
+                velw = (lr * gWc).astype(sdt)
+                velb = (jnp.zeros((rows, 128), f32) + lr * gbc).astype(sdt)
+                W[sl, :] = Wrow + velw
+                bB[sl, :] = bB[sl, :] + velb
+                if final_update:
+                    # stream the final rows out now and restage the velocity
+                    # into the masters (so the velocity state writes back
+                    # without second W/b-sized buffers)
+                    @pl.when(is_last_step)
+                    def _stream_final():
+                        dw = pltpu.make_async_copy(W.at[sl, :],
+                                                   W_out.at[sl, :], ssem.at[0])
+                        dw.start()
+                        dw.wait()
+                        W[sl, :] = velw
+                        db = pltpu.make_async_copy(bB.at[sl, :],
+                                                   b_out.at[sl, :], ssem.at[1])
+                        db.start()
+                        db.wait()
+                        bB[sl, :] = velb
+            return 0
+
+        jax.lax.fori_loop(0, NC, upd, 0)
+
+        if final_update:
+            @pl.when(is_last_step)
+            def _writeback():
+                if not use_momentum:
+                    vc[:] = (lr * gc).astype(sdt)
+                    # W/bB masters already hold the final velocities
+                    stores = [(W, vW_out, 0), (bB, vb_out, 1)]
+                else:
+                    stores = [(W, W_out, 0), (bB, b_out, 1),
+                              (vW, vW_out, 2), (vbB, vb_out, 3)]
+                stores += [(cH, c_out, 4), (vc, vc_out, 5),
+                           (chain, chain_out, 6)]
+                dmas = [pltpu.make_async_copy(src, dst, ssem.at[k])
+                        for src, dst, k in stores]
+                for d in dmas:
+                    d.start()
+                for d in dmas:
+                    d.wait()
+
+    err_ref[e, 0] = err_ref[e, 0] + err_acc * jnp.float32(1.0 / nb)
+
+
+def _build_wblocked_call(cfg: RBMConfig, n_epochs: int, nb: int, unroll: int,
+                         shuffle: bool, interpret, inject: bool, rows: int):
+    """pallas_call for the W-blocked tier. ``cfg`` has H pre-padded to a 128
+    multiple; the visible bias travels broadcast as (V, 128)."""
+    if interpret is True:
+        interpret = pltpu.InterpretParams()
+    V, Hp, B = cfg.n_visible, cfg.n_hidden, cfg.batch_size
+    assert Hp % 128 == 0 and V % rows == 0 and B <= 32
+    pdt = jnp.bfloat16 if cfg.param_dtype == "bfloat16" else jnp.float32
+    f32 = jnp.float32
+    nsteps = nb // unroll
+
+    if shuffle:
+        data_index = lambda e, i, seed, perm: (perm[e, i], 0, 0, 0)
+    else:
+        data_index = lambda e, i, seed, perm: (perm[0, i], 0, 0, 0)
+    in_specs = [pl.BlockSpec((1, unroll, B, V), data_index,
+                             memory_space=pltpu.VMEM)]
+    n_inject = 0
+    if inject:
+        step_index = lambda e, i, seed, perm: (e, i, 0, 0)
+        in_specs += [
+            pl.BlockSpec((1, 1, unroll * B, Hp), step_index,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cfg.k * unroll * B, Hp), step_index,
+                         memory_space=pltpu.VMEM),
+        ]
+        n_inject = 2
+    anyspec = pl.BlockSpec(memory_space=pl.ANY)
+    in_specs += [anyspec] * 7
+
+    scratch_shapes = [pltpu.VMEM((V, Hp), pdt),    # W master
+                      pltpu.VMEM((V, 128), pdt),   # bB master (broadcast)
+                      pltpu.VMEM((1, Hp), pdt)]    # c
+    if _uses_momentum(cfg):
+        scratch_shapes += [pltpu.VMEM((V, Hp), pdt),   # vW
+                           pltpu.VMEM((V, 128), pdt)]  # vbB
+    scratch_shapes += [pltpu.VMEM((1, Hp), pdt),   # vc
+                       pltpu.VMEM((B, Hp), pdt),   # chain
+                       pltpu.SemaphoreType.DMA((7,)),
+                       pltpu.VMEM((V, 128), pdt)]  # SFX packed factors
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_epochs, nsteps),
+        in_specs=in_specs,
+        out_specs=[anyspec] * 7 + [
+            pl.BlockSpec((n_epochs, 1), lambda e, i, seed, perm: (0, 0),
+                         memory_space=pltpu.SMEM)],
+        scratch_shapes=scratch_shapes,
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((V, Hp), pdt), jax.ShapeDtypeStruct((V, 128), pdt),
+        jax.ShapeDtypeStruct((1, Hp), pdt),
+        jax.ShapeDtypeStruct((V, Hp), pdt), jax.ShapeDtypeStruct((V, 128), pdt),
+        jax.ShapeDtypeStruct((1, Hp), pdt),
+        jax.ShapeDtypeStruct((B, Hp), pdt),
+        jax.ShapeDtypeStruct((n_epochs, 1), f32),
+    ]
+    steps = n_epochs * nb
+    return pl.pallas_call(
+        functools.partial(_cd_train_kernel_wb, cfg=cfg, unroll=unroll, nb=nb,
+                          rows=rows, inject=inject),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        input_output_aliases={k + 3 + n_inject: k for k in range(7)},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=112 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=steps * 2 * B * V * Hp * (2 + 2 * cfg.k),
+            bytes_accessed=steps * (2 + 2 * cfg.k) * V * Hp * 2,
+            transcendentals=steps * B * (Hp * (1 + cfg.k) + V * cfg.k),
+        ),
+        interpret=interpret,
+    )
+
+
 def _prepare_run(cfg: RBMConfig, state: TrainState, n: int, n_epochs: int,
                  ndev: int = 1, hbm_state: bool = False,
                  pick_cfg: Optional[RBMConfig] = None,
-                 dp_reduce: str = "factor"):
+                 dp_reduce: str = "factor", force_unroll1: bool = False):
     """Shared host-side setup: batch count, unroll, shuffle permutation, and
     the per-run seed block. Returns (nb, unroll, nsteps, perm, seed, key).
 
@@ -1018,7 +1308,8 @@ def _prepare_run(cfg: RBMConfig, state: TrainState, n: int, n_epochs: int,
     kernel runs with the LOCAL batch (ceil(global / ndev)), so sizing from
     the global config would under-select unroll by up to ndev-fold."""
     nb = n // cfg.batch_size
-    unroll = _pick_unroll(nb, pick_cfg or cfg, ndev, hbm_state, dp_reduce)
+    unroll = (1 if force_unroll1
+              else _pick_unroll(nb, pick_cfg or cfg, ndev, hbm_state, dp_reduce))
     nsteps = nb // unroll
     key, kperm, kepoch = jax.random.split(state.key, 3)
     if cfg.shuffle:
@@ -1079,26 +1370,74 @@ def _flatten_uniforms(cfg: RBMConfig, uniforms: Dict[str, jax.Array],
 @lru_cache(maxsize=512)
 def _cached_train_fn(cfg: RBMConfig, n_epochs: int, interpret: bool,
                      inject: bool = False, hbm_state: bool = False):
+    # W-blocked tier: run an H-padded problem (lane dim to the 128 DMA
+    # tiling — Mosaic rejects slices of lane-misaligned VMEM refs on real
+    # hardware) through the dedicated fori-chunked kernel. Pad hidden units
+    # have zero weights/biases forever (their gW/gc columns are exactly zero
+    # every update), so padding is invisible to the math; the visible bias
+    # travels broadcast as (V, 128). State pads in here, slices back below.
+    w_chunked = hbm_state and needs_w_chunking(cfg)
+    kcfg = w_chunk_padded_cfg(cfg) if w_chunked else cfg
+    w_rows = w_chunk_rows_for(kcfg) if w_chunked else None
+    H, hpad = cfg.n_hidden, kcfg.n_hidden - cfg.n_hidden
+    V = cfg.n_visible
+
+    def _pad_h(a: jax.Array) -> jax.Array:
+        if not hpad:
+            return a
+        widths = [(0, 0)] * (a.ndim - 1) + [(0, hpad)]
+        return jnp.pad(a, widths)
 
     def train_fn(state: TrainState, data: jax.Array,
                  uniforms: Optional[Dict[str, jax.Array]] = None
                  ) -> Tuple[TrainState, jax.Array]:
         n = data.shape[0]
         nb, unroll, nsteps, perm, seed, key = _prepare_run(
-            cfg, state, n, n_epochs, hbm_state=hbm_state)
+            cfg, state, n, n_epochs, hbm_state=hbm_state, pick_cfg=kcfg,
+            force_unroll1=w_chunked)  # this tier: one update per grid step
         if inject and uniforms is None:
             key, kdraw = jax.random.split(key)
-            uniforms = draw_uniform_blocks(cfg, kdraw, n_epochs, nb)
+            # draw at the padded width directly: pad-column draws sample
+            # hidden units whose weights are zero — harmless by construction
+            uniforms = draw_uniform_blocks(kcfg, kdraw, n_epochs, nb)
+        elif inject and hpad:
+            # caller-supplied draws: pad the hidden dims with 1.0 so pad
+            # samples are deterministically 0 ((1.0 < p) is False)
+            uniforms = dict(uniforms)
+            for k in ("h0", "h"):
+                widths = [(0, 0)] * (uniforms[k].ndim - 1) + [(0, hpad)]
+                uniforms[k] = jnp.pad(uniforms[k], widths, constant_values=1.0)
         data = jnp.asarray(data, jnp.dtype(cfg.param_dtype))
         batches = data[: nb * cfg.batch_size].reshape(
             nsteps, unroll, cfg.batch_size, cfg.n_visible)
+        p, vel = state.params, state.velocity
+        extra = (_flatten_uniforms(kcfg, uniforms, n_epochs, nsteps, unroll)
+                 if inject else [])
+
+        if w_chunked:
+            call = _build_wblocked_call(kcfg, n_epochs, nb, unroll,
+                                        cfg.shuffle, interpret, inject, w_rows)
+            pdt = jnp.dtype(cfg.param_dtype)
+            bB = jnp.broadcast_to(p.b.reshape(-1, 1), (V, 128)).astype(pdt)
+            vbB = jnp.broadcast_to(vel.b.reshape(-1, 1), (V, 128)).astype(pdt)
+            W, bb, cc, vW, vb, vc, chain, errs = call(
+                seed, perm, batches, *extra,
+                _pad_h(p.W), bB, _pad_h(p.c.reshape(1, -1)),
+                _pad_h(vel.W), vbB, _pad_h(vel.c.reshape(1, -1)),
+                _pad_h(state.chain_h),
+            )
+            new_state = TrainState(
+                params=RBMParams(W=W[:, :H], b=bb[:, 0], c=cc[0, :H]),
+                velocity=RBMParams(W=vW[:, :H], b=vb[:, 0], c=vc[0, :H]),
+                chain_h=chain[:, :H],
+                key=key,
+                epoch=state.epoch + n_epochs,
+            )
+            return new_state, errs[:, 0]
 
         call = _build_pallas_call(cfg, n_epochs, nb, unroll, cfg.shuffle,
                                   interpret, inject=inject,
                                   hbm_state=hbm_state)
-        p, vel = state.params, state.velocity
-        extra = (_flatten_uniforms(cfg, uniforms, n_epochs, nsteps, unroll)
-                 if inject else [])
         W, bb, cc, vW, vb, vc, chain, errs = call(
             seed, perm, batches, *extra,
             p.W, p.b.reshape(1, -1), p.c.reshape(1, -1),

@@ -58,7 +58,11 @@ def _epoch_xla(state: TrainState, data: jax.Array, cfg: RBMConfig) -> Tuple[Trai
 
             err = pseudo_likelihood(params, v0, idx % cfg.n_visible, cfg)
         params, vel = apply_update(params, vel, grads, cfg, epoch=state.epoch)
-        return (params, vel, new_chain), err
+        # chain state is stored at param_dtype; cd_step_stats returns it at
+        # the data dtype, which differs when a caller feeds f32 data to a
+        # bf16-storage config (train_rbm casts, but keep the scan carry
+        # stable regardless of caller discipline)
+        return (params, vel, new_chain.astype(chain.dtype)), err
 
     keys = jax.random.split(kepoch, nb)
     idxs = (state.epoch * nb + jnp.arange(nb)).astype(jnp.int32)

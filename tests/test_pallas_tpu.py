@@ -341,16 +341,17 @@ def test_vmem_budget_closed_loop_at_boundary():
                                               needs_w_chunking,
                                               pallas_state_mode)
 
-    edge = RBMConfig(n_visible=22000, n_hidden=400, visible="gaussian",
+    edge = RBMConfig(n_visible=18000, n_hidden=400, visible="gaussian",
                      lr=0.001, batch_size=20, seed=0)
-    assert estimate_vmem_bytes(edge, unroll=1, hbm_state=True) <= _VMEM_BUDGET
+    est = estimate_vmem_bytes(edge, unroll=1, hbm_state=True)
+    assert 0.9 * _VMEM_BUDGET < est <= _VMEM_BUDGET, est / 2**20
     assert pallas_state_mode(edge) is True and not needs_w_chunking(edge)
-    chunked = edge.replace(n_visible=28000)  # past the full-W tier
+    chunked = edge.replace(n_visible=24000)  # past the full-W tier
     assert pallas_state_mode(chunked) is True and needs_w_chunking(chunked)
     over = edge.replace(n_visible=40000, n_hidden=4096)  # past every tier
     assert pallas_state_mode(over) is None
 
-    data = jax.random.normal(jax.random.PRNGKey(0), (100, 22000), jnp.float32)
+    data = jax.random.normal(jax.random.PRNGKey(0), (100, 18000), jnp.float32)
     fn = _cached_train_fn(edge, 1, False, False, True)
     state, errs = fn(init_train_state(edge), data)  # Mosaic compile = the check
     assert np.isfinite(np.asarray(errs)).all()
@@ -522,8 +523,8 @@ def test_dp_comm_vmem_estimate_closed_loop():
                                               pallas_state_mode)
 
     # ring mode carries the big comm term (~2x W of scratch on top of the
-    # 4x W const-block state)
-    edge = RBMConfig(n_visible=6144, n_hidden=640, k=1, lr=0.1,
+    # 4x W const-block state + the W-read transient)
+    edge = RBMConfig(n_visible=5120, n_hidden=640, k=1, lr=0.1,
                      batch_size=160, seed=0)
     local = edge.replace(batch_size=20)
     est = estimate_vmem_bytes(local, unroll=1, ndev=8, dp_reduce="ring")

@@ -98,14 +98,19 @@ def test_dp_hbm_state_exact_parity():
 
 
 def test_state_mode_selection():
-    """Engine probe: small -> const-block, wide -> HBM-state, huge -> None
-    (XLA engine). The wide-omics graded shape must NOT fall back to XLA."""
+    """Engine probe: small -> const-block, wide -> HBM-state (W-blocked when
+    W can't live as a VMEM value — round 3's honest transient accounting
+    counts the W read + the full gradient, so 20000x400 f32 is W-blocked
+    now), huge -> None (XLA engine). The wide-omics graded shape must NOT
+    fall back to XLA."""
+    from mdbn_tpu.ops.cd_epoch_pallas import needs_w_chunking
+
     small = RBMConfig(n_visible=784, n_hidden=500, batch_size=20)
     wide = RBMConfig(n_visible=20000, n_hidden=400, batch_size=20,
                      visible="gaussian")
     huge = RBMConfig(n_visible=40000, n_hidden=4096, batch_size=20)
     assert pallas_state_mode(small) is False
-    assert pallas_state_mode(wide) is True
+    assert pallas_state_mode(wide) is True and needs_w_chunking(wide)
     assert pallas_state_mode(huge) is None
     # trainer availability follows the probe
     from mdbn_tpu.train.trainer import _pallas_available
@@ -114,8 +119,7 @@ def test_state_mode_selection():
     assert not _pallas_available(huge)
     # the HBM-state estimate drops the W-state footprint vs const-block mode
     assert (estimate_vmem_bytes(wide, unroll=1, hbm_state=True)
-            < estimate_vmem_bytes(wide, unroll=1)) and (
-        estimate_vmem_bytes(wide, unroll=1, hbm_state=True) <= _VMEM_BUDGET)
+            < estimate_vmem_bytes(wide, unroll=1))
 
 
 # ---------------------------------------------------------------------------
@@ -171,47 +175,61 @@ def test_bf16_storage_bitmatches_xla_recipe(momentum, hbm):
     np.testing.assert_allclose(np.asarray(e), exp, rtol=2e-4, atol=1e-6)
 
 
-@pytest.mark.parametrize("momentum,metric", [
-    (0.0, "mse"), (0.5, "mse"), (0.0, "pseudo"),
+@pytest.mark.parametrize("momentum,metric,visible,persistent", [
+    (0.0, "mse", "gaussian", False),
+    (0.5, "mse", "gaussian", False),
+    (0.0, "xent", "bernoulli", False),
+    (0.0, "mse", "bernoulli", True),   # PCD: data-driven monitor pass
 ])
-def test_w_chunked_kernel_matches_full(momentum, metric):
-    """The fully W-blocked tier (forced via _force_w_chunk on a small shape,
-    ragged tail chunk included) matches the full-W HBM-state kernel to
-    split-contraction rounding."""
-    from mdbn_tpu.ops.cd_epoch_pallas import (_build_pallas_call,
-                                              _flatten_uniforms, _prepare_run)
+def test_w_blocked_kernel_matches_hbm(momentum, metric, visible, persistent):
+    """The W-blocked (fori-chunked, packed V-major factors, broadcast bias)
+    kernel matches the full-W HBM-state kernel to split-matmul rounding on
+    identical injected uniforms — including the H-padding wrapper (H=100 ->
+    Hp=128, pad hidden units provably inert)."""
+    import mdbn_tpu.ops.cd_epoch_pallas as cep
 
-    cfg = RBMConfig(n_visible=48, n_hidden=16, batch_size=8, k=1, epochs=1,
-                    momentum=momentum, persistent=momentum > 0,
-                    error_metric=metric, l2=1e-4, lr=0.05, seed=0)
+    cfg = RBMConfig(n_visible=64, n_hidden=100, batch_size=8, k=1, epochs=2,
+                    momentum=momentum, persistent=persistent, visible=visible,
+                    error_metric=metric, sample_visible=False, l2=1e-4,
+                    lr=0.05, grad_clip=0.5, seed=0)
     st = init_train_state(cfg)
-    data = (jax.random.uniform(jax.random.PRNGKey(1), (32, 48))
-            > 0.5).astype(jnp.float32)
-    u = draw_uniform_blocks(cfg, jax.random.PRNGKey(2), 1, 4)
-    ref, eref = _cached_train_fn(cfg, 1, True, True, True)(st, data, u)
+    data = jax.random.uniform(jax.random.PRNGKey(1), (32, 64))
+    if visible == "bernoulli":
+        data = (data > 0.5).astype(jnp.float32)
+    u = draw_uniform_blocks(cfg, jax.random.PRNGKey(2), 2, 4)
+    ref, eref = _cached_train_fn(cfg, 2, True, True, True)(st, data, u)
 
-    nb, unroll, nsteps, perm, seed, _ = _prepare_run(cfg, st, 32, 1,
-                                                     hbm_state=True)
-    call = _build_pallas_call(cfg, 1, nb, unroll, False, True, inject=True,
-                              hbm_state=True, _force_w_chunk=32)
-    extra = _flatten_uniforms(cfg, u, 1, nsteps, unroll)
-    p, vel = st.params, st.velocity
-    batches = jnp.asarray(data)[: nb * 8].reshape(nsteps, unroll, 8, 48)
-    out = call(seed, perm, batches, *extra, p.W, p.b.reshape(1, -1),
-               p.c.reshape(1, -1), vel.W, vel.b.reshape(1, -1),
-               vel.c.reshape(1, -1), st.chain_h)
-    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref.params.W),
-                               rtol=2e-4, atol=2e-6)
-    np.testing.assert_allclose(np.asarray(out[3]), np.asarray(ref.velocity.W),
-                               rtol=2e-4, atol=2e-6)
-    np.testing.assert_allclose(np.asarray(out[7][:, 0]), np.asarray(eref),
+    # route the same config through the W-blocked tier (force the decision;
+    # a distinct seed gives a distinct lru_cache key)
+    cfg2 = cfg.replace(seed=1)
+    orig = cep.needs_w_chunking
+    cep.needs_w_chunking = lambda c, ndev=1, dp_reduce="factor": True
+    try:
+        fn = _cached_train_fn(cfg2, 2, True, True, True)
+        out, eout = fn(st, data, u)
+    finally:
+        cep.needs_w_chunking = orig
+    np.testing.assert_allclose(np.asarray(out.params.W),
+                               np.asarray(ref.params.W), rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(out.params.b),
+                               np.asarray(ref.params.b), rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(out.params.c),
+                               np.asarray(ref.params.c), rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(out.velocity.W),
+                               np.asarray(ref.velocity.W), rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(out.velocity.b),
+                               np.asarray(ref.velocity.b), rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(out.chain_h),
+                               np.asarray(ref.chain_h), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(eout), np.asarray(eref),
                                rtol=2e-4, atol=1e-6)
 
 
 def test_w_chunked_mode_selection():
     """40000x1000 bf16 (80 MB of weights) is admitted via the W-blocked tier;
     the same shape in f32 (160 MB) is not; neither is bf16 with momentum
-    (two 80 MB masters)."""
+    (two 80 MB masters). Out-of-scope combos (sampled visibles, pseudo
+    monitor) degrade to the XLA engine rather than the tier."""
     from mdbn_tpu.ops.cd_epoch_pallas import needs_w_chunking
 
     bf = RBMConfig(n_visible=40000, n_hidden=1000, visible="gaussian",
@@ -222,3 +240,6 @@ def test_w_chunked_mode_selection():
     assert pallas_state_mode(f32) is None
     mom = bf.replace(momentum=0.5)
     assert pallas_state_mode(mom) is None
+    assert not needs_w_chunking(bf.replace(sample_visible=True))
+    assert not needs_w_chunking(bf.replace(visible="bernoulli",
+                                           error_metric="pseudo"))
