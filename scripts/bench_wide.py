@@ -1,9 +1,13 @@
-"""Wide-shape throughput: the HBM-state / W-blocked Pallas tiers vs the XLA
-fallback (BENCH_DETAIL.md wide-shape table). Run on the TPU.
+"""Wide-shape throughput: the HBM-state tier ladder (chunk-update middle
+tier, fully W-blocked tier) vs the XLA fallback (BENCH_DETAIL.md wide-shape
+table). Run on the TPU.
 
-Round 3: honest transient accounting moved 20000x400 f32 into the W-blocked
-tier, and bf16 storage + W-blocking admitted 40000x1000 (40M params) into
-the fused engine — this script measures both against the XLA engine.
+Round 3: 20000x400 f32 runs in the plain full-gradient HBM-state tier under
+the hardware-validated raised single-chip budget (the round-2 25.7k/s
+design); the CHUNK-UPDATE middle tier covers 128-aligned-H shapes past that
+budget (20000x512); 28000x400 f32 and 40000x1000 bf16 (40M params) run in
+the fully W-blocked tier. This script measures all four against the XLA
+engine.
 """
 
 import sys
@@ -19,46 +23,82 @@ import jax.numpy as jnp
 from mdbn_tpu.config import RBMConfig
 from mdbn_tpu.core.state import init_train_state
 from mdbn_tpu.ops.cd_epoch_pallas import (make_pallas_train_fn,
+                                          needs_chunk_update,
                                           needs_w_chunking,
                                           pallas_state_mode)
 from mdbn_tpu.train.trainer import _jitted_train_xla_fused
 
 
-def bench(cfg, n_rows, n_epochs, runs=3, engine="pallas"):
-    data = jax.random.normal(jax.random.PRNGKey(1), (n_rows, cfg.n_visible),
-                             jnp.float32).astype(jnp.dtype(cfg.param_dtype))
-    nb = n_rows // cfg.batch_size
-    if engine == "pallas":
-        fn = make_pallas_train_fn(cfg, n_epochs)
-        assert fn is not None, "pallas tier rejected this shape"
-    else:
-        fn = _jitted_train_xla_fused(cfg, n_epochs, None, "dp")
-    st = init_train_state(cfg)
-    st2, errs = fn(st, data)  # compile + warmup
-    e0 = np.asarray(errs)
-    rates = []
+def _timed_run(fn, cfg, data, runs):
+    """Median wall-clock of ``runs`` full launches (fresh state each, full
+    device->host sync via np.asarray — the tunnel can return early from
+    block_until_ready)."""
+    ts = []
+    errs = None
     for _ in range(runs):
         s = init_train_state(cfg)
         t0 = time.perf_counter()
         s, errs = fn(s, data)
         _ = np.asarray(errs)
         _ = float(np.asarray(s.params.W[0, 0], np.float32))
-        dt = time.perf_counter() - t0
-        rates.append(n_epochs * nb / dt)
-    r = float(np.median(rates))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)), np.asarray(errs)
+
+
+def bench(cfg, n_rows, n_epochs, runs=3, engine="pallas", e_lo=None):
+    """Two-point marginal rate: the per-launch fixed cost (tunnel RTT,
+    state upload, final sync — ~75-90 ms here, identical for both engines)
+    cancels in (t_hi - t_lo) / (E_hi - E_lo), giving the steady-state
+    training rate either engine would sustain in a long run."""
+    e_lo = max(1, n_epochs // 5) if e_lo is None else e_lo
+    data = jax.random.normal(jax.random.PRNGKey(1), (n_rows, cfg.n_visible),
+                             jnp.float32).astype(jnp.dtype(cfg.param_dtype))
+    nb = n_rows // cfg.batch_size
+
+    def build(E):
+        if engine == "pallas":
+            fn = make_pallas_train_fn(cfg, E)
+            assert fn is not None, "pallas tier rejected this shape"
+        else:
+            fn = _jitted_train_xla_fused(cfg, E, None, "dp")
+        st = init_train_state(cfg)
+        s, errs = fn(st, data)  # compile + warmup
+        return fn, np.asarray(errs)
+
+    fn_hi, e0 = build(n_epochs)
+    fn_lo, _ = build(e_lo)
+    t_hi, _ = _timed_run(fn_hi, cfg, data, runs)
+    t_lo, _ = _timed_run(fn_lo, cfg, data, runs)
+    r = (n_epochs - e_lo) * nb / max(1e-9, t_hi - t_lo)
+    e2e = n_epochs * nb / t_hi
     print(f"{cfg.n_visible}x{cfg.n_hidden} {cfg.param_dtype} [{engine}]: "
-          f"{r:,.0f} updates/s (errs {e0[0]:.4f}->{e0[-1]:.4f})", flush=True)
+          f"{r:,.0f} updates/s marginal ({e2e:,.0f} end-to-end incl. "
+          f"per-launch overhead; errs {e0[0]:.4f}->{e0[-1]:.4f})", flush=True)
     return r
 
 
 def main():
     print("backend:", jax.default_backend(), flush=True)
-    # graded wide-omics shape: f32, now the W-blocked tier
+    # graded wide-omics shape: f32, the plain HBM-state tier (raised budget)
     wide = RBMConfig(n_visible=20000, n_hidden=400, visible="gaussian",
                      lr=0.001, batch_size=20, seed=0)
-    assert pallas_state_mode(wide) is True and needs_w_chunking(wide)
-    p1 = bench(wide, 400, 40)
-    x1 = bench(wide, 400, 3, engine="xla")
+    assert pallas_state_mode(wide) is True and not needs_chunk_update(wide)
+    p1 = bench(wide, 400, 100)
+    x1 = bench(wide, 400, 10, engine="xla")
+
+    # 128-aligned-H shape past the plain budget: the chunk-update tier
+    cu = RBMConfig(n_visible=20000, n_hidden=512, visible="gaussian",
+                   lr=0.001, batch_size=20, seed=0)
+    assert needs_chunk_update(cu)
+    p4 = bench(cu, 400, 100)
+    x4 = bench(cu, 400, 10, engine="xla")
+
+    # beyond the middle tier: 28000x400 f32 runs fully W-blocked
+    wider = RBMConfig(n_visible=28000, n_hidden=400, visible="gaussian",
+                      lr=0.001, batch_size=20, seed=0)
+    assert needs_w_chunking(wider)
+    p3 = bench(wider, 400, 20)
+    x3 = bench(wider, 400, 10, engine="xla")
 
     # the 40M-param shape: bf16 W-blocked Pallas vs bf16 XLA fallback
     big_bf16 = RBMConfig(n_visible=40000, n_hidden=1000, visible="gaussian",
@@ -66,11 +106,15 @@ def main():
                          param_dtype="bfloat16", compute_dtype="bfloat16")
     assert needs_w_chunking(big_bf16)
     p2 = bench(big_bf16, 200, 20)
-    x2 = bench(big_bf16, 200, 2, engine="xla")
-    print(f"SUMMARY wide 20000x400 f32: pallas {p1:,.0f}/s vs xla {x1:,.0f}/s "
-          f"({p1 / x1:.1f}x)")
-    print(f"SUMMARY 40000x1000 bf16: pallas {p2:,.0f}/s vs xla {x2:,.0f}/s "
-          f"({p2 / x2:.1f}x)")
+    x2 = bench(big_bf16, 200, 10, engine="xla")
+    print(f"SUMMARY wide 20000x400 f32 (plain HBM-state): pallas {p1:,.0f}/s "
+          f"vs xla {x1:,.0f}/s ({p1 / x1:.1f}x)")
+    print(f"SUMMARY 20000x512 f32 (chunk-update): pallas {p4:,.0f}/s "
+          f"vs xla {x4:,.0f}/s ({p4 / x4:.1f}x)")
+    print(f"SUMMARY 28000x400 f32 (W-blocked): pallas {p3:,.0f}/s "
+          f"vs xla {x3:,.0f}/s ({p3 / x3:.1f}x)")
+    print(f"SUMMARY 40000x1000 bf16 (W-blocked): pallas {p2:,.0f}/s "
+          f"vs xla {x2:,.0f}/s ({p2 / x2:.1f}x)")
 
 
 if __name__ == "__main__":

@@ -315,17 +315,66 @@ def test_hbm_state_mode_bitmatches_on_hardware():
 def test_wide_omics_trains_in_pallas_engine():
     """20000-feature Gaussian RBM (the wide-omics regime that used to fall
     back to the XLA engine): auto engine now selects the HBM-state Pallas
-    kernel and the reconstruction error decreases."""
-    from mdbn_tpu.ops.cd_epoch_pallas import pallas_state_mode
+    kernel and the reconstruction error decreases. This run IS the
+    closed-loop evidence for the raised single-chip plain-tier budget: the
+    shape estimates 107.4 MB (99.4% of _VMEM_BUDGET_HBM_1DEV) and must
+    compile AND train through the PLAIN full-gradient tier."""
+    from mdbn_tpu.ops.cd_epoch_pallas import (_VMEM_BUDGET_HBM_1DEV,
+                                              estimate_vmem_bytes,
+                                              needs_chunk_update,
+                                              needs_w_chunking,
+                                              pallas_state_mode)
     from mdbn_tpu.train.trainer import train_rbm
 
     cfg = RBMConfig(n_visible=20000, n_hidden=400, visible="gaussian",
                     lr=0.001, epochs=3, batch_size=20, seed=0)
     assert pallas_state_mode(cfg) is True
+    assert not needs_chunk_update(cfg) and not needs_w_chunking(cfg)
+    est = estimate_vmem_bytes(cfg, unroll=1, hbm_state=True)
+    assert 0.9 * _VMEM_BUDGET_HBM_1DEV < est <= _VMEM_BUDGET_HBM_1DEV
     data = jax.random.normal(jax.random.PRNGKey(1), (400, 20000), jnp.float32)
     state, metrics = train_rbm(data, cfg)
     assert metrics.engine == "pallas"
     assert metrics.errors[-1] < metrics.errors[0]
+
+
+def test_chunk_update_tier_bitmatches_on_hardware():
+    """The chunk-update middle tier's ref slices (static sublane starts,
+    128-aligned lane dim) are legal Mosaic and the tier is BIT-identical to
+    the plain full-gradient HBM-state kernel on the real chip — same PRNG
+    stream, chunking splits only the outer-product's output rows, never the
+    contraction. Shrunk chunk budget -> 8x32-row chunks + a ragged 16-row
+    tail (V=272). (The tier's H % 128 gate exists because hardware rejects
+    lane-misaligned ref slices — H=400 fails Mosaic with 'Slice shape along
+    dimension 1 must be aligned to tiling (128)'.)"""
+    import mdbn_tpu.ops.cd_epoch_pallas as cep
+    from mdbn_tpu.ops.cd_epoch_pallas import _cached_train_fn
+
+    cfg = RBMConfig(n_visible=272, n_hidden=128, k=1, lr=0.05, epochs=3,
+                    batch_size=20, seed=0, momentum=0.5, l2=1e-4,
+                    persistent=True)
+    data = (jax.random.uniform(jax.random.PRNGKey(4), (200, 272))
+            > 0.5).astype(jnp.float32)
+    st = init_train_state(cfg)
+    ref, eref = _cached_train_fn(cfg, 3, False, False, True)(st, jnp.asarray(data))
+
+    cfg2 = cfg.replace(seed=1)  # distinct lru_cache key, same run seed path
+    orig_probe, orig_bytes = cep.needs_chunk_update, cep._UPDATE_CHUNK_BYTES
+    cep.needs_chunk_update = lambda c, ndev=1, dp_reduce="factor": True
+    cep._UPDATE_CHUNK_BYTES = 32 * 4 * cfg.n_hidden  # -> 32-row chunks
+    try:
+        out, eout = _cached_train_fn(cfg2, 3, False, False, True)(
+            st, jnp.asarray(data))
+    finally:
+        cep.needs_chunk_update = orig_probe
+        cep._UPDATE_CHUNK_BYTES = orig_bytes
+    np.testing.assert_array_equal(np.asarray(eout), np.asarray(eref))
+    np.testing.assert_array_equal(np.asarray(out.params.W),
+                                  np.asarray(ref.params.W))
+    np.testing.assert_array_equal(np.asarray(out.velocity.W),
+                                  np.asarray(ref.velocity.W))
+    np.testing.assert_array_equal(np.asarray(out.chain_h),
+                                  np.asarray(ref.chain_h))
 
 
 def test_vmem_budget_closed_loop_at_boundary():

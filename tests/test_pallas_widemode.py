@@ -98,19 +98,34 @@ def test_dp_hbm_state_exact_parity():
 
 
 def test_state_mode_selection():
-    """Engine probe: small -> const-block, wide -> HBM-state (W-blocked when
-    W can't live as a VMEM value — round 3's honest transient accounting
-    counts the W read + the full gradient, so 20000x400 f32 is W-blocked
-    now), huge -> None (XLA engine). The wide-omics graded shape must NOT
-    fall back to XLA."""
-    from mdbn_tpu.ops.cd_epoch_pallas import needs_w_chunking
+    """Engine probe tier ladder: small -> const-block; the graded wide-omics
+    shape (20000x400, est 107.4 MB) -> the PLAIN full-gradient HBM-state
+    tier under the raised single-chip budget (hardware-validated closed
+    loop, test_pallas_tpu.py — this is the round-2 25.7k/s design); a
+    128-aligned-H shape past the plain budget (20000x512) -> the
+    CHUNK-UPDATE middle tier (full-W Gibbs reads, gradient applied in
+    static row chunks; hardware rejects lane-misaligned ref slices, hence
+    the H % 128 gate); wider still (28000x400 f32, 24000x512) -> the fully
+    W-blocked (H-padded) tier; huge -> None (XLA engine). The wide-omics
+    graded shape must NOT fall back to XLA."""
+    from mdbn_tpu.ops.cd_epoch_pallas import (needs_chunk_update,
+                                              needs_w_chunking)
 
     small = RBMConfig(n_visible=784, n_hidden=500, batch_size=20)
     wide = RBMConfig(n_visible=20000, n_hidden=400, batch_size=20,
                      visible="gaussian")
+    aligned = RBMConfig(n_visible=20000, n_hidden=512, batch_size=20,
+                        visible="gaussian")
+    wider = RBMConfig(n_visible=28000, n_hidden=400, batch_size=20,
+                      visible="gaussian")
     huge = RBMConfig(n_visible=40000, n_hidden=4096, batch_size=20)
     assert pallas_state_mode(small) is False
-    assert pallas_state_mode(wide) is True and needs_w_chunking(wide)
+    assert pallas_state_mode(wide) is True
+    assert not needs_chunk_update(wide) and not needs_w_chunking(wide)
+    assert pallas_state_mode(aligned) is True and needs_chunk_update(aligned)
+    assert not needs_w_chunking(aligned)
+    assert pallas_state_mode(wider) is True and needs_w_chunking(wider)
+    assert not needs_chunk_update(wider)  # H=400 lane-misaligned
     assert pallas_state_mode(huge) is None
     # trainer availability follows the probe
     from mdbn_tpu.train.trainer import _pallas_available
@@ -223,6 +238,48 @@ def test_w_blocked_kernel_matches_hbm(momentum, metric, visible, persistent):
                                np.asarray(ref.chain_h), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(eout), np.asarray(eref),
                                rtol=2e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("momentum,metric,visible,persistent", [
+    (0.0, "mse", "bernoulli", False),    # momentum-free: per-chunk W stream-out
+    (0.5, "pseudo", "bernoulli", True),  # momentum + PCD + W-row-reading monitor
+    (0.0, "mse", "gaussian", False),
+    (0.5, "xent", "bernoulli", False),
+])
+def test_chunk_update_tier_matches_hbm(momentum, metric, visible, persistent):
+    """The chunk-update middle tier (full-W Gibbs reads, gradient applied to
+    the master in STATIC row chunks, full [V, H] gW never materialized) is
+    BIT-identical to the full-gradient HBM-state kernel: chunking splits only
+    the output rows of the v_catT @ h_cat outer product, never the
+    contraction, so every element sees the same reduction order. Shrinks the
+    chunk budget so the run covers multiple chunks plus a ragged 16-row tail
+    (V=80 -> 32+32+16)."""
+    import mdbn_tpu.ops.cd_epoch_pallas as cep
+
+    cfg = RBMConfig(n_visible=80, n_hidden=48, batch_size=8, k=1, epochs=2,
+                    momentum=momentum, persistent=persistent, visible=visible,
+                    error_metric=metric, l2=1e-4, lr=0.05, grad_clip=0.5,
+                    seed=0)
+    st = init_train_state(cfg)
+    data = jax.random.uniform(jax.random.PRNGKey(1), (32, 80))
+    if visible == "bernoulli":
+        data = (data > 0.5).astype(jnp.float32)
+    u = draw_uniform_blocks(cfg, jax.random.PRNGKey(2), 2, 4)
+    ref, eref = _cached_train_fn(cfg, 2, True, True, True)(st, data, u)
+
+    # route the same config through the chunk-update tier (force the
+    # decision; a distinct seed gives a distinct lru_cache key)
+    cfg2 = cfg.replace(seed=1)
+    orig_probe, orig_bytes = cep.needs_chunk_update, cep._UPDATE_CHUNK_BYTES
+    cep.needs_chunk_update = lambda c, ndev=1, dp_reduce="factor": True
+    cep._UPDATE_CHUNK_BYTES = 32 * 4 * cfg.n_hidden  # -> 32-row chunks
+    try:
+        out, eout = _cached_train_fn(cfg2, 2, True, True, True)(st, data, u)
+    finally:
+        cep.needs_chunk_update = orig_probe
+        cep._UPDATE_CHUNK_BYTES = orig_bytes
+    _assert_states_equal(out, ref)
+    np.testing.assert_array_equal(np.asarray(eout), np.asarray(eref))
 
 
 def test_w_chunked_mode_selection():
