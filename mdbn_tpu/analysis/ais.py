@@ -39,22 +39,51 @@ def base_rate_biases(data: jax.Array, eps: float = 1e-2) -> jax.Array:
     return jnp.log(p) - jnp.log1p(-p)
 
 
-@partial(jax.jit, static_argnums=(3, 4))
+def anneal_betas(n_betas: int, schedule: str = "uniform") -> jax.Array:
+    """The annealing temperature path, beta_0 = 0 -> beta_{K-1} = 1.
+
+    ``uniform``: linspace. ``sm``: the Salakhutdinov-Murray (ICML 2008 §4.1)
+    piecewise-uniform path — their MNIST runs spent 500:4000:10000 of the
+    betas on [0, 0.5]:[0.5, 0.9]:[0.9, 1.0], i.e. ~69% of the resolution in
+    the last tenth of the anneal, where p_beta changes fastest for a trained
+    model. The same proportions are applied to any n_betas here.
+    """
+    if schedule == "uniform":
+        return jnp.linspace(0.0, 1.0, n_betas)
+    if schedule != "sm":
+        raise ValueError(f"unknown anneal schedule {schedule!r}")
+    n1 = max(2, round(n_betas * 500 / 14500))
+    n2 = max(2, round(n_betas * 4000 / 14500))
+    n3 = n_betas - n1 - n2
+    if n3 < 2:
+        raise ValueError(f"n_betas={n_betas} too small for the sm schedule")
+    return jnp.concatenate([
+        jnp.linspace(0.0, 0.5, n1, endpoint=False),
+        jnp.linspace(0.5, 0.9, n2, endpoint=False),
+        jnp.linspace(0.9, 1.0, n3),
+    ])
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6))
 def ais_log_z(
     params: RBMParams,
     a_base: jax.Array,  # [V] base-rate visible biases
     key: jax.Array,
     n_chains: int = 256,
     n_betas: int = 1000,
+    n_sweeps: int = 1,
+    schedule: str = "uniform",
 ) -> Tuple[jax.Array, jax.Array]:
     """Estimate log Z of a Bernoulli RBM. Returns (log_z_estimate, log_weights).
 
     Interpolation: p_beta(v) ∝ exp((1-beta) a_A.v) * exp(beta a_B.v)
                                * prod_j (1 + exp(beta (W.v + c)_j)).
+    ``n_sweeps`` full Gibbs sweeps per beta (more mixing per temperature);
+    ``schedule`` picks the beta path (see :func:`anneal_betas`).
     """
     V, H = params.W.shape
     a_B, c = params.b, params.c
-    betas = jnp.linspace(0.0, 1.0, n_betas)
+    betas = anneal_betas(n_betas, schedule)
 
     def log_p_star(v, beta):
         quad = (1.0 - beta) * (v @ a_base) + beta * (v @ a_B)
@@ -71,12 +100,13 @@ def ais_log_z(
         v, logw = carry
         beta_prev, beta, k = xs
         logw = logw + log_p_star(v, beta) - log_p_star(v, beta_prev)
-        # Gibbs transition at beta
-        kh, kv = jax.random.split(k)
-        hp = jax.nn.sigmoid(beta * (v @ params.W + c))
-        h = (jax.random.uniform(kh, hp.shape) < hp).astype(v.dtype)
-        vp = jax.nn.sigmoid((1.0 - beta) * a_base + beta * (h @ params.W.T + a_B))
-        v = (jax.random.uniform(kv, vp.shape) < vp).astype(v.dtype)
+        for s in range(n_sweeps):  # Gibbs transition(s) at beta
+            kh, kv = jax.random.split(jax.random.fold_in(k, s))
+            hp = jax.nn.sigmoid(beta * (v @ params.W + c))
+            h = (jax.random.uniform(kh, hp.shape) < hp).astype(v.dtype)
+            vp = jax.nn.sigmoid((1.0 - beta) * a_base
+                                + beta * (h @ params.W.T + a_B))
+            v = (jax.random.uniform(kv, vp.shape) < vp).astype(v.dtype)
         return (v, logw), None
 
     keys = jax.random.split(kscan, n_betas - 1)
@@ -111,13 +141,15 @@ def exact_log_z(params: RBMParams) -> float:
     return float(logsumexp(quad + soft))
 
 
-@partial(jax.jit, static_argnums=(3, 4))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6))
 def ais_log_z_gaussian(
     params: RBMParams,
     b_base: jax.Array,  # [V] base-model mean
     key: jax.Array,
     n_chains: int = 256,
     n_betas: int = 1000,
+    n_sweeps: int = 1,
+    schedule: str = "uniform",
 ) -> Tuple[jax.Array, jax.Array]:
     """AIS log Z for a Gaussian-visible (sigma=1) RBM.
 
@@ -131,7 +163,7 @@ def ais_log_z_gaussian(
     """
     V, H = params.W.shape
     b_B, c = params.b, params.c
-    betas = jnp.linspace(0.0, 1.0, n_betas)
+    betas = anneal_betas(n_betas, schedule)
     d2 = jnp.sum((b_base - b_B) ** 2)
 
     def log_p_star(v, beta):
@@ -148,11 +180,12 @@ def ais_log_z_gaussian(
         v, logw = carry
         beta_prev, beta, k = xs
         logw = logw + log_p_star(v, beta) - log_p_star(v, beta_prev)
-        kh, kv = jax.random.split(k)
-        hp = jax.nn.sigmoid(beta * (v @ params.W + c))
-        h = (jax.random.uniform(kh, hp.shape) < hp).astype(v.dtype)
-        m = (1.0 - beta) * b_base + beta * b_B + beta * (h @ params.W.T)
-        v = m + jax.random.normal(kv, m.shape, v.dtype)
+        for s in range(n_sweeps):
+            kh, kv = jax.random.split(jax.random.fold_in(k, s))
+            hp = jax.nn.sigmoid(beta * (v @ params.W + c))
+            h = (jax.random.uniform(kh, hp.shape) < hp).astype(v.dtype)
+            m = (1.0 - beta) * b_base + beta * b_B + beta * (h @ params.W.T)
+            v = m + jax.random.normal(kv, m.shape, v.dtype)
         return (v, logw), None
 
     keys = jax.random.split(kscan, n_betas - 1)
@@ -192,6 +225,8 @@ def log_likelihood(
     n_chains: int = 256,
     n_betas: int = 1000,
     base_data: Optional[jax.Array] = None,
+    n_sweeps: int = 1,
+    schedule: str = "uniform",
 ) -> dict:
     """Mean test log-likelihood via AIS: mean(-F(v)) - log Z.
 
@@ -202,10 +237,12 @@ def log_likelihood(
     base = base_data if base_data is not None else data
     if cfg.visible == "bernoulli":
         a_base = base_rate_biases(base)
-        log_z, logw = ais_log_z(params, a_base, key, n_chains, n_betas)
+        log_z, logw = ais_log_z(params, a_base, key, n_chains, n_betas,
+                                n_sweeps, schedule)
     else:
         b_base = jnp.mean(base, axis=0)
-        log_z, logw = ais_log_z_gaussian(params, b_base, key, n_chains, n_betas)
+        log_z, logw = ais_log_z_gaussian(params, b_base, key, n_chains,
+                                         n_betas, n_sweeps, schedule)
     mean_neg_fe = -jnp.mean(free_energy(params, data, cfg))
     return {
         "log_z": float(log_z),
@@ -222,6 +259,8 @@ def dbn_log_likelihood_bound(
     n_chains: int = 256,
     n_betas: int = 1000,
     base_data: Optional[jax.Array] = None,
+    n_sweeps: int = 1,
+    schedule: str = "uniform",
 ) -> dict:
     """Salakhutdinov-Murray variational lower bound on DBN log-likelihood.
 
@@ -239,7 +278,7 @@ def dbn_log_likelihood_bound(
 
     if len(layers) == 1:
         out = log_likelihood(top_params, top_cfg, data, key, n_chains,
-                             n_betas, base_data)
+                             n_betas, base_data, n_sweeps, schedule)
         out["mean_log_likelihood_bound"] = out.pop("mean_log_likelihood")
         # same keys as the multi-layer branch so depth-generic callers work
         out["log_z_top"] = out.pop("log_z")
@@ -255,7 +294,8 @@ def dbn_log_likelihood_bound(
         pre = reps @ p.W + p.c
         reps = jax.nn.sigmoid(pre)
     a_base = base_rate_biases(reps)
-    log_z_top, logw = ais_log_z(top_params, a_base, kais, n_chains, n_betas)
+    log_z_top, logw = ais_log_z(top_params, a_base, kais, n_chains, n_betas,
+                                n_sweeps, schedule)
 
     def one_pass(k, v):
         """One stochastic up-pass: returns log p*(path) - log Q(path)."""

@@ -83,6 +83,92 @@ class MDBN:
             raise RuntimeError("MDBN.transform called before train")
         return self.joint.transform(self._tower_codes(modalities))
 
+    # -- missing-modality inference -------------------------------------------
+
+    def _code_layout(self):
+        """[(name, slice into the joint visible vector)] in config order."""
+        out, offset = [], 0
+        for name in self.cfg.towers:
+            width = self.towers[name].layers[-1].cfg.n_hidden
+            out.append((name, slice(offset, offset + width)))
+            offset += width
+        return out, offset
+
+    def _infer_full_codes(self, modalities: Dict[str, jax.Array],
+                          n_gibbs: int, seed: int,
+                          n_chains: int = 8) -> jax.Array:
+        """Joint visible vector with observed tower codes clamped and the
+        missing towers' blocks filled by the conditional posterior mean
+        E[code_missing | code_observed] under the joint RBM (clamped Gibbs,
+        ``n_chains`` chains per patient, second half of each chain averaged —
+        see ops.sample.gibbs_sample_clamped for why averaging, not a single
+        final state, is the right deterministic readout)."""
+        if self.joint is None:
+            raise RuntimeError("called before train")
+        unknown = set(modalities) - set(self.cfg.towers)
+        if unknown:
+            raise ValueError(f"unknown modalities: {sorted(unknown)}")
+        observed = [n for n in self.cfg.towers if n in modalities]
+        if not observed:
+            raise ValueError("need at least one observed modality")
+        rows = {int(modalities[n].shape[0]) for n in observed}
+        if len(rows) != 1:
+            raise ValueError(f"observed modalities disagree on rows: {rows}")
+        n = rows.pop()
+        layout, total = self._code_layout()
+        import numpy as np
+        v0 = np.full((n, total), 0.5, np.float32)
+        mask = np.zeros(total, np.float32)
+        for name, sl in layout:
+            if name in modalities:
+                v0[:, sl] = np.asarray(
+                    self.towers[name].transform(modalities[name]), np.float32)
+                mask[sl] = 1.0
+        from ..ops.sample import gibbs_sample_clamped
+
+        vmean, _ = gibbs_sample_clamped(
+            self.joint.params, jnp.asarray(v0), jnp.asarray(mask),
+            jax.random.PRNGKey(seed), self.joint.cfg, n_gibbs,
+            n_burnin=n_gibbs // 2, n_chains=n_chains)
+        return vmean
+
+    def impute(self, modalities: Dict[str, jax.Array], n_gibbs: int = 200,
+               seed: int = 0, n_chains: int = 8) -> Dict[str, jax.Array]:
+        """Infer the modalities ABSENT from ``modalities`` (e.g. a patient
+        cohort missing one omics platform): clamped Gibbs on the joint RBM
+        infers the missing towers' top codes from the observed ones, then a
+        mean-field generative down-pass maps each inferred code to that
+        modality's feature space. Returns {missing_name: [n, features]}."""
+        missing = [n for n in self.cfg.towers if n not in modalities]
+        if not missing:
+            raise ValueError("all modalities observed — nothing to impute")
+        codes = self._infer_full_codes(modalities, n_gibbs, seed)
+        layout, _ = self._code_layout()
+        from ..ops.sample import _down_pass_fn
+
+        out: Dict[str, jax.Array] = {}
+        for name, sl in layout:
+            if name in modalities:
+                continue
+            tower = self.towers[name]
+            params_list = [r.params for r in reversed(tower.layers)]
+            cfgs = tuple(r.cfg for r in reversed(tower.layers))
+            out[name] = _down_pass_fn(cfgs)(params_list, codes[:, sl])
+        return out
+
+    def transform_partial(self, modalities: Dict[str, jax.Array],
+                          n_gibbs: int = 200, seed: int = 0) -> jax.Array:
+        """Joint latent codes from a PARTIALLY observed cohort: missing tower
+        codes are inferred by clamped Gibbs (see ``impute``), then the joint
+        layer's mean-field transform runs on the completed code vector — so
+        patients missing a platform can still be embedded/clustered. With all
+        modalities present this is NOT ``transform`` (no Gibbs noise there);
+        it raises to keep the deterministic path canonical."""
+        if all(n in modalities for n in self.cfg.towers):
+            raise ValueError("all modalities observed — use transform()")
+        codes = self._infer_full_codes(modalities, n_gibbs, seed)
+        return self.joint.transform(codes)
+
     def finetune(self, modalities: Dict[str, jax.Array], labels, n_classes: int,
                  epochs: int = 10, lr: float = 0.1, batch_size: int = 20,
                  seed: int = 0):

@@ -56,6 +56,66 @@ def gibbs_sample(
     return vmean, v
 
 
+@partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def gibbs_sample_clamped(
+    params: RBMParams,
+    v_init: jax.Array,
+    clamp_mask: jax.Array,  # [V], 1.0 = clamped to v_init, 0.0 = free
+    key: jax.Array,
+    cfg: RBMConfig,
+    n_steps: int,
+    n_burnin: int = 0,
+    n_chains: int = 1,
+) -> Tuple[jax.Array, jax.Array]:
+    """Clamped Gibbs with a subset of visible units fixed to ``v_init``.
+
+    Conditional inference in the RBM: the free visible units are sampled from
+    P(v_free | v_clamped) by alternating h ~ P(h|v) / v ~ P(v|h) and
+    overwriting the clamped block each step (Ngiam et al. 2011's multimodal
+    inference recipe, applied here to the MDBN's joint RBM for
+    missing-modality imputation). Returns ``(v_post_mean, v_sample)``:
+
+    - ``v_post_mean``: the Monte-Carlo posterior mean E[v_free | v_clamped] —
+      the per-step mean-field values averaged over the post-``n_burnin``
+      steps of ``n_chains`` independent chains per row. One final Gibbs state
+      is a single noisy draw; for weakly-separated codes that MC noise can
+      swamp the conditional signal, so averaging is the correct deterministic
+      readout (noise shrinks as 1/sqrt(chains x steps)).
+    - ``v_sample``: the final sampled state of the first chain (for chaining
+      / distributional tests). The clamped block passes through unchanged in
+      both outputs.
+    """
+    if not 0 <= n_burnin < n_steps:
+        raise ValueError(f"need 0 <= n_burnin < n_steps, got {n_burnin}/{n_steps}")
+    v_init = jnp.asarray(v_init, jnp.float32)
+    clamp_mask = jnp.asarray(clamp_mask, jnp.float32)
+    B = v_init.shape[0]
+    v0 = jnp.tile(v_init, (n_chains, 1))  # [C*B, V]
+
+    def step(carry, xs):
+        v, acc = carry
+        k, i = xs
+        kh, kv = jax.random.split(k)
+        hp = hidden_mean(params, v, cfg)
+        h = (jax.random.uniform(kh, hp.shape) < hp).astype(jnp.float32)
+        vmean = visible_mean(params, h, cfg)
+        if cfg.visible == "bernoulli":
+            vs = (jax.random.uniform(kv, vmean.shape) < vmean).astype(jnp.float32)
+        else:
+            vs = vmean + jax.random.normal(kv, vmean.shape, jnp.float32)
+        v = clamp_mask * v0 + (1.0 - clamp_mask) * vs
+        acc = acc + jnp.where(i >= n_burnin, 1.0, 0.0) * vmean
+        return (v, acc), None
+
+    (v, acc), _ = jax.lax.scan(
+        step, (v0, jnp.zeros_like(v0)),
+        (jax.random.split(key, n_steps), jnp.arange(n_steps)))
+    post = acc / (n_steps - n_burnin)
+    post = post.reshape(n_chains, B, -1).mean(axis=0)
+    post = clamp_mask * v_init + (1.0 - clamp_mask) * post
+    return post, v[:B]
+
+
 @lru_cache(maxsize=None)
 def _down_pass_fn(cfgs: Tuple[RBMConfig, ...]):
     """Mean-field top-down pass through directed layers (deepest first)."""

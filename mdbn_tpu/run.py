@@ -190,11 +190,17 @@ def main(argv=None):
 
         n_rows = int(analysis.get("ais_samples", 1000))
         sample = data[:n_rows]
+        # anneal knobs (see AIS.md for measured guidance: raise ais_betas
+        # first; "sm" concentrates resolution near beta=1 per S&M 2008)
+        kw = {"n_chains": int(analysis.get("ais_chains", 256)),
+              "n_betas": int(analysis.get("ais_betas", 1000)),
+              "n_sweeps": int(analysis.get("ais_sweeps", 1)),
+              "schedule": str(analysis.get("ais_schedule", "uniform"))}
         if model_cls is RBM:
-            out = ais_mod.log_likelihood(model.params, model.cfg, sample)
+            out = ais_mod.log_likelihood(model.params, model.cfg, sample, **kw)
         else:
             out = ais_mod.dbn_log_likelihood_bound(
-                [(r.params, r.cfg) for r in model.layers], sample)
+                [(r.params, r.cfg) for r in model.layers], sample, **kw)
         rec = {"kind": "ais", "n_rows": int(len(sample)), **out}
         log.info("AIS evaluation: %s", {k: round(v, 3) for k, v in out.items()})
         if mw is not None:
@@ -249,21 +255,59 @@ def main(argv=None):
             mw.write(rec)
         print(json.dumps(rec))
 
+    def run_impute(model, mw, spec):
+        """analysis "impute" block (MDBN only): leave-one-modality-out
+        imputation quality. {"holdout": "meth"} withholds that modality from
+        the cohort, infers it from the rest (clamped Gibbs on the joint RBM +
+        generative down-pass) and reports MSE vs the row-shuffled control —
+        ratio < 1 means the model carries patient-specific cross-modality
+        signal (the capability a clinic needs when a platform is missing)."""
+        if model_cls is not MDBN:
+            log.warning("'impute' is only defined for MDBN configs")
+            return
+        holdout = spec.get("holdout") if isinstance(spec, dict) else None
+        if not holdout:
+            raise ValueError("'impute' needs {'holdout': '<modality>'}")
+        if not isinstance(data, dict) or holdout not in data:
+            raise ValueError(f"holdout modality {holdout!r} not in the data "
+                             f"(have: {sorted(data) if isinstance(data, dict) else type(data)})")
+        observed = {m: v for m, v in data.items() if m != holdout}
+        imp = model.impute(observed,
+                           n_gibbs=int(spec.get("n_gibbs", 200)),
+                           seed=int(spec.get("seed", 0)),
+                           n_chains=int(spec.get("n_chains", 8)))
+        x = np.asarray(imp[holdout])
+        truth = np.asarray(data[holdout])
+        mse = float(np.mean((x - truth) ** 2))
+        shuf = truth[np.random.default_rng(0).permutation(len(truth))]
+        control = float(np.mean((x - shuf) ** 2))
+        rec = {"kind": "impute", "holdout": holdout, "mse": mse,
+               "shuffled_control_mse": control,
+               "ratio": mse / control if control else float("nan")}
+        log.info("impute %s from %s: mse %.4f vs shuffled control %.4f "
+                 "(ratio %.3f)", holdout, sorted(observed), mse, control,
+                 rec["ratio"])
+        if mw is not None:
+            mw.write(rec)
+        print(json.dumps(rec))
+
     def run_analysis(model, mw):
         """config "analysis" block: k-means (fixed k or "auto" via silhouette)
-        + optional survival evaluation + optional AIS likelihood. Used after
-        training AND in --load inference mode (evaluate/cluster a new cohort
-        with a saved model)."""
+        + optional survival evaluation + optional AIS likelihood + optional
+        leave-one-out imputation. Used after training AND in --load inference
+        mode (evaluate/cluster a new cohort with a saved model)."""
         analysis = exp.get("analysis")
         if not analysis:
             return
         if analysis.get("ais"):
             run_ais(model, mw, analysis)
+        if analysis.get("impute"):
+            run_impute(model, mw, analysis["impute"])
         if "kmeans" not in analysis:
-            if not analysis.get("ais"):
+            if not (analysis.get("ais") or analysis.get("impute")):
                 log.warning("config has an 'analysis' block without a "
-                            "'kmeans' or 'ais' key — nothing to run; keys "
-                            "seen: %s", sorted(analysis))
+                            "'kmeans', 'ais' or 'impute' key — nothing to "
+                            "run; keys seen: %s", sorted(analysis))
             return
         codes = cohort_codes(model)
         spec = analysis["kmeans"]

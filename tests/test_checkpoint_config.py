@@ -342,3 +342,31 @@ def test_cli_ais_evaluation(tmp_path):
     recs = [json.loads(l) for l in open(metrics2)]
     bound = [r for r in recs if r["kind"] == "ais"]
     assert bound and np.isfinite(bound[0]["mean_log_likelihood_bound"])
+
+
+def test_cli_impute_evaluation(tmp_path):
+    """analysis 'impute' block: leave-one-modality-out imputation quality
+    through the CLI (structure + finiteness; the quality assertion lives in
+    test_sampling.py::test_mdbn_impute_missing_modality)."""
+    from mdbn_tpu.run import main
+
+    save_config({
+        "model": MDBNConfig(
+            towers={m: DBNConfig(layer_sizes=[12, 6], visible="gaussian",
+                                 epochs=3, batch_size=10, engine="xla", seed=i)
+                    for i, m in enumerate(["ge", "meth", "mirna"])},
+            joint=RBMConfig(n_visible=1, n_hidden=6, epochs=3, batch_size=10,
+                            engine="xla"),
+        ),
+        "data": {"kind": "tcga_like", "n_patients": 60, "n_clusters": 3,
+                 "dims": {"ge": 24, "meth": 16, "mirna": 12}, "seed": 1,
+                 "signal": 3.0},
+        "analysis": {"impute": {"holdout": "meth", "n_gibbs": 40,
+                                "n_chains": 4}},
+    }, str(tmp_path / "exp.json"))
+    metrics = str(tmp_path / "m.jsonl")
+    assert main(["--config", str(tmp_path / "exp.json"), "--metrics", metrics]) == 0
+    records = [json.loads(l) for l in open(metrics)]
+    imp = [r for r in records if r["kind"] == "impute"]
+    assert imp and imp[0]["holdout"] == "meth"
+    assert np.isfinite(imp[0]["mse"]) and np.isfinite(imp[0]["ratio"])

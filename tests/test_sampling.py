@@ -93,3 +93,111 @@ def test_gibbs_stationary_distribution_is_boltzmann():
     np.testing.assert_allclose(p_emp, p_exact, atol=0.04)
     # and the distribution must be far from uniform (the test has teeth)
     assert np.abs(p_exact - 1 / 2 ** V).max() > 0.05
+
+
+def test_clamped_gibbs_matches_exact_conditional():
+    """gibbs_sample_clamped must sample the free visible units from the
+    exact conditional P(v_free | v_clamped) — verified on an enumerable RBM
+    by comparing long-run frequencies to the Boltzmann conditional."""
+    import jax
+    import jax.numpy as jnp
+    from scipy.special import logsumexp
+
+    from mdbn_tpu.core.rbm_math import RBMParams, free_energy
+    from mdbn_tpu.ops.sample import gibbs_sample_clamped
+
+    V, H, Vc = 5, 3, 2  # clamp the first Vc units
+    rng = np.random.default_rng(3)
+    cfg = RBMConfig(n_visible=V, n_hidden=H)
+    params = RBMParams(
+        W=jnp.asarray(rng.standard_normal((V, H)).astype(np.float32) * 0.7),
+        b=jnp.asarray(rng.standard_normal(V).astype(np.float32) * 0.3),
+        c=jnp.asarray(rng.standard_normal(H).astype(np.float32) * 0.3),
+    )
+    clamp_vals = np.array([1.0, 0.0], np.float32)
+    nf = V - Vc
+
+    # exact conditional over the 2^(V-Vc) free states
+    free = ((np.arange(2 ** nf)[:, None] >> np.arange(nf)) & 1).astype(np.float32)
+    full = np.concatenate([np.tile(clamp_vals, (2 ** nf, 1)), free], axis=1)
+    neg_fe = -np.asarray(free_energy(params, jnp.asarray(full), cfg), np.float64)
+    p_exact = np.exp(neg_fe - logsumexp(neg_fe))
+
+    n_chains = 4096
+    v0 = np.tile(np.concatenate([clamp_vals, np.full(nf, 0.5, np.float32)]),
+                 (n_chains, 1))
+    mask = np.array([1.0] * Vc + [0.0] * nf, np.float32)
+    vmean, v = gibbs_sample_clamped(params, jnp.asarray(v0), jnp.asarray(mask),
+                                    jax.random.PRNGKey(4), cfg, 300)
+    v = np.asarray(v)
+    # clamped block passes through bit-exactly in sample AND mean
+    np.testing.assert_array_equal(v[:, :Vc], v0[:, :Vc])
+    np.testing.assert_array_equal(np.asarray(vmean)[:, :Vc], v0[:, :Vc])
+    idx = (v[:, Vc:].astype(int) * (2 ** np.arange(nf))).sum(axis=1)
+    p_emp = np.bincount(idx, minlength=2 ** nf) / n_chains
+    np.testing.assert_allclose(p_emp, p_exact, atol=0.04)
+    assert np.abs(p_exact - 1 / 2 ** nf).max() > 0.05  # teeth
+
+    # posterior-mean readout: E[v_free | v_clamped] to MC tolerance
+    exact_mean = (p_exact[:, None] * free).sum(axis=0)
+    post, _ = gibbs_sample_clamped(params, jnp.asarray(v0[:1]),
+                                   jnp.asarray(mask), jax.random.PRNGKey(6),
+                                   cfg, 400, n_burnin=100, n_chains=32)
+    np.testing.assert_allclose(np.asarray(post)[0, Vc:], exact_mean, atol=0.03)
+    np.testing.assert_array_equal(np.asarray(post)[0, :Vc], clamp_vals)
+
+
+def test_mdbn_impute_missing_modality():
+    """Impute a held-out modality from the other two: the imputation must
+    beat the row-shuffled control (i.e. it uses patient-specific information,
+    not just the cohort mean), and transform_partial must embed partial
+    patients near their full-data clustering. Methylation is the held-out
+    modality: tcga_like's miRNA is Poisson + 70% dropout BY DESIGN, so its
+    per-feature cluster signal is too dilute for a small tower to encode
+    (measured: its tower's code std is ~1e-3 — nothing to impute from/to)."""
+    from mdbn_tpu.analysis.cluster import adjusted_rand_index, kmeans_cluster
+
+    mods, labels = tcga_like(n_patients=180,
+                             dims={"ge": 32, "meth": 24, "mirna": 16},
+                             seed=7, signal=2.5)
+    cfg = MDBNConfig(
+        towers={m: DBNConfig(layer_sizes=[16, 8], visible="gaussian",
+                             epochs=40, lr=0.1, gaussian_lr=0.02,
+                             batch_size=20, engine="xla", seed=i)
+                for i, m in enumerate(mods)},
+        joint=RBMConfig(n_visible=1, n_hidden=8, epochs=60, lr=0.2,
+                        batch_size=20, engine="xla"),
+    )
+    mdbn = MDBN(cfg).train(mods)
+
+    observed = {"ge": mods["ge"], "mirna": mods["mirna"]}
+    imp = mdbn.impute(observed, n_gibbs=100, seed=0)
+    assert set(imp) == {"meth"}
+    x = np.asarray(imp["meth"])
+    truth = np.asarray(mods["meth"])
+    assert x.shape == truth.shape and np.isfinite(x).all()
+    mse = float(np.mean((x - truth) ** 2))
+    rng = np.random.default_rng(0)
+    shuf = truth[rng.permutation(len(truth))]
+    mse_control = float(np.mean((x - shuf) ** 2))
+    # measured 0.854 on this config; the cluster-mean oracle is 0.719, so
+    # <0.92 asserts the imputation recovers patient-specific signal with
+    # margin without demanding oracle-level decoding from a toy model
+    assert mse < 0.92 * mse_control, (mse, mse_control)
+
+    # partial-cohort embedding still recovers the planted structure
+    codes_partial = np.asarray(mdbn.transform_partial(observed, n_gibbs=100,
+                                                      seed=0))
+    k = len(np.unique(labels))
+    part_labels, _ = kmeans_cluster(codes_partial, k, seed=0)
+    ari = adjusted_rand_index(labels, part_labels)
+    assert ari > 0.8, ari
+
+    # guard rails
+    import pytest
+    with pytest.raises(ValueError):
+        mdbn.impute(mods)  # nothing missing
+    with pytest.raises(ValueError):
+        mdbn.transform_partial(mods)
+    with pytest.raises(ValueError):
+        mdbn.impute({"ge": mods["ge"], "bogus": mods["meth"]})
