@@ -64,7 +64,78 @@ def anneal_betas(n_betas: int, schedule: str = "uniform") -> jax.Array:
     ])
 
 
+def _bernoulli_anneal_kernel(params: RBMParams, a_base: jax.Array):
+    """(log_p_star, gibbs_sweep) closures for the Bernoulli anneal path.
+
+    Interpolation: p_beta(v) ∝ exp((1-beta) a_A.v) * exp(beta a_B.v)
+                               * prod_j (1 + exp(beta (W.v + c)_j)).
+    """
+    a_B, c = params.b, params.c
+
+    def log_p_star(v, beta):
+        quad = (1.0 - beta) * (v @ a_base) + beta * (v @ a_B)
+        hid = jnp.sum(jax.nn.softplus(beta * (v @ params.W + c)), axis=1)
+        return quad + hid
+
+    def sweep(k, v, beta):
+        kh, kv = jax.random.split(k)
+        hp = jax.nn.sigmoid(beta * (v @ params.W + c))
+        h = (jax.random.uniform(kh, hp.shape) < hp).astype(v.dtype)
+        vp = jax.nn.sigmoid((1.0 - beta) * a_base
+                            + beta * (h @ params.W.T + a_B))
+        return (jax.random.uniform(kv, vp.shape) < vp).astype(v.dtype)
+
+    return log_p_star, sweep
+
+
+def _bernoulli_log_z_a(params: RBMParams, a_base: jax.Array) -> jax.Array:
+    # base-rate RBM with H unwired hidden units at beta=0 contributes 2^H
+    return jnp.sum(jax.nn.softplus(a_base)) + params.W.shape[1] * jnp.log(2.0)
+
+
+def _anneal_scan(log_p_star, sweep, v, betas, key, n_sweeps):
+    """Shared AIS chain over consecutive beta pairs (src -> dst): accumulate
+    log p*_dst(v) - log p*_src(v) at the current state, then apply
+    ``n_sweeps`` Gibbs transitions targeting p_dst. With betas ascending the
+    mean of exp(logw) is an unbiased estimate of Z_B/Z_A (forward AIS); with
+    betas descending and v ~ p_B it estimates Z_A/Z_B (reverse AIS)."""
+    logw = jnp.zeros(v.shape[0], jnp.float32)
+
+    def step(carry, xs):
+        v, logw = carry
+        beta_src, beta_dst, k = xs
+        logw = logw + log_p_star(v, beta_dst) - log_p_star(v, beta_src)
+        for s in range(n_sweeps):
+            v = sweep(jax.random.fold_in(k, s), v, beta_dst)
+        return (v, logw), None
+
+    keys = jax.random.split(key, betas.shape[0] - 1)
+    (v, logw), _ = jax.lax.scan(step, (v, logw),
+                                (betas[:-1], betas[1:], keys))
+    return v, logw
+
+
 @partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _ais_forward_bernoulli(params, a_base, key, n_chains, n_betas, n_sweeps,
+                           schedule):
+    """Forward anneal returning (log_z, logw, v_final). The final states
+    weighted by exp(logw) are importance-weighted samples of the MODEL —
+    resampling them is how the bracket gets valid reverse-chain inits."""
+    V, H = params.W.shape
+    betas = anneal_betas(n_betas, schedule)
+    log_p_star, sweep = _bernoulli_anneal_kernel(params, a_base)
+
+    k0, kscan = jax.random.split(key)
+    # exact sample from the base-rate model
+    p0 = jax.nn.sigmoid(a_base)
+    v = (jax.random.uniform(k0, (n_chains, V)) < p0).astype(params.W.dtype)
+    v, logw = _anneal_scan(log_p_star, sweep, v, betas, kscan, n_sweeps)
+
+    log_z_a = _bernoulli_log_z_a(params, a_base)
+    log_z = log_z_a + jax.scipy.special.logsumexp(logw) - jnp.log(n_chains)
+    return log_z, logw, v
+
+
 def ais_log_z(
     params: RBMParams,
     a_base: jax.Array,  # [V] base-rate visible biases
@@ -76,46 +147,45 @@ def ais_log_z(
 ) -> Tuple[jax.Array, jax.Array]:
     """Estimate log Z of a Bernoulli RBM. Returns (log_z_estimate, log_weights).
 
-    Interpolation: p_beta(v) ∝ exp((1-beta) a_A.v) * exp(beta a_B.v)
-                               * prod_j (1 + exp(beta (W.v + c)_j)).
     ``n_sweeps`` full Gibbs sweeps per beta (more mixing per temperature);
-    ``schedule`` picks the beta path (see :func:`anneal_betas`).
+    ``schedule`` picks the beta path (see :func:`anneal_betas`). The estimate
+    is a stochastic LOWER bound of log Z in expectation (Jensen on the
+    unbiased Z estimate); see :func:`reverse_ais_log_z` for the matching
+    upper bound.
     """
-    V, H = params.W.shape
-    a_B, c = params.b, params.c
-    betas = anneal_betas(n_betas, schedule)
+    log_z, logw, _ = _ais_forward_bernoulli(params, a_base, key, n_chains,
+                                            n_betas, n_sweeps, schedule)
+    return log_z, logw
 
-    def log_p_star(v, beta):
-        quad = (1.0 - beta) * (v @ a_base) + beta * (v @ a_B)
-        hid = jnp.sum(jax.nn.softplus(beta * (v @ params.W + c)), axis=1)
-        return quad + hid
 
-    k0, kscan = jax.random.split(key)
-    # exact sample from the base-rate model
-    p0 = jax.nn.sigmoid(a_base)
-    v = (jax.random.uniform(k0, (n_chains, V)) < p0).astype(params.W.dtype)
-    logw = jnp.zeros(n_chains, jnp.float32)
+@partial(jax.jit, static_argnums=(4, 5, 6))
+def reverse_ais_log_z(
+    params: RBMParams,
+    a_base: jax.Array,
+    v_init: jax.Array,  # [n_chains, V] samples from the MODEL (beta = 1)
+    key: jax.Array,
+    n_betas: int = 1000,
+    n_sweeps: int = 1,
+    schedule: str = "uniform",
+) -> Tuple[jax.Array, jax.Array]:
+    """Reverse AIS: anneal model samples from beta=1 DOWN to the base model.
 
-    def step(carry, xs):
-        v, logw = carry
-        beta_prev, beta, k = xs
-        logw = logw + log_p_star(v, beta) - log_p_star(v, beta_prev)
-        for s in range(n_sweeps):  # Gibbs transition(s) at beta
-            kh, kv = jax.random.split(jax.random.fold_in(k, s))
-            hp = jax.nn.sigmoid(beta * (v @ params.W + c))
-            h = (jax.random.uniform(kh, hp.shape) < hp).astype(v.dtype)
-            vp = jax.nn.sigmoid((1.0 - beta) * a_base
-                                + beta * (h @ params.W.T + a_B))
-            v = (jax.random.uniform(kv, vp.shape) < vp).astype(v.dtype)
-        return (v, logw), None
-
-    keys = jax.random.split(kscan, n_betas - 1)
-    (v, logw), _ = jax.lax.scan(step, (v, logw),
-                                (betas[:-1], betas[1:], keys))
-
-    # log Z_A: base-rate RBM with H hidden units at beta=0 contributes 2^H
-    log_z_a = jnp.sum(jax.nn.softplus(a_base)) + H * jnp.log(2.0)
-    log_z = log_z_a + jax.scipy.special.logsumexp(logw) - jnp.log(n_chains)
+    When ``v_init`` are exact samples from p_model, mean(exp(logw)) is an
+    unbiased estimate of Z_A/Z_B, so the returned
+    ``log Z_A - log mean(exp(logw))`` is a stochastic UPPER bound of log Z in
+    expectation — the other half of the bidirectional Monte Carlo bracket
+    (Grosse, Ghahramani & Adams 2015, "Sandwiching the marginal likelihood";
+    Burda et al. 2015 RAISE). With approximate ``v_init`` (long Gibbs from
+    data) the bound holds only insofar as the chains have mixed — report the
+    forward/reverse gap, not either endpoint alone.
+    """
+    betas = anneal_betas(n_betas, schedule)[::-1]
+    log_p_star, sweep = _bernoulli_anneal_kernel(params, a_base)
+    v = jnp.asarray(v_init, params.W.dtype)
+    v, logw = _anneal_scan(log_p_star, sweep, v, betas, key, n_sweeps)
+    log_z_a = _bernoulli_log_z_a(params, a_base)
+    log_z = log_z_a - (jax.scipy.special.logsumexp(logw)
+                       - jnp.log(v.shape[0]))
     return log_z, logw
 
 
@@ -141,17 +211,8 @@ def exact_log_z(params: RBMParams) -> float:
     return float(logsumexp(quad + soft))
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6))
-def ais_log_z_gaussian(
-    params: RBMParams,
-    b_base: jax.Array,  # [V] base-model mean
-    key: jax.Array,
-    n_chains: int = 256,
-    n_betas: int = 1000,
-    n_sweeps: int = 1,
-    schedule: str = "uniform",
-) -> Tuple[jax.Array, jax.Array]:
-    """AIS log Z for a Gaussian-visible (sigma=1) RBM.
+def _gaussian_anneal_kernel(params: RBMParams, b_base: jax.Array):
+    """(log_p_star, gibbs_sweep) closures for the Gaussian (sigma=1) path.
 
     Interpolation: p_beta(v) ∝ exp(-(1-beta)/2 ||v-b_A||^2 - beta/2 ||v-b_B||^2)
                               * prod_j (1 + exp(beta (W.v + c)_j)).
@@ -161,9 +222,7 @@ def ais_log_z_gaussian(
     visible conditional at every beta is N(m_beta + beta W h, I) — exact
     Gibbs transitions throughout the anneal.
     """
-    V, H = params.W.shape
     b_B, c = params.b, params.c
-    betas = anneal_betas(n_betas, schedule)
     d2 = jnp.sum((b_base - b_B) ** 2)
 
     def log_p_star(v, beta):
@@ -172,28 +231,75 @@ def ais_log_z_gaussian(
         hid = jnp.sum(jax.nn.softplus(beta * (v @ params.W + c)), axis=1)
         return quad + hid
 
+    def sweep(k, v, beta):
+        kh, kv = jax.random.split(k)
+        hp = jax.nn.sigmoid(beta * (v @ params.W + c))
+        h = (jax.random.uniform(kh, hp.shape) < hp).astype(v.dtype)
+        m = (1.0 - beta) * b_base + beta * b_B + beta * (h @ params.W.T)
+        return m + jax.random.normal(kv, m.shape, v.dtype)
+
+    return log_p_star, sweep
+
+
+def _gaussian_log_z_a(params: RBMParams) -> jax.Array:
+    # log Z_A = (V/2) log(2 pi) + H log 2 (free Gaussian + H unwired hiddens)
+    V, H = params.W.shape
+    return 0.5 * V * jnp.log(2.0 * jnp.pi) + H * jnp.log(2.0)
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _ais_forward_gaussian(params, b_base, key, n_chains, n_betas, n_sweeps,
+                          schedule):
+    """Gaussian forward anneal returning (log_z, logw, v_final)."""
+    V, H = params.W.shape
+    betas = anneal_betas(n_betas, schedule)
+    log_p_star, sweep = _gaussian_anneal_kernel(params, b_base)
+
     k0, kscan = jax.random.split(key)
     v = b_base + jax.random.normal(k0, (n_chains, V), params.W.dtype)
-    logw = jnp.zeros(n_chains, jnp.float32)
+    v, logw = _anneal_scan(log_p_star, sweep, v, betas, kscan, n_sweeps)
 
-    def step(carry, xs):
-        v, logw = carry
-        beta_prev, beta, k = xs
-        logw = logw + log_p_star(v, beta) - log_p_star(v, beta_prev)
-        for s in range(n_sweeps):
-            kh, kv = jax.random.split(jax.random.fold_in(k, s))
-            hp = jax.nn.sigmoid(beta * (v @ params.W + c))
-            h = (jax.random.uniform(kh, hp.shape) < hp).astype(v.dtype)
-            m = (1.0 - beta) * b_base + beta * b_B + beta * (h @ params.W.T)
-            v = m + jax.random.normal(kv, m.shape, v.dtype)
-        return (v, logw), None
-
-    keys = jax.random.split(kscan, n_betas - 1)
-    (v, logw), _ = jax.lax.scan(step, (v, logw), (betas[:-1], betas[1:], keys))
-
-    # log Z_A = (V/2) log(2 pi) + H log 2 (free Gaussian + H unwired hiddens)
-    log_z_a = 0.5 * V * jnp.log(2.0 * jnp.pi) + H * jnp.log(2.0)
+    log_z_a = _gaussian_log_z_a(params)
     log_z = log_z_a + jax.scipy.special.logsumexp(logw) - jnp.log(n_chains)
+    return log_z, logw, v
+
+
+def ais_log_z_gaussian(
+    params: RBMParams,
+    b_base: jax.Array,  # [V] base-model mean
+    key: jax.Array,
+    n_chains: int = 256,
+    n_betas: int = 1000,
+    n_sweeps: int = 1,
+    schedule: str = "uniform",
+) -> Tuple[jax.Array, jax.Array]:
+    """AIS log Z for a Gaussian-visible (sigma=1) RBM (stochastic lower
+    bound in expectation; see :func:`_gaussian_anneal_kernel` for the path
+    and :func:`reverse_ais_log_z_gaussian` for the matching upper bound)."""
+    log_z, logw, _ = _ais_forward_gaussian(params, b_base, key, n_chains,
+                                           n_betas, n_sweeps, schedule)
+    return log_z, logw
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6))
+def reverse_ais_log_z_gaussian(
+    params: RBMParams,
+    b_base: jax.Array,
+    v_init: jax.Array,  # [n_chains, V] samples from the MODEL (beta = 1)
+    key: jax.Array,
+    n_betas: int = 1000,
+    n_sweeps: int = 1,
+    schedule: str = "uniform",
+) -> Tuple[jax.Array, jax.Array]:
+    """Reverse AIS for the Gaussian-visible RBM — the stochastic UPPER-bound
+    half of the bidirectional bracket (see :func:`reverse_ais_log_z`)."""
+    betas = anneal_betas(n_betas, schedule)[::-1]
+    log_p_star, sweep = _gaussian_anneal_kernel(params, b_base)
+    v = jnp.asarray(v_init, params.W.dtype)
+    v, logw = _anneal_scan(log_p_star, sweep, v, betas, key, n_sweeps)
+    log_z_a = _gaussian_log_z_a(params)
+    log_z = log_z_a - (jax.scipy.special.logsumexp(logw)
+                       - jnp.log(v.shape[0]))
     return log_z, logw
 
 
@@ -215,6 +321,142 @@ def exact_log_z_gaussian(params: RBMParams) -> float:
     wh = hs @ W.T  # [2^H, V]
     expo = hs @ c + wh @ b + 0.5 * np.sum(wh * wh, axis=1)
     return float(0.5 * V * np.log(2.0 * np.pi) + logsumexp(expo))
+
+
+def exact_sample(params: RBMParams, n: int, seed: int = 0,
+                 visible: str = "bernoulli"):
+    """EXACT samples from a small RBM by enumerating hidden states (H <= 16).
+
+    p(h) ∝ exp(c.h) prod_i (1 + exp(b_i + (W h)_i))      [bernoulli]
+    p(h) ∝ exp(c.h + b.(W h) + ||W h||^2 / 2)            [gaussian, sigma=1]
+    then v | h is factorial (sigmoid-Bernoulli / N(b + W h, I)). This is the
+    ground-truth initializer that makes :func:`reverse_ais_log_z` a VALID
+    upper bound, used to validate the bracket against exact enumeration."""
+    import numpy as np
+    from scipy.special import logsumexp as _lse
+
+    W = np.asarray(params.W, np.float64)
+    b = np.asarray(params.b, np.float64)
+    c = np.asarray(params.c, np.float64)
+    V, H = W.shape
+    if H > 16:
+        raise ValueError("exact sampling needs n_hidden <= 16")
+    hs = ((np.arange(2 ** H)[:, None] >> np.arange(H)) & 1).astype(np.float64)
+    wh = hs @ W.T  # [2^H, V]
+    if visible == "bernoulli":
+        logp = hs @ c + np.logaddexp(0.0, b[None, :] + wh).sum(axis=1)
+    else:
+        logp = hs @ c + wh @ b + 0.5 * np.sum(wh * wh, axis=1)
+    p = np.exp(logp - _lse(logp))
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(2 ** H, size=n, p=p / p.sum())
+    mean = b[None, :] + wh[idx]  # [n, V] pre-activation / mean
+    if visible == "bernoulli":
+        v = (rng.random((n, V)) < 1.0 / (1.0 + np.exp(-mean)))
+    else:
+        v = mean + rng.standard_normal((n, V))
+    return v.astype(np.float32)
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def _mix_at_model(params: RBMParams, v: jax.Array, key: jax.Array,
+                  n_sweeps: int, visible: str) -> jax.Array:
+    """n_sweeps full Gibbs sweeps at beta=1 (approximate model samples)."""
+    base = params.b  # beta=1: the base term vanishes from the conditional
+    if visible == "bernoulli":
+        _, sweep = _bernoulli_anneal_kernel(params, base)
+    else:
+        _, sweep = _gaussian_anneal_kernel(params, base)
+    return jax.lax.fori_loop(
+        0, n_sweeps,
+        lambda i, v: sweep(jax.random.fold_in(key, i), v, 1.0), v)
+
+
+def log_z_bracket(
+    params: RBMParams,
+    cfg: RBMConfig,
+    data: jax.Array,
+    key: Optional[jax.Array] = None,
+    n_chains: int = 256,
+    n_betas: int = 1000,
+    n_sweeps: int = 1,
+    schedule: str = "uniform",
+    base_data: Optional[jax.Array] = None,
+    init: str = "resample",
+    init_gibbs: int = 500,
+    v_init: Optional[jax.Array] = None,
+) -> dict:
+    """Bidirectional Monte Carlo bracket on log Z (Grosse et al. 2015).
+
+    Forward AIS underestimates log Z in expectation, reverse AIS (from model
+    samples) overestimates it; together they SANDWICH the truth, and the gap
+    is the honest convergence diagnostic the single-sided estimate lacks:
+    gap ~ 0 means the anneal is resolved; a large gap says exactly how
+    unresolved it is.
+
+    The upper bound is only as good as the reverse chains' init:
+
+    - ``v_init``: caller-supplied exact/independent model samples — the
+      rigorous case (tests use enumeration).
+    - ``init="resample"`` (default): importance-resample the FORWARD
+      anneal's final states by their weights — asymptotically exact model
+      samples that inherit the forward pass's phase coverage (the base
+      model reaches every phase; ``ess_fwd`` reports how many effective
+      samples backed the resample).
+    - ``init="gibbs"``: data rows mixed by ``init_gibbs`` Gibbs sweeps at
+      beta=1. MEASURED FAILURE MODE (AIS.md): on a CD-trained 784x500 model
+      the data-initialized chains never cross into the dominant diffuse
+      phase, the "upper" bound lands ~20 nats BELOW the lower bound, and
+      the inverted gap is itself the proof the chains hadn't mixed. Kept
+      because an inverted gap under this init is a sharp mixing diagnostic.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    kf, km, kr = jax.random.split(key, 3)
+    data = jnp.asarray(data, params.W.dtype)
+    base = base_data if base_data is not None else data
+
+    if cfg.visible == "bernoulli":
+        a_base = base_rate_biases(base)
+        fwd, logw_f, v_f = _ais_forward_bernoulli(
+            params, a_base, kf, n_chains, n_betas, n_sweeps, schedule)
+    else:
+        a_base = jnp.mean(base, axis=0)
+        fwd, logw_f, v_f = _ais_forward_gaussian(
+            params, a_base, kf, n_chains, n_betas, n_sweeps, schedule)
+    lse1 = jax.scipy.special.logsumexp(logw_f)
+    lse2 = jax.scipy.special.logsumexp(2.0 * logw_f)
+    ess_fwd = float(jnp.exp(2.0 * lse1 - lse2))  # Kong's effective samples
+
+    if v_init is None:
+        if init == "resample":
+            idx = jax.random.categorical(km, logw_f, shape=(n_chains,))
+            v_init = v_f[idx]
+        elif init == "gibbs":
+            reps = (n_chains + data.shape[0] - 1) // data.shape[0]
+            v0 = jnp.tile(data, (reps, 1))[:n_chains]
+            v_init = _mix_at_model(params, v0, km, init_gibbs, cfg.visible)
+        else:
+            raise ValueError(f"unknown bracket init {init!r}")
+    if cfg.visible == "bernoulli":
+        rev, logw_r = reverse_ais_log_z(params, a_base, v_init, kr, n_betas,
+                                        n_sweeps, schedule)
+    else:
+        rev, logw_r = reverse_ais_log_z_gaussian(params, a_base, v_init, kr,
+                                                 n_betas, n_sweeps, schedule)
+
+    mean_neg_fe = -jnp.mean(free_energy(params, data, cfg))
+    return {
+        "log_z_lower": float(fwd),
+        "log_z_upper": float(rev),
+        "log_z_gap": float(rev - fwd),
+        "logw_std_fwd": float(jnp.std(logw_f)),
+        "logw_std_rev": float(jnp.std(logw_r)),
+        "ess_fwd": ess_fwd,
+        # ll bounds invert: a LOWER log Z gives the UPPER log-likelihood
+        "mean_log_likelihood_lower": float(mean_neg_fe - rev),
+        "mean_log_likelihood_upper": float(mean_neg_fe - fwd),
+    }
 
 
 def log_likelihood(

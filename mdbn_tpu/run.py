@@ -197,8 +197,20 @@ def main(argv=None):
               "n_sweeps": int(analysis.get("ais_sweeps", 1)),
               "schedule": str(analysis.get("ais_schedule", "uniform"))}
         if model_cls is RBM:
-            out = ais_mod.log_likelihood(model.params, model.cfg, sample, **kw)
+            if analysis.get("ais_bracket"):
+                # bidirectional bracket: forward lower + reverse upper bound
+                # on log Z (the convergence diagnostic; see AIS.md)
+                out = ais_mod.log_z_bracket(
+                    model.params, model.cfg, sample, **kw,
+                    init=str(analysis.get("ais_init", "resample")),
+                    init_gibbs=int(analysis.get("ais_init_gibbs", 500)))
+            else:
+                out = ais_mod.log_likelihood(model.params, model.cfg, sample,
+                                             **kw)
         else:
+            if analysis.get("ais_bracket"):
+                log.warning("'ais_bracket' is only defined for single-RBM "
+                            "configs; running the one-sided DBN bound")
             out = ais_mod.dbn_log_likelihood_bound(
                 [(r.params, r.cfg) for r in model.layers], sample, **kw)
         rec = {"kind": "ais", "n_rows": int(len(sample)), **out}

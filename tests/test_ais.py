@@ -118,6 +118,87 @@ def test_gaussian_trained_rbm_log_likelihood():
     assert out["mean_log_likelihood"] > iso
 
 
+def test_reverse_ais_sandwich_on_enumerable_model():
+    """Bidirectional MC (Grosse et al. 2015): with EXACT model-sample init
+    the reverse estimate upper-bounds log Z in expectation, the forward one
+    lower-bounds it — a coarse anneal must show the open sandwich around the
+    enumerated truth, and a fine anneal must close it onto the truth."""
+    from mdbn_tpu.analysis.ais import exact_sample, reverse_ais_log_z
+
+    # strong coupling (scale 2.0) makes a coarse anneal's BIAS dominate
+    # its MC noise, so the open sandwich is visible with one run per side
+    params = random_params(12, 8, 2.0, seed=0)
+    exact = exact_log_z(params)
+    a_base = jnp.zeros(12, jnp.float32)
+    v1 = jnp.asarray(exact_sample(params, 512, seed=1))
+
+    # coarse anneal: both bounds biased, truth inside the open bracket
+    f, _ = ais_log_z(params, a_base, jax.random.PRNGKey(2),
+                     n_chains=512, n_betas=8)
+    r, _ = reverse_ais_log_z(params, a_base, v1, jax.random.PRNGKey(3),
+                             n_betas=8)
+    assert float(f) < exact < float(r), (float(f), exact, float(r))
+
+    # fine anneal: both ends land on the truth and the gap collapses
+    f2, _ = ais_log_z(params, a_base, jax.random.PRNGKey(4),
+                      n_chains=512, n_betas=2000)
+    r2, _ = reverse_ais_log_z(params, a_base, v1, jax.random.PRNGKey(5),
+                              n_betas=2000)
+    assert abs(float(f2) - exact) < 0.15, (float(f2), exact)
+    assert abs(float(r2) - exact) < 0.15, (float(r2), exact)
+    assert float(r2) - float(f2) < float(r) - float(f)
+
+
+def test_reverse_ais_gaussian_sandwich_on_enumerable_model():
+    from mdbn_tpu.analysis.ais import (exact_sample, exact_log_z_gaussian,
+                                       ais_log_z_gaussian,
+                                       reverse_ais_log_z_gaussian)
+
+    params = random_params(12, 8, 1.2, seed=2)
+    exact = exact_log_z_gaussian(params)
+    b_base = jnp.zeros(12, jnp.float32)
+    v1 = jnp.asarray(exact_sample(params, 512, seed=1, visible="gaussian"))
+
+    f, _ = ais_log_z_gaussian(params, b_base, jax.random.PRNGKey(2),
+                              n_chains=512, n_betas=8)
+    r, _ = reverse_ais_log_z_gaussian(params, b_base, v1,
+                                      jax.random.PRNGKey(3), n_betas=8)
+    assert float(f) < exact < float(r), (float(f), exact, float(r))
+
+    f2, _ = ais_log_z_gaussian(params, b_base, jax.random.PRNGKey(4),
+                               n_chains=512, n_betas=2000)
+    r2, _ = reverse_ais_log_z_gaussian(params, b_base, v1,
+                                       jax.random.PRNGKey(5), n_betas=2000)
+    assert abs(float(f2) - exact) < 0.2, (float(f2), exact)
+    assert abs(float(r2) - exact) < 0.2, (float(r2), exact)
+
+
+@pytest.mark.parametrize("init", ["resample", "gibbs"])
+def test_log_z_bracket_e2e_trained_model(init):
+    """log_z_bracket end-to-end on a trained RBM, both reverse-init modes:
+    the bracket must close around the enumerated truth, the ll bounds must
+    be ordered, and the forward-ESS diagnostic must be reported."""
+    from mdbn_tpu.analysis.ais import log_z_bracket
+
+    data = bars_and_stripes(512, side=4, seed=1)
+    cfg = RBMConfig(n_visible=16, n_hidden=12, lr=0.3, epochs=30,
+                    batch_size=16, engine="xla", seed=0)
+    rbm = RBM(cfg).train(data)
+    exact = exact_log_z(rbm.params)
+    out = log_z_bracket(rbm.params, cfg, data[:256],
+                        key=jax.random.PRNGKey(7), n_chains=256,
+                        n_betas=2000, init=init, init_gibbs=200)
+    assert out["log_z_lower"] - 0.3 < exact < out["log_z_upper"] + 0.3, (
+        out, exact)
+    # a resolved bracket's gap can dip slightly negative by MC noise
+    assert -0.2 < out["log_z_gap"] < 0.6, out
+    assert (out["mean_log_likelihood_lower"]
+            <= out["mean_log_likelihood_upper"] + 0.2)
+    assert 1.0 <= out["ess_fwd"] <= 256.0
+    with pytest.raises(ValueError, match="init"):
+        log_z_bracket(rbm.params, cfg, data[:64], init="nope")
+
+
 def test_dbn_bound_single_layer_equals_rbm_ais():
     """For a 1-layer stack the DBN bound IS the RBM AIS log-likelihood."""
     from mdbn_tpu.analysis.ais import dbn_log_likelihood_bound

@@ -330,6 +330,24 @@ def test_cli_ais_evaluation(tmp_path):
     assert ais and ais[0]["n_rows"] == 40
     assert np.isfinite(ais[0]["mean_log_likelihood"])
 
+    # bidirectional bracket: the same RBM config with 'ais_bracket' reports
+    # the forward/reverse sandwich instead of the one-sided estimate
+    save_config({
+        "model": RBMConfig(n_visible=36, n_hidden=8, epochs=2, batch_size=10,
+                           engine="xla", seed=0),
+        "data": {"kind": "mnist_like", "n_samples": 60, "n_features": 36,
+                 "seed": 2},
+        "analysis": {"ais": True, "ais_bracket": True, "ais_samples": 40,
+                     "ais_betas": 300, "ais_init_gibbs": 50},
+    }, cfg_path)
+    metrics_b = str(tmp_path / "mb.jsonl")
+    assert main(["--config", cfg_path, "--metrics", metrics_b]) == 0
+    recs = [json.loads(l) for l in open(metrics_b)]
+    br = [r for r in recs if r["kind"] == "ais"]
+    assert br and np.isfinite(br[0]["log_z_gap"])
+    assert (br[0]["mean_log_likelihood_lower"]
+            <= br[0]["mean_log_likelihood_upper"] + 0.2)
+
     save_config({
         "model": DBNConfig(layer_sizes=[12, 6], epochs=2, batch_size=10,
                            engine="xla", seed=0),
