@@ -41,6 +41,14 @@ class RBMConfig:
     # --- CD/PCD ---
     k: int = 1
     persistent: bool = False
+    # --- parallel tempering (Desjardins et al. 2010, AISTATS) ---
+    # pt_temps > 1 replaces the PCD negative chain with pt_temps persistent
+    # chains at inverse temperatures linspace(1, pt_beta_min, pt_temps),
+    # coupled by Metropolis swaps each update — the mixing fix for rough
+    # CD/PCD-trained landscapes (see AIS.md's phase-trap measurement).
+    # Requires persistent=True; runs on the XLA engine, single device.
+    pt_temps: int = 1
+    pt_beta_min: float = 0.0
     # --- optimizer ---
     lr: float = 0.1
     momentum: float = 0.0
@@ -93,6 +101,14 @@ class RBMConfig:
             raise ValueError(f"engine must be one of {ENGINES}, got {self.engine!r}")
         if self.k < 1:
             raise ValueError("k must be >= 1")
+        if self.pt_temps < 1:
+            raise ValueError("pt_temps must be >= 1 (1 = tempering off)")
+        if self.pt_temps > 1:
+            if not self.persistent:
+                raise ValueError("pt_temps > 1 requires persistent=True "
+                                 "(tempering replaces the PCD negative chain)")
+            if not 0.0 <= self.pt_beta_min < 1.0:
+                raise ValueError("pt_beta_min must be in [0, 1)")
         if self.error_metric == "pseudo" and self.visible != "bernoulli":
             raise ValueError("error_metric='pseudo' (free-energy bit flips) is "
                              "only defined for bernoulli visible units")

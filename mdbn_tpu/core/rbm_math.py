@@ -169,6 +169,122 @@ def cd_step_stats(
     return grads, h, err
 
 
+def pt_betas(cfg: RBMConfig) -> jax.Array:
+    """The tempering ladder: inverse temperatures linspace(1, pt_beta_min, M).
+    Rung 0 is ALWAYS beta=1 (the model), so rung 0's dynamics are exactly the
+    plain PCD chain and the negative-phase statistics stay unbiased."""
+    return jnp.linspace(1.0, cfg.pt_beta_min, cfg.pt_temps).astype(jnp.float32)
+
+
+def tempered_log_p_h(params: RBMParams, h: jax.Array, beta,
+                     cfg: RBMConfig) -> jax.Array:
+    """log p*_beta(h): the EXACT visible-marginal of the tempered joint
+    p_beta(v, h) ∝ exp(-beta E(v, h)), up to an h-independent constant.
+
+    Bernoulli: sum_v exp(beta(b.v + c.h + v.Wh)) = exp(beta c.h) *
+    prod_i (1 + exp(beta(b + Wh)_i)). Gaussian (sigma=1): integrating the
+    v-Gaussian (variance 1/beta) gives beta(c.h + b.Wh + ||Wh||^2/2) plus a
+    beta-only constant — constants cancel in swap ratios, so they are
+    dropped. Collapsing v makes replica swaps exchange ONLY the h states
+    while preserving detailed balance w.r.t. the true marginals.
+
+    ``h``: [..., H]; ``beta`` broadcastable against the leading dims.
+    """
+    beta = jnp.asarray(beta, jnp.float32)
+    hc = _dot(h, params.c[:, None], cfg.compute_dtype)[..., 0]
+    pre = _dot(h, params.W.T, cfg.compute_dtype) + params.b
+    if cfg.visible == "bernoulli":
+        return beta * hc + jax.nn.softplus(beta[..., None] * pre).sum(-1)
+    wh = pre - params.b
+    quad = (_dot(wh, params.b[:, None], cfg.compute_dtype)[..., 0]
+            + 0.5 * jnp.sum(wh * wh, axis=-1))
+    return beta * (hc + quad)
+
+
+def _pt_swap_round(params: RBMParams, h: jax.Array, betas: jax.Array,
+                   u_swap: jax.Array, parity: int, cfg: RBMConfig) -> jax.Array:
+    """One Metropolis replica-swap round over adjacent rungs of one parity.
+
+    Pairs (m, m+1) with m % 2 == parity are disjoint, so they propose
+    simultaneously: accept with prob min(1, p*_{bm}(h_{m+1}) p*_{bm+1}(h_m)
+    / (p*_{bm}(h_m) p*_{bm+1}(h_{m+1}))), per fantasy particle (row).
+    """
+    M = h.shape[0]
+    lp_self = tempered_log_p_h(params, h, betas[:, None], cfg)          # [M, B]
+    lp_up = tempered_log_p_h(params, h[1:], betas[:-1, None], cfg)      # h_{m+1} at beta_m
+    lp_dn = tempered_log_p_h(params, h[:-1], betas[1:, None], cfg)      # h_m at beta_{m+1}
+    log_a = lp_up + lp_dn - lp_self[:-1] - lp_self[1:]                  # [M-1, B]
+    accept = jnp.log(jnp.maximum(u_swap, 1e-38)) < log_a
+    rungs = list(h)
+    for m in range(parity, M - 1, 2):
+        a = accept[m][:, None]
+        hm, hm1 = rungs[m], rungs[m + 1]
+        rungs[m] = jnp.where(a, hm1, hm)
+        rungs[m + 1] = jnp.where(a, hm, hm1)
+    return jnp.stack(rungs)
+
+
+def pt_step_stats(
+    params: RBMParams,
+    v0: jax.Array,
+    chains_h: jax.Array,  # [M, B, n_hidden], rung 0 at beta=1
+    uniforms: Dict[str, jax.Array],
+    cfg: RBMConfig,
+) -> Tuple[RBMParams, jax.Array, jax.Array]:
+    """One PT-PCD update's statistics (Desjardins et al. 2010); mirrors
+    oracle.pt_step_stats exactly (same injected-uniforms layout).
+
+    Every rung takes ``cfg.k`` collapsed Gibbs sweeps at its own temperature
+    (v|h then h|v under p_beta; the Gaussian visible conditional widens to
+    variance 1/beta), then an even + an odd replica-swap round couple the
+    ladder. Negative-phase statistics come from rung 0 (beta=1 exactly), so
+    with pt_temps=1 this IS the plain PCD update for the same draws.
+    Returns (grads, new_chains [M, B, H], err).
+    """
+    dtype = v0.dtype
+    betas = pt_betas(cfg)                # [M]
+    bM = betas[:, None, None]            # [M, 1, 1]
+    h0p = hidden_mean(params, v0, cfg)   # positive phase, beta=1
+    h0s = (uniforms["h0"] < h0p).astype(dtype)
+
+    h = chains_h
+    vs = None
+    hmean = None
+    for t in range(cfg.k):
+        pre_v = _dot(h, params.W.T, cfg.compute_dtype) + params.b   # [M, B, V]
+        if cfg.visible == "bernoulli":
+            vmean = jax.nn.sigmoid(bM * pre_v)
+            vs = (uniforms["v"][t] < vmean).astype(dtype) if cfg.resolved_sample_visible else vmean
+        else:
+            vmean = pre_v
+            vs = (vmean + uniforms["noise"][t] / jnp.sqrt(bM)
+                  if cfg.resolved_sample_visible else vmean)
+        pre_h = _dot(vs, params.W, cfg.compute_dtype) + params.c
+        hmean = jax.nn.sigmoid(bM * pre_h)
+        h = (uniforms["h"][t] < hmean).astype(dtype)
+
+    h = _pt_swap_round(params, h, betas, uniforms["swap"][0], 0, cfg)
+    h = _pt_swap_round(params, h, betas, uniforms["swap"][1], 1, cfg)
+
+    inv_b = 1.0 / jnp.float32(v0.shape[0])
+    gc = jnp.sum(h0p - hmean[0], axis=0) * inv_b
+    if cfg.sparsity_target is not None and cfg.sparsity_cost:
+        gc = gc + cfg.sparsity_cost * (
+            cfg.sparsity_target - jnp.sum(h0p, axis=0) * inv_b)
+    grads = RBMParams(
+        W=(_dot(v0.T, h0p, cfg.compute_dtype)
+           - _dot(vs[0].T, hmean[0], cfg.compute_dtype)) * inv_b,
+        b=jnp.sum(v0 - vs[0], axis=0) * inv_b,
+        c=gc,
+    )
+    # same monitor convention as the PCD branch of cd_step_stats: the error
+    # reconstructs the DATA chain (one step from h0s), not the fantasy chain
+    v1mean_data = visible_mean(params, h0s, cfg)
+    metric = cfg.error_metric if cfg.error_metric in ("mse", "xent") else "mse"
+    err = recon_error(v0, v1mean_data, metric)
+    return grads, h, err
+
+
 def pseudo_likelihood(params: RBMParams, v: jax.Array, bit_index,
                       cfg: RBMConfig) -> jax.Array:
     """Theano-tutorial stochastic pseudo-likelihood proxy (Bernoulli visible):

@@ -29,7 +29,12 @@ def init_train_state(cfg: RBMConfig, key: jax.Array | None = None) -> TrainState
     kinit, ktrain = jax.random.split(key)
     params = init_params(cfg, kinit)
     # Theano-tutorial convention: the persistent chain starts at zeros.
-    chain_h = jnp.zeros((cfg.batch_size, cfg.n_hidden), jnp.dtype(cfg.param_dtype))
+    # Parallel tempering (cfg.pt_temps > 1) keeps one persistent chain per
+    # temperature rung, stacked along the row dim ([M*batch, n_hidden], rung
+    # m = rows [m*batch, (m+1)*batch)) so the TrainState pytree — and every
+    # checkpoint — keeps its shape-independent structure.
+    rows = cfg.batch_size * (cfg.pt_temps if cfg.pt_temps > 1 else 1)
+    chain_h = jnp.zeros((rows, cfg.n_hidden), jnp.dtype(cfg.param_dtype))
     return TrainState(
         params=params,
         velocity=zero_velocity(params),

@@ -30,6 +30,23 @@ def draw_uniforms(cfg: RBMConfig, batch: int, key: jax.Array) -> Dict[str, jax.A
     return u
 
 
+def draw_pt_uniforms(cfg: RBMConfig, batch: int, key: jax.Array) -> Dict[str, jax.Array]:
+    """Uniforms for one parallel-tempering update (core.rbm_math.pt_step_stats
+    and oracle.pt_step_stats share this exact layout): the Gibbs draws gain a
+    leading rung dim M, plus [2, M-1, batch] swap uniforms (even + odd round)."""
+    M = cfg.pt_temps
+    kh0, kv, kh, kn, ks = jax.random.split(key, 5)
+    u = {
+        "h0": jax.random.uniform(kh0, (batch, cfg.n_hidden), jnp.float32),
+        "v": jax.random.uniform(kv, (cfg.k, M, batch, cfg.n_visible), jnp.float32),
+        "h": jax.random.uniform(kh, (cfg.k, M, batch, cfg.n_hidden), jnp.float32),
+        "swap": jax.random.uniform(ks, (2, M - 1, batch), jnp.float32),
+    }
+    if cfg.visible == "gaussian" and cfg.resolved_sample_visible:
+        u["noise"] = jax.random.normal(kn, (cfg.k, M, batch, cfg.n_visible), jnp.float32)
+    return u
+
+
 def cd_train_step(
     params: RBMParams,
     velocity: RBMParams,

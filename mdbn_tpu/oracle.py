@@ -148,6 +148,78 @@ def cd_step_stats(
     return grads, h, err, v1mean_data
 
 
+def tempered_log_p_h(params, h: np.ndarray, beta, visible: str) -> np.ndarray:
+    """log p*_beta(h), v marginalized exactly (mirrors core.rbm_math)."""
+    beta = np.asarray(beta, np.float32)
+    hc = h @ params["c"]
+    pre = h @ params["W"].T + params["b"]
+    if visible == "bernoulli":
+        return beta * hc + np.logaddexp(0.0, beta[..., None] * pre).sum(-1)
+    wh = pre - params["b"]
+    quad = wh @ params["b"] + 0.5 * np.sum(wh * wh, axis=-1)
+    return beta * (hc + quad)
+
+
+def pt_step_stats(
+    params: Dict[str, np.ndarray],
+    v0: np.ndarray,
+    chains_h: np.ndarray,  # [M, B, n_hidden]
+    uniforms: Dict[str, np.ndarray],
+    cfg: RBMConfig,
+) -> Tuple[Dict[str, np.ndarray], np.ndarray, float]:
+    """Parallel-tempering PCD update statistics (Desjardins et al. 2010):
+    the NumPy mirror of core.rbm_math.pt_step_stats, same uniforms layout
+    (ops.cd_step.draw_pt_uniforms). Collapsed tempered Gibbs per rung, then
+    an even + an odd Metropolis replica-swap round; rung 0 (beta=1) feeds the
+    negative phase."""
+    B = v0.shape[0]
+    M = cfg.pt_temps
+    betas = np.linspace(1.0, cfg.pt_beta_min, M).astype(np.float32)
+    bM = betas[:, None, None]
+    h0p = hidden_mean(params, v0)
+    h0s = (uniforms["h0"] < h0p).astype(v0.dtype)
+
+    h = chains_h
+    vs = hmean = None
+    for t in range(cfg.k):
+        pre_v = h @ params["W"].T + params["b"]
+        if cfg.visible == "bernoulli":
+            vmean = sigmoid(bM * pre_v)
+            vs = (uniforms["v"][t] < vmean).astype(v0.dtype) if cfg.resolved_sample_visible else vmean
+        else:
+            vmean = pre_v
+            vs = (vmean + uniforms["noise"][t] / np.sqrt(bM)
+                  if cfg.resolved_sample_visible else vmean)
+        hmean = sigmoid(bM * (vs @ params["W"] + params["c"]))
+        h = (uniforms["h"][t] < hmean).astype(v0.dtype)
+
+    for parity in (0, 1):
+        lp_self = tempered_log_p_h(params, h, betas[:, None], cfg.visible)
+        lp_up = tempered_log_p_h(params, h[1:], betas[:-1, None], cfg.visible)
+        lp_dn = tempered_log_p_h(params, h[:-1], betas[1:, None], cfg.visible)
+        log_a = lp_up + lp_dn - lp_self[:-1] - lp_self[1:]
+        accept = np.log(np.maximum(uniforms["swap"][parity], 1e-38)) < log_a
+        h = h.copy()
+        for m in range(parity, M - 1, 2):
+            a = accept[m][:, None]
+            hm, hm1 = h[m].copy(), h[m + 1].copy()
+            h[m] = np.where(a, hm1, hm)
+            h[m + 1] = np.where(a, hm, hm1)
+
+    grads = {
+        "W": (v0.T @ h0p - vs[0].T @ hmean[0]) / B,
+        "b": (v0 - vs[0]).mean(axis=0),
+        "c": (h0p - hmean[0]).mean(axis=0),
+    }
+    if cfg.sparsity_target is not None and cfg.sparsity_cost:
+        grads["c"] = grads["c"] + cfg.sparsity_cost * (
+            cfg.sparsity_target - h0p.mean(axis=0))
+    v1mean_data = visible_mean(params, h0s, cfg.visible)
+    metric = cfg.error_metric if cfg.error_metric in ("mse", "xent") else "mse"
+    err = recon_error(v0, v1mean_data, metric)
+    return grads, h, err
+
+
 def resolve_momentum(cfg: RBMConfig, epoch: int) -> float:
     """Hinton-guide schedule: initial_momentum until momentum_switch_epoch."""
     if cfg.initial_momentum is not None and epoch < cfg.momentum_switch_epoch:

@@ -51,8 +51,17 @@ def _epoch_xla(state: TrainState, data: jax.Array, cfg: RBMConfig) -> Tuple[Trai
     def step(carry, xs):
         params, vel, chain = carry
         v0, k, idx = xs
-        grads, new_chain, err = cd_step_stats(params, v0, chain if cfg.persistent else None,
-                                              draw_uniforms(cfg, cfg.batch_size, k), cfg)
+        if cfg.pt_temps > 1:
+            from ..core.rbm_math import pt_step_stats
+            from ..ops.cd_step import draw_pt_uniforms
+
+            chains = chain.reshape(cfg.pt_temps, cfg.batch_size, cfg.n_hidden)
+            grads, new_chains, err = pt_step_stats(
+                params, v0, chains, draw_pt_uniforms(cfg, cfg.batch_size, k), cfg)
+            new_chain = new_chains.reshape(chain.shape)
+        else:
+            grads, new_chain, err = cd_step_stats(params, v0, chain if cfg.persistent else None,
+                                                  draw_uniforms(cfg, cfg.batch_size, k), cfg)
         if cfg.error_metric == "pseudo":
             from ..core.rbm_math import pseudo_likelihood
 
@@ -131,6 +140,12 @@ def _use_pallas(cfg: RBMConfig, mesh: Optional[Mesh]) -> bool:
     collectives."""
     if cfg.engine == "xla":
         return False
+    if cfg.pt_temps > 1:
+        # tempered chains + replica swaps live in the XLA engine only
+        if cfg.engine == "pallas":
+            raise ValueError("pt_temps > 1 (parallel tempering) runs on the "
+                             "XLA engine; use engine='xla' or 'auto'")
+        return False
     if mesh is not None and len(mesh.devices.flatten()) > 1:
         # engine='pallas' on a dp mesh runs the fused-step shard_map path
         # (handled in train_rbm); auto falls back to GSPMD xla
@@ -198,6 +213,12 @@ def train_rbm(
     if state is None:
         state = init_train_state(cfg)
     data = jnp.asarray(data, jnp.dtype(cfg.param_dtype))
+
+    if cfg.pt_temps > 1 and mesh is not None and len(mesh.devices.flatten()) > 1:
+        # the [M*B, H] rung stacking doesn't align with batch sharding (a
+        # GSPMD reshape would shuffle rungs across devices every step)
+        raise ValueError("pt_temps > 1 (parallel tempering) is single-device; "
+                         "train without a mesh")
 
     # explicit pallas engine on a multi-device dp mesh: the fused mega-kernel
     # runs per shard with an in-kernel ring allreduce of the gradient stats
