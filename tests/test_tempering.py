@@ -174,6 +174,41 @@ def test_pt_training_e2e_and_engine():
                                   np.asarray(rbm.state.chain_h))
 
 
+def test_pt_composes_with_dbn_and_mdbn():
+    """PT reaches stacked models: a DBN layer opts in via layer_overrides,
+    and the MDBN joint RBM opts in via its RBMConfig — both train and the
+    JSON config round-trips the knobs."""
+    import tempfile, os
+    from mdbn_tpu.config import DBNConfig, MDBNConfig, load_config, save_config
+    from mdbn_tpu.data.synthetic import tcga_like
+    from mdbn_tpu.models.dbn import DBN
+    from mdbn_tpu.models.mdbn import MDBN
+
+    data = bars_and_stripes(128, side=4, seed=0)
+    dcfg = DBNConfig(layer_sizes=[10, 6], epochs=2, batch_size=16,
+                     engine="xla", seed=0,
+                     layer_overrides=[{"persistent": True, "pt_temps": 4}])
+    dbn = DBN(dcfg).train(data)
+    assert dbn.layers[0].cfg.pt_temps == 4
+    assert dbn.layers[0].state.chain_h.shape == (4 * 16, 10)
+    assert dbn.layers[1].cfg.pt_temps == 1
+
+    mods, _ = tcga_like(48, dims={"ge": 12, "meth": 8, "mirna": 6}, seed=0)
+    mcfg = MDBNConfig(
+        towers={m: DBNConfig(layer_sizes=[6], visible="gaussian", epochs=1,
+                             batch_size=8, engine="xla", seed=i)
+                for i, m in enumerate(mods)},
+        joint=RBMConfig(n_visible=1, n_hidden=4, epochs=2, batch_size=8,
+                        persistent=True, pt_temps=3, engine="xla"))
+    mdbn = MDBN(mcfg).train(mods)
+    assert np.asarray(mdbn.transform(mods)).shape == (48, 4)
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "cfg.json")
+        save_config(mcfg, p)
+        assert load_config(p).joint.pt_temps == 3
+
+
 def test_pt_config_and_engine_guards():
     with pytest.raises(ValueError, match="persistent"):
         RBMConfig(n_visible=4, n_hidden=2, pt_temps=3)
