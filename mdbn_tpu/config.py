@@ -17,6 +17,7 @@ VISIBLE_TYPES = ("bernoulli", "gaussian")
 ERROR_METRICS = ("mse", "xent", "pseudo")
 ENGINES = ("auto", "xla", "pallas")
 INIT_SCHEMES = ("normal", "uniform_glorot4")
+GRADIENTS = ("plain", "enhanced")
 
 
 @dataclass(frozen=True)
@@ -49,6 +50,17 @@ class RBMConfig:
     # Requires persistent=True; runs on the XLA engine, single device.
     pt_temps: int = 1
     pt_beta_min: float = 0.0
+    # --- gradient estimator ---
+    # "plain": the canonical CD/PCD statistics (positive - negative phase).
+    # "enhanced": the enhanced gradient of Cho, Raiko & Ilin (ICML 2011) —
+    # the same sufficient statistics recombined around the batch's
+    # data/model mean offsets, making the update invariant to bit-flip
+    # reparameterizations of the units (the centering-trick family,
+    # cf. Montavon & Mueller 2012). A pure per-update transformation of the
+    # stats: no extra state, sampling/transform/AIS semantics unchanged.
+    # Runs on the XLA engine (single chip or GSPMD dp mesh, where the
+    # global-batch means are exact by construction).
+    gradient: str = "plain"
     # --- optimizer ---
     lr: float = 0.1
     momentum: float = 0.0
@@ -114,6 +126,8 @@ class RBMConfig:
                              "only defined for bernoulli visible units")
         if self.init not in INIT_SCHEMES:
             raise ValueError(f"init must be one of {INIT_SCHEMES}, got {self.init!r}")
+        if self.gradient not in GRADIENTS:
+            raise ValueError(f"gradient must be one of {GRADIENTS}, got {self.gradient!r}")
         if self.sparsity_target is not None:
             if not (0.0 < self.sparsity_target < 1.0):
                 raise ValueError("sparsity_target must be in (0, 1)")
@@ -151,6 +165,7 @@ class DBNConfig:
     # Base training recipe applied to every layer.
     k: int = 1
     persistent: bool = False
+    gradient: str = "plain"
     lr: float = 0.1
     gaussian_lr: Optional[float] = 0.01  # lower lr for the gaussian bottom layer
     momentum: float = 0.0
@@ -171,6 +186,7 @@ class DBNConfig:
             visible=self.visible if layer == 0 else "bernoulli",
             k=self.k,
             persistent=self.persistent,
+            gradient=self.gradient,
             lr=self.lr,
             momentum=self.momentum,
             l2=self.l2,

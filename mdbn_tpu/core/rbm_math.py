@@ -148,18 +148,20 @@ def cd_step_stats(
     # masking the v side of each outer product zeroes pad rows' contributions
     v_pos = v0 * row_mask if row_mask is not None else v0
     v_neg = vs * row_mask if row_mask is not None else vs
-    hd = (h0p - hmean) * row_mask if row_mask is not None else (h0p - hmean)
-    gc = jnp.sum(hd, axis=0) * inv_b
+    h_pos = h0p * row_mask if row_mask is not None else h0p
+    h_neg = hmean * row_mask if row_mask is not None else hmean
+    gW = (_dot(v_pos.T, h0p, cfg.compute_dtype)
+          - _dot(v_neg.T, hmean, cfg.compute_dtype)) * inv_b
+    gb = jnp.sum(v_pos - v_neg, axis=0) * inv_b
+    gc = jnp.sum(h_pos - h_neg, axis=0) * inv_b
+    if cfg.gradient == "enhanced":
+        mu = 0.5 * (jnp.sum(v_pos, axis=0) + jnp.sum(v_neg, axis=0)) * inv_b
+        lam = 0.5 * (jnp.sum(h_pos, axis=0) + jnp.sum(h_neg, axis=0)) * inv_b
+        gW, gb, gc = enhance_grads(gW, gb, gc, mu, lam)
     if cfg.sparsity_target is not None and cfg.sparsity_cost:
-        h0m = h0p * row_mask if row_mask is not None else h0p
         gc = gc + cfg.sparsity_cost * (
-            sparsity_scale * cfg.sparsity_target - jnp.sum(h0m, axis=0) * inv_b)
-    grads = RBMParams(
-        W=(_dot(v_pos.T, h0p, cfg.compute_dtype)
-           - _dot(v_neg.T, hmean, cfg.compute_dtype)) * inv_b,
-        b=jnp.sum(v_pos - v_neg, axis=0) * inv_b,
-        c=gc,
-    )
+            sparsity_scale * cfg.sparsity_target - jnp.sum(h_pos, axis=0) * inv_b)
+    grads = RBMParams(W=gW, b=gb, c=gc)
     if cfg.persistent and chain_h is not None:
         v1mean_data = visible_mean(params, h0s, cfg)
     else:
@@ -167,6 +169,24 @@ def cd_step_stats(
     metric = cfg.error_metric if cfg.error_metric in ("mse", "xent") else "mse"
     err = recon_error(v0, v1mean_data, metric, row_mask, norm)
     return grads, h, err
+
+
+def enhance_grads(gW, gb, gc, mu, lam):
+    """The enhanced gradient of Cho, Raiko & Ilin (ICML 2011, eqs. 12-14):
+
+        gW_e = <(v-mu)(h-lam)'>_data - <(v-mu)(h-lam)'>_model
+             = gW - outer(mu, gc) - outer(gb, lam)       (mu*lam' cancels)
+        gb_e = gb - gW_e @ lam
+        gc_e = gc - gW_e' @ mu
+
+    with mu/lam the averaged data+model batch means of v/h. A pure
+    recombination of the plain sufficient statistics (gW, gb, gc): the update
+    direction becomes invariant under bit-flip reparameterizations of the
+    units — the centering-trick family's conditioning fix — with no extra
+    state and unchanged model semantics. Inputs must be global-batch means
+    (under GSPMD dp sharding they are by construction)."""
+    gW = gW - jnp.outer(mu, gc) - jnp.outer(gb, lam)
+    return gW, gb - gW @ lam, gc - gW.T @ mu
 
 
 def pt_betas(cfg: RBMConfig) -> jax.Array:
@@ -267,16 +287,18 @@ def pt_step_stats(
     h = _pt_swap_round(params, h, betas, uniforms["swap"][1], 1, cfg)
 
     inv_b = 1.0 / jnp.float32(v0.shape[0])
+    gW = (_dot(v0.T, h0p, cfg.compute_dtype)
+          - _dot(vs[0].T, hmean[0], cfg.compute_dtype)) * inv_b
+    gb = jnp.sum(v0 - vs[0], axis=0) * inv_b
     gc = jnp.sum(h0p - hmean[0], axis=0) * inv_b
+    if cfg.gradient == "enhanced":
+        mu = 0.5 * (jnp.sum(v0, axis=0) + jnp.sum(vs[0], axis=0)) * inv_b
+        lam = 0.5 * (jnp.sum(h0p, axis=0) + jnp.sum(hmean[0], axis=0)) * inv_b
+        gW, gb, gc = enhance_grads(gW, gb, gc, mu, lam)
     if cfg.sparsity_target is not None and cfg.sparsity_cost:
         gc = gc + cfg.sparsity_cost * (
             cfg.sparsity_target - jnp.sum(h0p, axis=0) * inv_b)
-    grads = RBMParams(
-        W=(_dot(v0.T, h0p, cfg.compute_dtype)
-           - _dot(vs[0].T, hmean[0], cfg.compute_dtype)) * inv_b,
-        b=jnp.sum(v0 - vs[0], axis=0) * inv_b,
-        c=gc,
-    )
+    grads = RBMParams(W=gW, b=gb, c=gc)
     # same monitor convention as the PCD branch of cd_step_stats: the error
     # reconstructs the DATA chain (one step from h0s), not the fantasy chain
     v1mean_data = visible_mean(params, h0s, cfg)

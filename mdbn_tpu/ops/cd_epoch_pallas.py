@@ -302,6 +302,17 @@ def pallas_state_mode(cfg: RBMConfig, ndev: int = 1,
     return None
 
 
+def _check_kernel_supports(cfg: RBMConfig) -> None:
+    """The fused kernels compute the plain CD/PCD statistics; estimator
+    variants that recombine them live in the XLA engine — fail loudly rather
+    than silently train a different update rule (pt_temps > 1 already fails
+    on the [M*B, H] chain shape)."""
+    if cfg.gradient == "enhanced":
+        raise ValueError("gradient='enhanced' is not implemented in the "
+                         "Pallas kernels; use the XLA engine (engine='xla' "
+                         "or 'auto' routes there automatically)")
+
+
 def _uniform_from_bits(shape) -> jax.Array:
     """U[0,1) from the on-chip PRNG via the mantissa bit-trick.
 
@@ -1452,6 +1463,7 @@ def make_pallas_train_fn(cfg: RBMConfig, n_epochs: int,
     wrappers per model instance would re-trace/lower every kernel (measured
     ~5 s/layer).
     """
+    _check_kernel_supports(cfg)
     mode = pallas_state_mode(cfg)
     if mode is None:
         return None  # even the HBM-state unroll=1 footprint doesn't fit
@@ -1640,6 +1652,7 @@ def make_pallas_dp_train_fn(cfg: RBMConfig, mesh: Mesh, n_epochs: int,
     everywhere, never silent degeneration. ``_skip_allreduce`` disables the
     ring collectives (test-only: proves the parity tests actually exercise
     them)."""
+    _check_kernel_supports(cfg)
     if dp_reduce not in ("auto", "factor", "ring"):
         raise ValueError(f"dp_reduce must be 'auto', 'factor', or 'ring', "
                          f"got {dp_reduce!r}")
@@ -1920,6 +1933,7 @@ def make_pallas_grads_fn(cfg: RBMConfig, interpret: Optional[bool] = None,
     ``norm``/``with_mask`` support uneven DP sharding: stats become masked
     sums scaled by 1/norm (pass mask=[B,1] of 0/1 to the returned fn), whose
     pmean over shards is the exact global-batch mean."""
+    _check_kernel_supports(cfg)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if interpret is True:

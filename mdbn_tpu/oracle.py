@@ -135,6 +135,10 @@ def cd_step_stats(
         "b": (v0 - vs).mean(axis=0),
         "c": (h0p - hmean).mean(axis=0),
     }
+    if cfg.gradient == "enhanced":
+        mu = 0.5 * (v0.mean(axis=0) + vs.mean(axis=0))
+        lam = 0.5 * (h0p.mean(axis=0) + hmean.mean(axis=0))
+        grads = enhance_grads(grads, mu, lam)
     if cfg.sparsity_target is not None and cfg.sparsity_cost:
         grads["c"] = grads["c"] + cfg.sparsity_cost * (
             cfg.sparsity_target - h0p.mean(axis=0))
@@ -146,6 +150,14 @@ def cd_step_stats(
         v1mean_data = v1mean
     err = recon_error(v0, v1mean_data, cfg.error_metric)
     return grads, h, err, v1mean_data
+
+
+def enhance_grads(grads: Dict[str, np.ndarray], mu: np.ndarray,
+                  lam: np.ndarray) -> Dict[str, np.ndarray]:
+    """Enhanced gradient (Cho, Raiko & Ilin, ICML 2011): mirrors
+    core.rbm_math.enhance_grads exactly — see there for the derivation."""
+    gW = grads["W"] - np.outer(mu, grads["c"]) - np.outer(grads["b"], lam)
+    return {"W": gW, "b": grads["b"] - gW @ lam, "c": grads["c"] - gW.T @ mu}
 
 
 def tempered_log_p_h(params, h: np.ndarray, beta, visible: str) -> np.ndarray:
@@ -211,6 +223,10 @@ def pt_step_stats(
         "b": (v0 - vs[0]).mean(axis=0),
         "c": (h0p - hmean[0]).mean(axis=0),
     }
+    if cfg.gradient == "enhanced":
+        mu = 0.5 * (v0.mean(axis=0) + vs[0].mean(axis=0))
+        lam = 0.5 * (h0p.mean(axis=0) + hmean[0].mean(axis=0))
+        grads = enhance_grads(grads, mu, lam)
     if cfg.sparsity_target is not None and cfg.sparsity_cost:
         grads["c"] = grads["c"] + cfg.sparsity_cost * (
             cfg.sparsity_target - h0p.mean(axis=0))

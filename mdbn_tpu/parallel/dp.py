@@ -44,6 +44,13 @@ def train_rbm_shard_map(
                          "shard_map DP path (the per-step kernels monitor "
                          "mse/xent); use the DP mega-kernel (engine='pallas' "
                          "via train_rbm) or engine='xla' without a mesh")
+    if cfg.gradient == "enhanced":
+        raise ValueError("gradient='enhanced' is not supported on the "
+                         "shard_map DP path: the recombination is nonlinear "
+                         "in the batch means, so pmean of per-shard enhanced "
+                         "grads is not the global-batch enhanced grad. Use "
+                         "the GSPMD dp path (train_rbm with a mesh), where "
+                         "the global-batch means are exact by construction")
     if pallas_step and cfg.param_dtype != "float32":
         raise ValueError("pallas_step=True requires param_dtype='float32' "
                          "(the grads kernel's refs are f32); use the XLA "

@@ -146,6 +146,14 @@ def _use_pallas(cfg: RBMConfig, mesh: Optional[Mesh]) -> bool:
             raise ValueError("pt_temps > 1 (parallel tempering) runs on the "
                              "XLA engine; use engine='xla' or 'auto'")
         return False
+    if cfg.gradient == "enhanced":
+        # the enhanced-gradient recombination lives in the XLA engine only
+        # (single chip, or a GSPMD dp mesh where the global-batch means are
+        # exact by construction)
+        if cfg.engine == "pallas":
+            raise ValueError("gradient='enhanced' runs on the XLA engine; "
+                             "use engine='xla' or 'auto'")
+        return False
     if mesh is not None and len(mesh.devices.flatten()) > 1:
         # engine='pallas' on a dp mesh runs the fused-step shard_map path
         # (handled in train_rbm); auto falls back to GSPMD xla
@@ -230,6 +238,9 @@ def train_rbm(
     pallas_dp = (mesh is not None and len(mesh.devices.flatten()) > 1
                  and cfg.engine == "pallas")
     if pallas_dp:
+        if cfg.gradient == "enhanced":
+            raise ValueError("gradient='enhanced' runs on the XLA engine "
+                             "(GSPMD handles dp); use engine='xla'")
         if "tp" in mesh.axis_names:
             raise ValueError("engine='pallas' supports dp meshes only; "
                              "use engine='xla' for dp x tp")
