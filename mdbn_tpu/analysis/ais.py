@@ -503,6 +503,7 @@ def dbn_log_likelihood_bound(
     base_data: Optional[jax.Array] = None,
     n_sweeps: int = 1,
     schedule: str = "uniform",
+    gen=None,  # optional untied generative [(W, b)] per directed layer
 ) -> dict:
     """Salakhutdinov-Murray variational lower bound on DBN log-likelihood.
 
@@ -512,6 +513,11 @@ def dbn_log_likelihood_bound(
     distribution) sampled ``n_samples`` times per data case, and log Z_top
     from AIS on the top RBM. For a 1-layer stack this reduces exactly to the
     RBM AIS log-likelihood (no Q terms). Graded config c3's evaluation tool.
+
+    ``gen``: after up-down fine-tuning (train.updown) the recognition and
+    generative weights are untied; pass the tuned generative (W, b) list so
+    the top-down terms use the actual generative model while Q stays the
+    recognition up-pass. Default None = tied (pretrained) semantics.
     """
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -551,7 +557,9 @@ def dbn_log_likelihood_bound(
             # -log Q(h^l | h^{l-1})
             total -= jnp.sum(hs * jnp.log(q) + (1 - hs) * jnp.log1p(-q), axis=1)
             # + log p_l(h^{l-1} | h^l): generative top-down term of RBM l
-            mean_down = hs @ p.W.T + p.b
+            # (untied generative weights when fine-tuned by up-down)
+            Wg, bg = gen[li] if gen is not None else (p.W, p.b)
+            mean_down = hs @ Wg.T + bg
             if cfg.visible == "gaussian":
                 d = h - mean_down
                 total += -0.5 * jnp.sum(d * d, axis=1) \
@@ -578,3 +586,194 @@ def dbn_log_likelihood_bound(
         "logw_std": float(jnp.std(logw)),
         "mc_std": float(jnp.std(jnp.mean(samples, axis=1))),
     }
+
+
+def exact_dbn_log_likelihood(layers, data, gen=None) -> float:
+    """Exact mean log-likelihood of a SMALL DBN by full enumeration.
+
+    The DBN generative model (Hinton-Osindero-Teh 2006): an undirected top
+    RBM over (h^{L-1}, h^L) and directed sigmoid layers below,
+
+        log p(v) = logsumexp_{h^1..h^{L-1}} [ sum_l log p(h^l | h^{l+1})
+                                              - F_top(h^{L-1}) ] - log Z_top,
+
+    evaluated by message passing from the top: each factor touches only two
+    adjacent layers, so cost is O(2^{n_l} * 2^{n_{l+1}}) per directed layer
+    rather than the product over the whole stack. Hidden layers must be
+    Bernoulli and <= ~14 units each; the bottom may be Gaussian (sigma=1).
+
+    ``gen``: untied generative (W, b) per directed layer, as produced by
+    ``train.updown.finetune_updown_stack`` — the directed conditionals use
+    these while the recognition weights play no role in exact evaluation.
+    Default None = tied (pretrained) semantics. Ground truth for validating
+    up-down fine-tuning and the variational bound in tests.
+    """
+    import numpy as np
+    from scipy.special import logsumexp
+
+    top_params, top_cfg = layers[-1]
+    if top_cfg.visible != "bernoulli":
+        raise ValueError("DBN top RBM must be Bernoulli-visible (its visible "
+                         "layer is the previous stack layer's hidden units)")
+    directed = layers[:-1]
+    if gen is None:
+        gen = [(p.W, p.b) for p, _ in directed]
+    elif len(gen) != len(directed):
+        raise ValueError(f"gen has {len(gen)} layers, stack has "
+                         f"{len(directed)} directed layers")
+
+    def states(n):
+        if n > 14:
+            raise ValueError(f"exact DBN enumeration needs layer widths <= 14 "
+                             f"(got {n})")
+        return ((np.arange(2 ** n)[:, None] >> np.arange(n)) & 1).astype(
+            np.float64)
+
+    def neg_free_energy64(v):
+        """-F(v) of the Bernoulli top RBM in float64: v.b + sum softplus."""
+        W = np.asarray(top_params.W, np.float64)
+        b = np.asarray(top_params.b, np.float64)
+        c = np.asarray(top_params.c, np.float64)
+        return v @ b + np.logaddexp(0.0, v @ W + c[None, :]).sum(axis=1)
+
+    if not directed:
+        ll = neg_free_energy64(np.asarray(data, np.float64))
+        return float(np.mean(ll) - exact_log_z(top_params))
+
+    # message from the top RBM over states of h^{L-1}
+    f = neg_free_energy64(states(directed[-1][0].W.shape[1]))
+
+    def bern_cond_logp(S, T, W, b):
+        """log p(S_row | T_row) for Bernoulli rows under mean sigma(T W^T + b).
+
+        Returns [Ns, Nt]. Uses log sigma(x) = -softplus(-x)."""
+        pre = T @ W.T + b[None, :]                       # [Nt, d_s]
+        log_p = -np.logaddexp(0.0, -pre)
+        log_q = -np.logaddexp(0.0, pre)
+        return S @ log_p.T + (1.0 - S) @ log_q.T
+
+    # fold intermediate directed layers top-down: f_l(s) over states of h^l
+    for li in range(len(directed) - 1, 0, -1):
+        W, b = (np.asarray(gen[li][0], np.float64),
+                np.asarray(gen[li][1], np.float64))
+        S = states(W.shape[0])                           # states of h^li
+        T = states(W.shape[1])                           # states of h^{li+1}
+        f = logsumexp(bern_cond_logp(S, T, W, b) + f[None, :], axis=1)
+
+    # bottom layer: p(v | h^1) for the actual data rows
+    W0, b0 = (np.asarray(gen[0][0], np.float64),
+              np.asarray(gen[0][1], np.float64))
+    T = states(W0.shape[1])                              # states of h^1
+    X = np.asarray(data, np.float64)
+    cfg0 = directed[0][1]
+    if cfg0.visible == "bernoulli":
+        logp = bern_cond_logp(X, T, W0, b0)              # [N, Nt]
+    else:
+        mean = T @ W0.T + b0[None, :]                    # [Nt, V]
+        d = X[:, None, :] - mean[None, :, :]
+        logp = (-0.5 * np.sum(d * d, axis=2)
+                - 0.5 * X.shape[1] * np.log(2.0 * np.pi))
+    ll = logsumexp(logp + f[None, :], axis=1)            # [N]
+    return float(np.mean(ll) - exact_log_z(top_params))
+
+
+def exact_mdbn_log_likelihood(towers, joint, modalities, gen=None) -> float:
+    """Exact mean log-likelihood of a SMALL MDBN by full enumeration.
+
+    The MDBN generative model is a tree-structured DBN (train/updown.py):
+    an undirected joint RBM over the concatenated tower top codes, directed
+    sigmoid layers down each tower. Per tower, message passing marginalizes
+    the intermediate layers conditional on the tower's top state,
+
+        G_m[n, t] = log p(v_m_n | top_m = t),
+
+    then the concatenated top state s (one global enumeration, <= ~14 bits
+    total) combines the towers' independent branches:
+
+        log p(v_n) = logsumexp_s [ sum_m G_m[n, s_m] - F_joint(s) ] - log Z_j.
+
+    ``towers``: {name: [(RBMParams, RBMConfig)] bottom-up, ALL directed};
+    ``joint``: (RBMParams, RBMConfig); ``modalities``: {name: [N, D_m]};
+    ``gen``: optional untied generative weights {name: [(W, b)]} from
+    ``finetune_updown_mdbn``. Ground truth for the multimodal up-down tests.
+    """
+    import numpy as np
+    from scipy.special import logsumexp
+
+    joint_params, joint_cfg = joint
+    if joint_cfg.visible != "bernoulli":
+        raise ValueError("the joint RBM is Bernoulli-visible by construction")
+    names = list(towers)
+    if set(names) != set(modalities):
+        raise ValueError(f"towers {sorted(names)} and modalities "
+                         f"{sorted(modalities)} disagree")
+    if gen is not None and set(gen) != set(names):
+        raise ValueError("gen must cover exactly the tower names")
+
+    def states(n):
+        return ((np.arange(2 ** n)[:, None] >> np.arange(n)) & 1).astype(
+            np.float64)
+
+    def bern_cond_logp(S, T, W, b):
+        pre = T @ W.T + b[None, :]
+        log_p = -np.logaddexp(0.0, -pre)
+        log_q = -np.logaddexp(0.0, pre)
+        return S @ log_p.T + (1.0 - S) @ log_q.T
+
+    widths = [towers[n][-1][0].W.shape[1] for n in names]
+    total = int(sum(widths))
+    if total > 14:
+        raise ValueError(f"exact MDBN enumeration needs the concatenated top "
+                         f"code <= 14 bits (got {total})")
+
+    # per-tower branch messages G_m[n, t]
+    G = []
+    n_rows = None
+    for n in names:
+        layers_n = towers[n]
+        gens_n = gen[n] if gen is not None else [(p.W, p.b) for p, _ in layers_n]
+        if len(gens_n) != len(layers_n):
+            raise ValueError(f"gen for tower {n!r} has wrong depth")
+        # fold from the top of the tower down to the data
+        M = None  # [states of h^l, states of top]
+        for li in range(len(layers_n) - 1, 0, -1):
+            W, b = (np.asarray(gens_n[li][0], np.float64),
+                    np.asarray(gens_n[li][1], np.float64))
+            cond = bern_cond_logp(states(W.shape[0]), states(W.shape[1]), W, b)
+            M = cond if M is None else logsumexp(
+                cond[:, :, None] + M[None, :, :], axis=1)
+        W0, b0 = (np.asarray(gens_n[0][0], np.float64),
+                  np.asarray(gens_n[0][1], np.float64))
+        X = np.asarray(modalities[n], np.float64)
+        if n_rows is None:
+            n_rows = X.shape[0]
+        elif X.shape[0] != n_rows:
+            raise ValueError("modalities disagree on rows")
+        T = states(W0.shape[1])
+        cfg0 = layers_n[0][1]
+        if cfg0.visible == "bernoulli":
+            logp = bern_cond_logp(X, T, W0, b0)          # [N, states of h^1]
+        else:
+            mean = T @ W0.T + b0[None, :]
+            d = X[:, None, :] - mean[None, :, :]
+            logp = (-0.5 * np.sum(d * d, axis=2)
+                    - 0.5 * X.shape[1] * np.log(2.0 * np.pi))
+        G.append(logp if M is None
+                 else logsumexp(logp[:, :, None] + M[None, :, :], axis=1))
+
+    # global enumeration over the concatenated top code
+    s_all = states(total)                                 # [2^total, total]
+    Wj = np.asarray(joint_params.W, np.float64)
+    bj = np.asarray(joint_params.b, np.float64)
+    cj = np.asarray(joint_params.c, np.float64)
+    neg_f = s_all @ bj + np.logaddexp(0.0, s_all @ Wj + cj[None, :]).sum(axis=1)
+    idx = np.arange(2 ** total)
+    branch_sum = np.zeros((n_rows, 2 ** total))
+    offset = 0
+    for Gm, w in zip(G, widths):
+        sub = (idx >> offset) & ((1 << w) - 1)            # tower substate index
+        branch_sum += Gm[:, sub]
+        offset += w
+    log_z_joint = exact_log_z(joint_params)
+    ll = logsumexp(branch_sum + neg_f[None, :], axis=1) - log_z_joint
+    return float(np.mean(ll))

@@ -123,6 +123,28 @@ class DBN:
         self._decoder = decoder
         return history
 
+    def finetune_updown(self, data, epochs: int = 10, lr: float = 0.01,
+                        k: int = 1, batch_size: Optional[int] = None,
+                        seed: int = 0):
+        """Generative fine-tuning by the up-down (contrastive wake-sleep)
+        algorithm (Hinton, Osindero & Teh 2006, appendix B): unties each
+        directed layer's recognition and generative weights and tunes both
+        plus the top RBM jointly. transform() then uses the fine-tuned
+        recognition weights, generate() the untied generative down weights;
+        calling again RESUMES from the stored generative weights. Returns
+        the per-epoch wake reconstruction-mse history."""
+        from ..train.updown import finetune_updown_stack
+
+        rec, gen, top, history = finetune_updown_stack(
+            [(r.params, r.cfg) for r in self.layers], data, epochs=epochs,
+            lr=lr, k=k, batch_size=batch_size or self.cfg.batch_size,
+            seed=seed, gen=getattr(self, "_gen", None))
+        for rbm, new_params in zip(self.layers[:-1], rec):
+            rbm.state = rbm.state._replace(params=new_params)
+        self.layers[-1].state = self.layers[-1].state._replace(params=top)
+        self._gen = gen
+        return history
+
     def reconstruct(self, v) -> jax.Array:
         """Deterministic encode->decode through the whole stack: the untied
         fine-tuned decoder after finetune_autoencoder(), else the tied W^T
@@ -135,11 +157,23 @@ class DBN:
                                  getattr(self, "_decoder", None), v)
 
     def generate(self, n_samples: int = 16, n_gibbs: int = 200, seed: int = 0) -> jax.Array:
-        """Sample from the DBN: Gibbs in the top RBM, mean-field down-pass."""
+        """Sample from the DBN: Gibbs in the top RBM, mean-field down-pass.
+        After finetune_updown() the down-pass uses the untied generative
+        weights (the 2006 directed generative model)."""
         from ..ops.sample import generate_from_stack
 
-        return generate_from_stack([(r.params, r.cfg) for r in self.layers],
+        return generate_from_stack(self._generative_layers(),
                                    n_samples, jax.random.PRNGKey(seed), n_gibbs)
+
+    def _generative_layers(self):
+        """[(params, cfg)] with up-down's untied generative (W, b) swapped
+        into the directed layers when present (tied weights otherwise)."""
+        layers = [(r.params, r.cfg) for r in self.layers]
+        gen = getattr(self, "_gen", None)
+        if gen is not None:
+            layers = [(p._replace(W=Wg, b=bg), cfg)
+                      for (p, cfg), (Wg, bg) in zip(layers, gen)] + layers[len(gen):]
+        return layers
 
     @property
     def history(self) -> List[list]:
@@ -158,6 +192,7 @@ class DBN:
             json.dump({"n_layers": len(self.layers)}, f)
         save_head(getattr(self, "_head", None), directory)
         save_decoder(getattr(self, "_decoder", None), directory)
+        save_gen(getattr(self, "_gen", None), directory)
 
     @classmethod
     def load(cls, directory: str) -> "DBN":
@@ -173,6 +208,9 @@ class DBN:
         decoder = load_decoder(directory)
         if decoder is not None:
             dbn._decoder = decoder
+        gen = load_gen(directory)
+        if gen is not None:
+            dbn._gen = gen
         return dbn
 
 
@@ -221,6 +259,36 @@ def save_decoder(decoder, directory: str,
     else:
         arrays = {f"D{i}": np.asarray(D) for i, D in enumerate(decoder)}
     np.savez(path, **arrays)
+
+
+def save_gen(gen, directory: str) -> None:
+    """Persist up-down's untied generative (W, b) per directed layer. With
+    ``gen=None`` any stale gen.npz from a previous save is removed — load()
+    must never pair old generative weights with new recognition weights."""
+    path = os.path.join(directory, "gen.npz")
+    if gen is None:
+        if os.path.exists(path):
+            os.remove(path)
+        return
+    import numpy as np
+
+    arrays = {}
+    for i, (W, b) in enumerate(gen):
+        arrays[f"W{i}"] = np.asarray(W)
+        arrays[f"b{i}"] = np.asarray(b)
+    np.savez(path, **arrays)
+
+
+def load_gen(directory: str):
+    path = os.path.join(directory, "gen.npz")
+    if not os.path.exists(path):
+        return None
+    import numpy as np
+
+    with np.load(path) as z:
+        n = len(z.files) // 2
+        return [(jnp.asarray(z[f"W{i}"]), jnp.asarray(z[f"b{i}"]))
+                for i in range(n)]
 
 
 def load_decoder(directory: str, filename: str = "decoder.npz"):

@@ -150,9 +150,10 @@ class MDBN:
         for name, sl in layout:
             if name in modalities:
                 continue
-            tower = self.towers[name]
-            params_list = [r.params for r in reversed(tower.layers)]
-            cfgs = tuple(r.cfg for r in reversed(tower.layers))
+            # untied generative weights after finetune_updown, tied otherwise
+            gen_layers = self.towers[name]._generative_layers()
+            params_list = [p for p, _ in reversed(gen_layers)]
+            cfgs = tuple(c for _, c in reversed(gen_layers))
             out[name] = _down_pass_fn(cfgs)(params_list, codes[:, sl])
         return out
 
@@ -227,6 +228,38 @@ class MDBN:
         self._decoder = decoder
         return history
 
+    def finetune_updown(self, modalities: Dict[str, jax.Array],
+                        epochs: int = 10, lr: float = 0.01, k: int = 1,
+                        batch_size: int = 20, seed: int = 0):
+        """Generative up-down (contrastive wake-sleep) fine-tuning of the
+        full multimodal model: the joint RBM is the undirected top, every
+        tower layer becomes a directed sigmoid layer (train/updown.py).
+        Unties each tower's recognition/generative weights and tunes both
+        plus the joint RBM; transform() then uses the fine-tuned
+        recognition weights, generate()/impute() the untied generative
+        weights. Calling again RESUMES from the stored generative weights.
+        Returns the per-epoch mean wake reconstruction-mse history."""
+        if self.joint is None:
+            raise RuntimeError("MDBN.finetune_updown called before train")
+        from ..train.updown import finetune_updown_mdbn
+
+        towers = {m: [(r.params, r.cfg) for r in self.towers[m].layers]
+                  for m in self.cfg.towers}
+        gen = ({m: self.towers[m]._gen for m in self.cfg.towers}
+               if all(hasattr(self.towers[m], "_gen") for m in self.cfg.towers)
+               else None)
+        rec, gen, joint_p, history = finetune_updown_mdbn(
+            towers, (self.joint.params, self.joint.cfg), modalities,
+            epochs=epochs, lr=lr, k=k, batch_size=batch_size, seed=seed,
+            gen=gen)
+        for m, plist in rec.items():
+            for rbm, new_params in zip(self.towers[m].layers, plist):
+                rbm.state = rbm.state._replace(params=new_params)
+            # stored on the tower DBN so tower.save()/load() persists it
+            self.towers[m]._gen = gen[m]
+        self.joint.state = self.joint.state._replace(params=joint_p)
+        return history
+
     def reconstruct(self, modalities: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
         """Deterministic encode->decode of every modality (untied fine-tuned
         decoder after finetune_autoencoder(), else the tied W^T down-pass)."""
@@ -259,8 +292,10 @@ class MDBN:
             width = tower.layers[-1].cfg.n_hidden
             code = codes[:, offset:offset + width]
             offset += width
-            params_list = [r.params for r in reversed(tower.layers)]
-            cfgs = tuple(r.cfg for r in reversed(tower.layers))
+            # untied generative weights after finetune_updown, tied otherwise
+            gen_layers = tower._generative_layers()
+            params_list = [p for p, _ in reversed(gen_layers)]
+            cfgs = tuple(c for _, c in reversed(gen_layers))
             out[name] = _down_pass_fn(cfgs)(params_list, code)
         return out
 

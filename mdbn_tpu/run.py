@@ -212,7 +212,10 @@ def main(argv=None):
                 log.warning("'ais_bracket' is only defined for single-RBM "
                             "configs; running the one-sided DBN bound")
             out = ais_mod.dbn_log_likelihood_bound(
-                [(r.params, r.cfg) for r in model.layers], sample, **kw)
+                [(r.params, r.cfg) for r in model.layers], sample, **kw,
+                # after up-down fine-tuning the top-down terms use the
+                # untied generative weights (train/updown.py)
+                gen=getattr(model, "_gen", None))
         rec = {"kind": "ais", "n_rows": int(len(sample)), **out}
         log.info("AIS evaluation: %s", {k: round(v, 3) for k, v in out.items()})
         if mw is not None:
@@ -241,6 +244,18 @@ def main(argv=None):
                    "loss_first": float(history[0]), "loss_last": float(history[-1])}
             log.info("autoencoder fine-tune: loss %.5f -> %.5f",
                      history[0], history[-1])
+        elif mode == "updown":
+            # DBN: directed layers under the stack's top RBM; MDBN: directed
+            # tower layers under the joint RBM (tree-structured 2006 model)
+            history = model.finetune_updown(
+                data, epochs=epochs, lr=float(spec.get("lr", 0.01)),
+                k=int(spec.get("k", 1)),
+                batch_size=int(spec.get("batch_size", 20)))
+            rec = {"kind": "finetune", "mode": "updown", "epochs": epochs,
+                   "wake_mse_first": float(history[0]),
+                   "wake_mse_last": float(history[-1])}
+            log.info("up-down fine-tune: wake mse %.5f -> %.5f",
+                     history[0], history[-1])
         elif mode == "classifier":
             if labels is None:
                 raise ValueError(
@@ -260,8 +275,8 @@ def main(argv=None):
             log.info("classifier fine-tune: loss %.5f -> %.5f, train acc %.3f",
                      history[0], history[-1], acc)
         else:
-            raise ValueError(f"finetune mode must be 'autoencoder' or "
-                             f"'classifier', got {mode!r}")
+            raise ValueError(f"finetune mode must be 'autoencoder', "
+                             f"'classifier' or 'updown', got {mode!r}")
         _codes_cache.pop("codes", None)  # weights changed; codes are stale
         if mw is not None:
             mw.write(rec)

@@ -1,0 +1,353 @@
+"""Generative DBN fine-tuning: the up-down (contrastive wake-sleep)
+algorithm of Hinton, Osindero & Teh 2006 ("A fast learning algorithm for
+deep belief nets", appendix B).
+
+Greedy pretraining leaves a DBN whose lower layers are directed sigmoid
+belief layers with TIED recognition/generative weights and whose top RBM is
+undirected. Up-down unties them and fine-tunes all three groups jointly:
+
+- **wake**: a stochastic up-pass through the recognition weights produces
+  sampled states s_0..s_{L-1}; each directed layer's GENERATIVE weights are
+  nudged so its down-prediction of s_l from s_{l+1} improves
+  (delta-rule: dG_l ∝ (s_l - p_down_l)' s_{l+1}).
+- **top**: a standard CD-k update of the top RBM at the wake states.
+- **sleep**: the top RBM's negative sample is propagated DOWN through the
+  generative weights; each layer's RECOGNITION weights are nudged so its
+  up-prediction of the dreamed s'_{l+1} from s'_l improves.
+
+The whole per-epoch loop is one jitted ``lax.scan`` over minibatches; the
+three weight groups live in one pytree. Unsupervised variant (the 2006
+paper adds label softmax units at the top; the classifier path here is
+``train.finetune``).
+
+After this phase the stack is the 2006 directed generative model: the
+up-pass (transform) uses the recognition weights, generation uses the top
+RBM + generative down weights. Single-RBM energy tools (free_energy, AIS on
+a mid-layer) refer to the pretrained semantics this phase leaves behind —
+the DBN's generative quality is what improves (validated against the exact
+enumerated DBN likelihood in tests/test_updown.py).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RBMConfig
+from ..core.rbm_math import RBMParams, hidden_mean, visible_mean
+
+
+def _bern(key, p):
+    return (jax.random.uniform(key, p.shape) < p).astype(jnp.float32)
+
+
+def _down_mean(gen: Tuple[jax.Array, jax.Array], h: jax.Array,
+               cfg: RBMConfig) -> jax.Array:
+    """Generative down-prediction through one directed layer."""
+    W, b = gen
+    pre = h @ W.T + b
+    return jax.nn.sigmoid(pre) if cfg.visible == "bernoulli" else pre
+
+
+@lru_cache(maxsize=None)
+def _updown_epoch_fn(cfgs: Tuple[RBMConfig, ...], top_cfg: RBMConfig,
+                     lr: float, k: int):
+    """One jitted epoch of up-down. ``cfgs`` are the directed layers'
+    (pretraining) configs bottom-up — cfg.visible of layer 0 selects the
+    bottom down-prediction/sleep-sampling family, exactly as in CD."""
+    L = len(cfgs)
+
+    def step(params, xs):
+        rec, gen, top = params
+        v0, key = xs
+        B = v0.shape[0]
+        keys = jax.random.split(key, 2 * L + 2 * k + 2)
+
+        # --- wake: stochastic up-pass through recognition weights ---
+        s = [v0]
+        for l in range(L):
+            p_up = hidden_mean(rec[l], s[l], cfgs[l])
+            s.append(_bern(keys[l], p_up))
+
+        # generative-weight delta rule from the wake states
+        new_gen = []
+        wake_err = None
+        for l in range(L):
+            p_down = _down_mean(gen[l], s[l + 1], cfgs[l])
+            resid = s[l] - p_down
+            W, b = gen[l]
+            new_gen.append((W + (lr / B) * (resid.T @ s[l + 1]),
+                            b + lr * resid.mean(axis=0)))
+            if l == 0:
+                d = v0 - p_down
+                wake_err = jnp.mean(d * d)
+
+        # --- top RBM: CD-k at the wake top states (house conventions:
+        # probabilities in the statistics, samples through the chain) ---
+        vt = s[L]
+        h0p = hidden_mean(top, vt, top_cfg)
+        h = _bern(keys[L], h0p)
+        vneg = vt
+        hkp = h0p
+        for t in range(k):
+            vmean = visible_mean(top, h, top_cfg)
+            vneg = _bern(keys[L + 1 + 2 * t], vmean)
+            hkp = hidden_mean(top, vneg, top_cfg)
+            h = _bern(keys[L + 2 + 2 * t], hkp)
+        top = RBMParams(
+            W=top.W + (lr / B) * (vt.T @ h0p - vneg.T @ hkp),
+            b=top.b + lr * (vt - vneg).mean(axis=0),
+            c=top.c + lr * (h0p - hkp).mean(axis=0),
+        )
+
+        # --- sleep: dream DOWN from the top RBM's negative sample, then
+        # nudge recognition weights toward the dreamed states ---
+        sp = [None] * (L + 1)
+        sp[L] = vneg
+        for l in range(L - 1, -1, -1):
+            p_down = _down_mean(new_gen[l], sp[l + 1], cfgs[l])
+            if cfgs[l].visible == "bernoulli":
+                sp[l] = _bern(keys[L + 1 + 2 * k + l], p_down)
+            elif cfgs[l].resolved_sample_visible:
+                sp[l] = p_down + jax.random.normal(
+                    keys[L + 1 + 2 * k + l], p_down.shape, jnp.float32)
+            else:
+                sp[l] = p_down
+        new_rec = []
+        for l in range(L):
+            q_up = hidden_mean(rec[l], sp[l], cfgs[l])
+            resid = sp[l + 1] - q_up
+            new_rec.append(RBMParams(
+                W=rec[l].W + (lr / B) * (sp[l].T @ resid),
+                b=rec[l].b,  # unused on the up-pass; kept for structure
+                c=rec[l].c + lr * resid.mean(axis=0),
+            ))
+
+        return (new_rec, new_gen, top), wake_err
+
+    @jax.jit
+    def epoch(params, xb, keys):
+        params, errs = jax.lax.scan(step, params, (xb, keys))
+        return params, errs.mean()
+
+    return epoch
+
+
+def finetune_updown_stack(
+    layers: Sequence[Tuple[RBMParams, RBMConfig]],
+    data: jax.Array,
+    epochs: int = 10,
+    lr: float = 0.01,
+    k: int = 1,
+    batch_size: int = 20,
+    seed: int = 0,
+    gen: Optional[List[Tuple[jax.Array, jax.Array]]] = None,
+) -> Tuple[List[RBMParams], List[Tuple[jax.Array, jax.Array]], RBMParams, List[float]]:
+    """Up-down fine-tuning of a pretrained stack (bottom-up ``layers``; the
+    last entry is the undirected top RBM, the rest become directed).
+
+    Returns (recognition layer params, generative (W, b) per directed layer,
+    top RBM params, per-epoch wake reconstruction mse). Pass a previous run's
+    ``gen`` to RESUME with the already-untied generative weights.
+    """
+    if len(layers) < 2:
+        raise ValueError("up-down fine-tuning needs >= 2 layers (directed "
+                         "layers below an undirected top RBM); a single RBM "
+                         "has nothing to untie")
+    *directed, (top_params, top_cfg) = layers
+    cfgs = tuple(cfg for _, cfg in directed)
+    rec = [p for p, _ in directed]
+    if gen is None:
+        # tied start: the pretrained weights serve both roles (Hinton 2006)
+        gen = [(p.W, p.b) for p, _ in directed]
+    elif len(gen) != len(directed):
+        raise ValueError(f"gen has {len(gen)} layers, stack has {len(directed)} "
+                         "directed layers")
+
+    data = jnp.asarray(data, jnp.float32)
+    n = (data.shape[0] // batch_size) * batch_size
+    nb = n // batch_size
+    if nb == 0:
+        raise ValueError(f"dataset has {data.shape[0]} samples — fewer than "
+                         f"one minibatch (batch_size={batch_size})")
+    xb = data[:n].reshape(nb, batch_size, -1)
+
+    epoch = _updown_epoch_fn(cfgs, top_cfg, float(lr), int(k))
+    params = (rec, [(jnp.asarray(W, jnp.float32), jnp.asarray(b, jnp.float32))
+                    for W, b in gen], top_params)
+    key = jax.random.PRNGKey(seed)
+    history = []
+    for _ in range(epochs):
+        key, kepoch = jax.random.split(key)
+        params, err = epoch(params, xb, jax.random.split(kepoch, nb))
+        history.append(float(err))
+    rec, gen, top_params = params
+    return list(rec), list(gen), top_params, history
+
+
+# --- multimodal (MDBN) up-down -----------------------------------------------
+#
+# The MDBN generative model is a TREE-structured 2006 DBN: the joint RBM is
+# the undirected top over the concatenated tower codes, and EVERY tower layer
+# (including each tower's pretrained top RBM) becomes a directed sigmoid
+# layer below it. Up-down generalizes directly: wake runs a stochastic
+# recognition up-pass per tower and a CD-k update of the joint RBM at the
+# concatenated wake codes; sleep dreams down from the joint RBM's negative
+# sample, splitting the concat back into tower slices.
+
+
+@lru_cache(maxsize=None)
+def _updown_mdbn_epoch_fn(tower_cfgs, joint_cfg: RBMConfig, lr: float, k: int):
+    """``tower_cfgs``: tuple of (name, (cfg, ...)) in modality order."""
+    names = [n for n, _ in tower_cfgs]
+    cfg_of = dict(tower_cfgs)
+
+    def step(params, xs):
+        rec, gen, joint = params
+        batches, key = xs
+        B = next(iter(batches.values())).shape[0]
+        nk = sum(2 * len(cfg_of[n]) for n in names) + 2 * k + 1
+        keys = iter(jax.random.split(key, nk))
+
+        # --- wake: per-tower stochastic recognition up-pass ---
+        wakes = {}
+        new_gen = {}
+        wake_err = 0.0
+        for n in names:
+            s = [batches[n]]
+            for l, cfg in enumerate(cfg_of[n]):
+                p_up = hidden_mean(rec[n][l], s[l], cfg)
+                s.append(_bern(next(keys), p_up))
+            wakes[n] = s
+            ng = []
+            for l, cfg in enumerate(cfg_of[n]):
+                p_down = _down_mean(gen[n][l], s[l + 1], cfg)
+                resid = s[l] - p_down
+                W, b = gen[n][l]
+                ng.append((W + (lr / B) * (resid.T @ s[l + 1]),
+                           b + lr * resid.mean(axis=0)))
+                if l == 0:
+                    d = batches[n] - p_down
+                    wake_err = wake_err + jnp.mean(d * d)
+            new_gen[n] = ng
+        wake_err = wake_err / len(names)
+
+        # --- joint RBM: CD-k at the concatenated wake codes ---
+        vt = jnp.concatenate([wakes[n][-1] for n in names], axis=1)
+        h0p = hidden_mean(joint, vt, joint_cfg)
+        h = _bern(next(keys), h0p)
+        vneg = vt
+        hkp = h0p
+        for _ in range(k):
+            vmean = visible_mean(joint, h, joint_cfg)
+            vneg = _bern(next(keys), vmean)
+            hkp = hidden_mean(joint, vneg, joint_cfg)
+            h = _bern(next(keys), hkp)
+        joint = RBMParams(
+            W=joint.W + (lr / B) * (vt.T @ h0p - vneg.T @ hkp),
+            b=joint.b + lr * (vt - vneg).mean(axis=0),
+            c=joint.c + lr * (h0p - hkp).mean(axis=0),
+        )
+
+        # --- sleep: dream down per tower from the joint negative sample ---
+        new_rec = {}
+        offset = 0
+        for n in names:
+            L = len(cfg_of[n])
+            width = rec[n][-1].W.shape[1]
+            sp = [None] * (L + 1)
+            sp[L] = jax.lax.dynamic_slice_in_dim(vneg, offset, width, axis=1)
+            offset += width
+            for l in range(L - 1, -1, -1):
+                cfg = cfg_of[n][l]
+                p_down = _down_mean(new_gen[n][l], sp[l + 1], cfg)
+                if cfg.visible == "bernoulli":
+                    sp[l] = _bern(next(keys), p_down)
+                elif cfg.resolved_sample_visible:
+                    sp[l] = p_down + jax.random.normal(
+                        next(keys), p_down.shape, jnp.float32)
+                else:
+                    sp[l] = p_down
+            nr = []
+            for l, cfg in enumerate(cfg_of[n]):
+                q_up = hidden_mean(rec[n][l], sp[l], cfg)
+                resid = sp[l + 1] - q_up
+                nr.append(RBMParams(
+                    W=rec[n][l].W + (lr / B) * (sp[l].T @ resid),
+                    b=rec[n][l].b,
+                    c=rec[n][l].c + lr * resid.mean(axis=0),
+                ))
+            new_rec[n] = nr
+
+        return (new_rec, new_gen, joint), wake_err
+
+    @jax.jit
+    def epoch(params, xb, keys):
+        params, errs = jax.lax.scan(step, params, (xb, keys))
+        return params, errs.mean()
+
+    return epoch
+
+
+def finetune_updown_mdbn(
+    towers,  # {name: [(RBMParams, RBMConfig)] bottom-up, ALL directed}
+    joint: Tuple[RBMParams, RBMConfig],
+    modalities,  # {name: [n, features]}
+    epochs: int = 10,
+    lr: float = 0.01,
+    k: int = 1,
+    batch_size: int = 20,
+    seed: int = 0,
+    gen=None,  # {name: [(W, b)]} to resume with untied generative weights
+):
+    """Up-down fine-tuning of a full MDBN (towers + joint RBM).
+
+    Returns (recognition {name: [RBMParams]}, generative {name: [(W, b)]},
+    joint RBMParams, per-epoch mean wake reconstruction mse). Modality order
+    follows ``towers`` insertion order and must match the concat layout the
+    joint RBM was trained on (models/mdbn.py uses config insertion order).
+    """
+    if set(towers) != set(modalities):
+        raise ValueError(f"towers {sorted(towers)} and modalities "
+                         f"{sorted(modalities)} disagree")
+    joint_params, joint_cfg = joint
+    names = list(towers)
+    rows = {n: int(jnp.shape(modalities[n])[0]) for n in names}
+    if len(set(rows.values())) != 1:
+        raise ValueError(f"modalities disagree on rows: {rows}")
+    n_rows = next(iter(rows.values()))
+    nb = (n_rows // batch_size)
+    if nb == 0:
+        raise ValueError(f"dataset has {n_rows} samples — fewer than one "
+                         f"minibatch (batch_size={batch_size})")
+
+    rec = {n: [p for p, _ in towers[n]] for n in names}
+    if gen is None:
+        gen = {n: [(p.W, p.b) for p, _ in towers[n]] for n in names}
+    else:
+        for n in names:
+            if n not in gen or len(gen[n]) != len(towers[n]):
+                raise ValueError(f"gen for tower {n!r} missing or wrong depth")
+        gen = {n: [(jnp.asarray(W, jnp.float32), jnp.asarray(b, jnp.float32))
+                   for W, b in gen[n]] for n in names}
+
+    xb = {}
+    for n in names:
+        d = jnp.asarray(modalities[n], jnp.float32)
+        xb[n] = d[: nb * batch_size].reshape(nb, batch_size, -1)
+
+    tower_cfgs = tuple((n, tuple(cfg for _, cfg in towers[n])) for n in names)
+    epoch = _updown_mdbn_epoch_fn(tower_cfgs, joint_cfg, float(lr), int(k))
+    params = (rec, gen, joint_params)
+    key = jax.random.PRNGKey(seed)
+    history = []
+    for _ in range(epochs):
+        key, kepoch = jax.random.split(key)
+        params, err = epoch(params, xb, jax.random.split(kepoch, nb))
+        history.append(float(err))
+    rec, gen, joint_params = params
+    return ({n: list(v) for n, v in rec.items()},
+            {n: list(v) for n, v in gen.items()}, joint_params, history)

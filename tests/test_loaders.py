@@ -367,3 +367,28 @@ def test_cli_finetune_autoencoder(tmp_path):
     recs = [json.loads(l) for l in open(tmp_path / "m.jsonl")]
     ft = [r for r in recs if r["kind"] == "finetune"]
     assert ft and ft[0]["loss_last"] <= ft[0]["loss_first"]
+
+
+def test_cli_finetune_updown(tmp_path):
+    """CLI-driven up-down (wake-sleep) generative fine-tuning on a DBN,
+    with the tuned generative weights persisting through --save."""
+    import json
+
+    from mdbn_tpu.config import DBNConfig, save_config
+    from mdbn_tpu.models.dbn import DBN
+    from mdbn_tpu.run import main
+
+    save_config({
+        "model": DBNConfig(layer_sizes=[16, 8], epochs=2, batch_size=20,
+                           engine="xla", seed=0),
+        "data": {"kind": "mnist_like", "n_samples": 120, "n_features": 36},
+        "finetune": {"mode": "updown", "epochs": 3, "lr": 0.05},
+    }, str(tmp_path / "exp.json"))
+    assert main(["--config", str(tmp_path / "exp.json"),
+                 "--metrics", str(tmp_path / "m.jsonl"),
+                 "--save", str(tmp_path / "model")]) == 0
+    recs = [json.loads(l) for l in open(tmp_path / "m.jsonl")]
+    ft = [r for r in recs if r["kind"] == "finetune"]
+    assert ft and ft[0]["mode"] == "updown"
+    assert np.isfinite(ft[0]["wake_mse_last"])
+    assert hasattr(DBN.load(str(tmp_path / "model")), "_gen")
