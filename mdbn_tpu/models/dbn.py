@@ -123,6 +123,69 @@ class DBN:
         self._decoder = decoder
         return history
 
+    def fit_label_top(self, data, labels, n_classes: int, n_hidden: int = 64,
+                      epochs: int = 20, lr: float = 0.1, k: int = 1,
+                      batch_size: int = 20, momentum: float = 0.0,
+                      l2: float = 0.0, seed: int = 0):
+        """Train an associative label-top RBM over [top codes ; one-hot
+        labels] (Hinton-Osindero-Teh 2006 §4): the generative alternative to
+        the backprop head — classification by free energy
+        (predict_generative / class_posterior) and class-conditional
+        generation (generate_class). The pretrained stack is NOT modified.
+        Calling again RESUMES the stored top. Returns per-epoch history."""
+        from ..train.labeled import fit_label_top
+
+        prev = getattr(self, "_label_top", None)
+        if prev is not None and prev[1] != n_classes:
+            raise ValueError(f"stored label top has {prev[1]} classes, "
+                             f"got n_classes={n_classes}")
+        params, history = fit_label_top(
+            [(r.params, r.cfg) for r in self.layers], data, labels, n_classes,
+            n_hidden=n_hidden, epochs=epochs, lr=lr, k=k,
+            batch_size=batch_size, momentum=momentum, l2=l2, seed=seed,
+            params=prev[0] if prev else None)
+        self._label_top = (params, n_classes)
+        return history
+
+    def predict_generative(self, x) -> jax.Array:
+        """Free-energy classification through the label-top RBM."""
+        if not hasattr(self, "_label_top"):
+            raise RuntimeError("DBN.predict_generative called before "
+                               "fit_label_top")
+        from ..train.labeled import predict_label_top
+
+        params, n_classes = self._label_top
+        return predict_label_top(params, [(r.params, r.cfg) for r in self.layers],
+                                 x, n_classes)
+
+    def class_posterior(self, x) -> jax.Array:
+        """Exact p(y | x) under the associative model: softmax of the
+        per-class negative free energies."""
+        if not hasattr(self, "_label_top"):
+            raise RuntimeError("DBN.class_posterior called before "
+                               "fit_label_top")
+        from ..train.labeled import label_top_logits
+
+        params, n_classes = self._label_top
+        return jax.nn.softmax(label_top_logits(
+            params, [(r.params, r.cfg) for r in self.layers], x, n_classes),
+            axis=1)
+
+    def generate_class(self, label: int, n_samples: int = 16,
+                       n_gibbs: int = 200, seed: int = 0) -> jax.Array:
+        """Dream inputs of ONE class: clamped-label Gibbs in the label-top
+        RBM, then the generative down-pass (untied weights after
+        finetune_updown)."""
+        if not hasattr(self, "_label_top"):
+            raise RuntimeError("DBN.generate_class called before "
+                               "fit_label_top")
+        from ..train.labeled import generate_class_conditional
+
+        params, n_classes = self._label_top
+        return generate_class_conditional(
+            params, self._generative_layers(), label, n_classes,
+            n_samples=n_samples, n_gibbs=n_gibbs, seed=seed)
+
     def finetune_updown(self, data, epochs: int = 10, lr: float = 0.01,
                         k: int = 1, batch_size: Optional[int] = None,
                         seed: int = 0):
@@ -193,6 +256,7 @@ class DBN:
         save_head(getattr(self, "_head", None), directory)
         save_decoder(getattr(self, "_decoder", None), directory)
         save_gen(getattr(self, "_gen", None), directory)
+        save_label_top(getattr(self, "_label_top", None), directory)
 
     @classmethod
     def load(cls, directory: str) -> "DBN":
@@ -211,6 +275,9 @@ class DBN:
         gen = load_gen(directory)
         if gen is not None:
             dbn._gen = gen
+        label_top = load_label_top(directory)
+        if label_top is not None:
+            dbn._label_top = label_top
         return dbn
 
 
@@ -289,6 +356,34 @@ def load_gen(directory: str):
         n = len(z.files) // 2
         return [(jnp.asarray(z[f"W{i}"]), jnp.asarray(z[f"b{i}"]))
                 for i in range(n)]
+
+
+def save_label_top(label_top, directory: str) -> None:
+    """Persist a fit_label_top() associative top (RBMParams, n_classes).
+    With ``label_top=None`` any stale file from a previous save is removed."""
+    path = os.path.join(directory, "label_top.npz")
+    if label_top is None:
+        if os.path.exists(path):
+            os.remove(path)
+        return
+    import numpy as np
+
+    params, n_classes = label_top
+    np.savez(path, W=np.asarray(params.W), b=np.asarray(params.b),
+             c=np.asarray(params.c), n_classes=np.asarray(n_classes))
+
+
+def load_label_top(directory: str):
+    path = os.path.join(directory, "label_top.npz")
+    if not os.path.exists(path):
+        return None
+    import numpy as np
+
+    from ..core.rbm_math import RBMParams
+
+    with np.load(path) as z:
+        return (RBMParams(W=jnp.asarray(z["W"]), b=jnp.asarray(z["b"]),
+                          c=jnp.asarray(z["c"])), int(z["n_classes"]))
 
 
 def load_decoder(directory: str, filename: str = "decoder.npz"):

@@ -228,6 +228,53 @@ class MDBN:
         self._decoder = decoder
         return history
 
+    def fit_label_top(self, modalities: Dict[str, jax.Array], labels,
+                      n_classes: int, n_hidden: int = 64, epochs: int = 20,
+                      lr: float = 0.1, k: int = 1, batch_size: int = 20,
+                      momentum: float = 0.0, l2: float = 0.0, seed: int = 0):
+        """Associative label-top RBM over [joint codes ; one-hot labels]
+        (Hinton-Osindero-Teh 2006 §4 applied to the multimodal join): the
+        generative alternative to the backprop head — free-energy
+        classification of patients from all modalities. The towers and joint
+        RBM are NOT modified. Calling again RESUMES the stored top."""
+        if self.joint is None:
+            raise RuntimeError("MDBN.fit_label_top called before train")
+        from ..train.labeled import fit_label_top
+
+        prev = getattr(self, "_label_top", None)
+        if prev is not None and prev[1] != n_classes:
+            raise ValueError(f"stored label top has {prev[1]} classes, "
+                             f"got n_classes={n_classes}")
+        codes = self.transform(modalities)
+        params, history = fit_label_top(
+            [], codes, labels, n_classes, n_hidden=n_hidden, epochs=epochs,
+            lr=lr, k=k, batch_size=batch_size, momentum=momentum, l2=l2,
+            seed=seed, params=prev[0] if prev else None)
+        self._label_top = (params, n_classes)
+        return history
+
+    def predict_generative(self, modalities: Dict[str, jax.Array]) -> jax.Array:
+        """Free-energy classification through the label-top RBM."""
+        if not hasattr(self, "_label_top"):
+            raise RuntimeError("MDBN.predict_generative called before "
+                               "fit_label_top")
+        from ..train.labeled import predict_label_top
+
+        params, n_classes = self._label_top
+        return predict_label_top(params, [], self.transform(modalities),
+                                 n_classes)
+
+    def class_posterior(self, modalities: Dict[str, jax.Array]) -> jax.Array:
+        """Exact p(y | modalities) under the associative model."""
+        if not hasattr(self, "_label_top"):
+            raise RuntimeError("MDBN.class_posterior called before "
+                               "fit_label_top")
+        from ..train.labeled import label_top_logits
+
+        params, n_classes = self._label_top
+        return jax.nn.softmax(label_top_logits(
+            params, [], self.transform(modalities), n_classes), axis=1)
+
     def finetune_updown(self, modalities: Dict[str, jax.Array],
                         epochs: int = 10, lr: float = 0.01, k: int = 1,
                         batch_size: int = 20, seed: int = 0):
@@ -317,6 +364,9 @@ class MDBN:
         save_head(getattr(self, "_head", None), directory)
         save_decoder(getattr(self, "_decoder", None), directory,
                      filename="mdbn_decoder.npz")
+        from .dbn import save_label_top
+
+        save_label_top(getattr(self, "_label_top", None), directory)
 
     @classmethod
     def load(cls, directory: str) -> "MDBN":
@@ -341,6 +391,11 @@ class MDBN:
         decoder = load_decoder(directory, filename="mdbn_decoder.npz")
         if decoder is not None:
             mdbn._decoder = decoder
+        from .dbn import load_label_top
+
+        label_top = load_label_top(directory)
+        if label_top is not None:
+            mdbn._label_top = label_top
         return mdbn
 
     @property

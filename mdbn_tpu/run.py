@@ -43,7 +43,10 @@ def build_data(spec: dict):
     kind = spec.get("kind", "mnist_like")
     kw = {k: v for k, v in spec.items() if k != "kind"}
     if kind == "mnist_like":
-        return synthetic.mnist_like(**kw), None, None
+        # generator prototype ids double as planted labels: enables
+        # ari_vs_planted, synthetic survival, and supervised finetune modes
+        data, labels = synthetic.mnist_like(**kw, return_labels=True)
+        return data, labels, None
     if kind == "bars_and_stripes":
         return synthetic.bars_and_stripes(**kw), None, None
     if kind == "tcga_like":
@@ -256,6 +259,28 @@ def main(argv=None):
                    "wake_mse_last": float(history[-1])}
             log.info("up-down fine-tune: wake mse %.5f -> %.5f",
                      history[0], history[-1])
+        elif mode == "label_top":
+            # associative label-top RBM (Hinton-Osindero-Teh 2006 §4):
+            # generative free-energy classifier; the pretrained stack is
+            # NOT modified
+            if labels is None:
+                raise ValueError(
+                    "'finetune': {'mode': 'label_top'} needs labels — use a "
+                    "synthetic data kind with planted labels or add "
+                    "'labels_path' (IDX1 file) to a mnist_idx data spec")
+            n_classes = int(spec.get("n_classes", int(np.max(labels)) + 1))
+            history = model.fit_label_top(
+                data, np.asarray(labels), n_classes,
+                n_hidden=int(spec.get("n_hidden", 64)), epochs=epochs,
+                lr=float(spec.get("lr", 0.1)), k=int(spec.get("k", 1)),
+                batch_size=int(spec.get("batch_size", 20)))
+            pred = np.asarray(model.predict_generative(data))
+            acc = float((pred == np.asarray(labels)[: len(pred)]).mean())
+            rec = {"kind": "finetune", "mode": "label_top", "epochs": epochs,
+                   "n_classes": n_classes, "err_first": float(history[0]),
+                   "err_last": float(history[-1]), "train_accuracy": acc}
+            log.info("label-top fit: code mse %.5f -> %.5f, train acc %.3f",
+                     history[0], history[-1], acc)
         elif mode == "classifier":
             if labels is None:
                 raise ValueError(
@@ -276,7 +301,8 @@ def main(argv=None):
                      history[0], history[-1], acc)
         else:
             raise ValueError(f"finetune mode must be 'autoencoder', "
-                             f"'classifier' or 'updown', got {mode!r}")
+                             f"'classifier', 'label_top' or 'updown', "
+                             f"got {mode!r}")
         _codes_cache.pop("codes", None)  # weights changed; codes are stale
         if mw is not None:
             mw.write(rec)
@@ -338,21 +364,44 @@ def main(argv=None):
             return
         codes = cohort_codes(model)
         spec = analysis["kmeans"]
+        score_key = None
         if spec == "auto":
             from .analysis.cluster import select_n_clusters
 
             k, scores, pred = select_n_clusters(
                 codes, k_min=int(analysis.get("k_min", 2)),
                 k_max=int(analysis.get("k_max", 8)))
+            score_key = "silhouette_scores"
             log.info("silhouette-selected k=%d (scores: %s)", k,
+                     {kk: round(s, 3) for kk, s in scores.items()})
+        elif spec == "consensus":
+            # Monti 2003 consensus clustering, k by minimum PAC — the TCGA
+            # literature's stability criterion (analysis/consensus.py)
+            from .analysis.consensus import select_n_clusters_consensus
+
+            k, scores, pred = select_n_clusters_consensus(
+                codes, k_min=int(analysis.get("k_min", 2)),
+                k_max=int(analysis.get("k_max", 8)),
+                n_resamples=int(analysis.get("consensus_resamples", 100)),
+                subsample=float(analysis.get("consensus_subsample", 0.8)))
+            score_key = "pac_scores"
+            log.info("consensus-selected k=%d (PAC: %s)", k,
                      {kk: round(s, 3) for kk, s in scores.items()})
         else:
             k, scores = int(spec), None
-            pred, _ = kmeans_cluster(codes, k, seed=0)
+            if analysis.get("consensus"):
+                from .analysis.consensus import consensus_cluster
+
+                pred, _ = consensus_cluster(
+                    codes, k,
+                    n_resamples=int(analysis.get("consensus_resamples", 100)),
+                    subsample=float(analysis.get("consensus_subsample", 0.8)))
+            else:
+                pred, _ = kmeans_cluster(codes, k, seed=0)
         rec = {"kind": "kmeans", "k": k,
                "cluster_sizes": np.bincount(pred, minlength=k).tolist()}
         if scores is not None:
-            rec["silhouette_scores"] = {str(kk): s for kk, s in scores.items()}
+            rec[score_key] = {str(kk): s for kk, s in scores.items()}
         if labels is not None:
             rec["ari_vs_planted"] = adjusted_rand_index(labels, pred)
             log.info("k-means ARI vs planted clusters: %.3f", rec["ari_vs_planted"])

@@ -392,3 +392,40 @@ def test_cli_finetune_updown(tmp_path):
     assert ft and ft[0]["mode"] == "updown"
     assert np.isfinite(ft[0]["wake_mse_last"])
     assert hasattr(DBN.load(str(tmp_path / "model")), "_gen")
+
+
+def test_cli_finetune_label_top(tmp_path):
+    """CLI-driven associative label-top RBM (generative classifier) from
+    real IDX image+label fixtures, persisting through --save."""
+    import json
+
+    from mdbn_tpu.config import DBNConfig, save_config
+    from mdbn_tpu.models.dbn import DBN
+    from mdbn_tpu.run import main
+
+    rng = np.random.default_rng(5)
+    n = 120
+    labels = rng.integers(0, 2, n).astype(np.uint8)
+    base = np.where(labels[:, None] == 1, 200, 40)
+    images = (base + rng.integers(0, 40, (n, 64))).clip(0, 255)
+    idx = tmp_path / "images-idx3-ubyte"
+    _write_idx(idx, images.reshape(n, 8, 8).astype(np.uint8))
+    lab = tmp_path / "labels-idx1-ubyte"
+    _write_idx_labels(str(lab), labels)
+
+    save_config({
+        "model": DBNConfig(layer_sizes=[16, 8], epochs=5, batch_size=20,
+                           engine="xla", seed=0),
+        "data": {"kind": "mnist_idx", "path": str(idx),
+                 "labels_path": str(lab), "binarize": "threshold"},
+        "finetune": {"mode": "label_top", "epochs": 30, "lr": 0.2,
+                     "n_classes": 2, "n_hidden": 16},
+    }, str(tmp_path / "exp.json"))
+    assert main(["--config", str(tmp_path / "exp.json"),
+                 "--metrics", str(tmp_path / "m.jsonl"),
+                 "--save", str(tmp_path / "model")]) == 0
+    recs = [json.loads(l) for l in open(tmp_path / "m.jsonl")]
+    ft = [r for r in recs if r["kind"] == "finetune"]
+    assert ft and ft[0]["mode"] == "label_top"
+    assert ft[0]["train_accuracy"] > 0.9
+    assert hasattr(DBN.load(str(tmp_path / "model")), "_label_top")
