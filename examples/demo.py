@@ -34,7 +34,7 @@ def main():
     import matplotlib.pyplot as plt
 
     # ---- 1. Bernoulli RBM on binarized MNIST-like digits -------------------
-    print("[1/4] Bernoulli RBM on MNIST-like data ...")
+    print("[1/6] Bernoulli RBM on MNIST-like data ...")
     data = mnist_like(2000, seed=2)
     rbm = RBM(RBMConfig(n_visible=784, n_hidden=100, k=1, lr=0.1,
                         epochs=args.epochs, batch_size=20, seed=0))
@@ -77,7 +77,7 @@ def main():
           f"{ll['mean_log_likelihood']:.1f} nats")
 
     # ---- 2. 3-modality MDBN on TCGA-like multi-omics -----------------------
-    print("[2/4] 3-modality MDBN on TCGA-like data ...")
+    print("[2/6] 3-modality MDBN on TCGA-like data ...")
     mods, labels = tcga_like(n_patients=400, n_clusters=3, seed=1)
     towers = {
         "ge": DBNConfig(layer_sizes=[400, 100], visible="gaussian",
@@ -105,7 +105,7 @@ def main():
     fig.savefig(os.path.join(args.outdir, "mdbn_training.png"), dpi=100)
 
     # ---- 3. Latent extraction + k-means patient clustering -----------------
-    print("[3/4] joint latent codes -> on-device k-means ...")
+    print("[3/6] joint latent codes -> on-device k-means ...")
     codes = extract_latent(mdbn, mods)
     pred, _ = kmeans_cluster_jax(codes, 3, seed=0)
     ari = adjusted_rand_index(labels, pred)
@@ -142,7 +142,7 @@ def main():
     fig.savefig(os.path.join(args.outdir, "survival.png"), dpi=100)
 
     # ---- 4. deep-autoencoder fine-tuning (Hinton & Salakhutdinov 2006) ------
-    print("[4/4] deep-autoencoder fine-tuning of a DBN ...")
+    print("[4/6] deep-autoencoder fine-tuning of a DBN ...")
     dbn = DBN(DBNConfig(layer_sizes=[128, 32], epochs=max(3, args.epochs // 3),
                         batch_size=20, seed=0)).train(data)
     before = np.asarray(dbn.reconstruct(data[:8]))
@@ -164,6 +164,60 @@ def main():
     axes[2, 0].set_title(f"AE fine-tuned (MSE {mse_after:.3f})", loc="left")
     fig.tight_layout()
     fig.savefig(os.path.join(args.outdir, "autoencoder.png"), dpi=100)
+
+    # ---- 5. up-down fine-tuning + label-top class-conditional dreams --------
+    print("[5/6] up-down fine-tuning + associative label-top RBM ...")
+    data_l, digits = mnist_like(2000, seed=2, return_labels=True)
+    gdbn = DBN(DBNConfig(layer_sizes=[128, 32], epochs=max(3, args.epochs // 3),
+                         batch_size=20, seed=0)).train(data_l)
+    ud_hist = gdbn.finetune_updown(data_l, epochs=10, lr=0.01)
+    print(f"    up-down wake mse {ud_hist[0]:.4f} -> {ud_hist[-1]:.4f}")
+    lt_hist = gdbn.fit_label_top(data_l, digits, n_classes=10, n_hidden=64,
+                                 epochs=15, lr=0.1)
+    acc = float(np.mean(np.asarray(gdbn.predict_generative(data_l))
+                        == np.asarray(digits)))
+    print(f"    label-top free-energy classifier train acc: {acc:.3f}")
+    fig, axes = plt.subplots(4, 10, figsize=(13, 5.5))
+    for y in range(10):
+        dreams_y = np.asarray(gdbn.generate_class(y, n_samples=3,
+                                                  n_gibbs=300, seed=y))
+        proto = np.asarray(data_l)[np.asarray(digits) == y]
+        axes[0, y].imshow(proto[0].reshape(28, 28), cmap="gray")
+        axes[0, y].set_title(f"class {y}", fontsize=8)
+        for r in range(3):
+            axes[r + 1, y].imshow(dreams_y[r].reshape(28, 28), cmap="gray")
+        for r in range(4):
+            axes[r, y].axis("off")
+    fig.suptitle("class-conditional dreams: clamp one label unit, Gibbs the "
+                 "label top, down-pass the untied generative weights "
+                 "(row 1 = a real sample of each class)")
+    fig.tight_layout()
+    fig.savefig(os.path.join(args.outdir, "class_dreams.png"), dpi=100)
+
+    # ---- 6. consensus clustering (Monti 2003) of the MDBN cohort ------------
+    print("[6/6] consensus clustering of the joint codes ...")
+    from mdbn_tpu.analysis.consensus import select_n_clusters_consensus
+
+    best_k, pac, cons_pred = select_n_clusters_consensus(
+        codes, k_min=2, k_max=6, n_resamples=80)
+    cons_ari = adjusted_rand_index(labels, cons_pred)
+    print(f"    PAC-selected k={best_k} "
+          f"(PAC: { {k: round(v, 3) for k, v in pac.items()} }), "
+          f"ARI={cons_ari:.3f}")
+    from mdbn_tpu.analysis.consensus import consensus_matrix
+
+    M = consensus_matrix(codes, best_k, n_resamples=80)
+    order = np.argsort(cons_pred)
+    fig, axes = plt.subplots(1, 2, figsize=(11, 4.2))
+    im = axes[0].imshow(M[order][:, order], cmap="viridis", vmin=0, vmax=1)
+    axes[0].set(title=f"consensus matrix (patients ordered by cluster), "
+                      f"k={best_k}")
+    fig.colorbar(im, ax=axes[0], fraction=0.046)
+    axes[1].plot(list(pac), [pac[k] for k in pac], "o-")
+    axes[1].set(title="PAC by k (lower = more stable)", xlabel="k",
+                ylabel="PAC")
+    fig.tight_layout()
+    fig.savefig(os.path.join(args.outdir, "consensus.png"), dpi=100)
 
     print(f"figures saved to {args.outdir}/")
 
