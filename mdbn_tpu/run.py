@@ -438,6 +438,20 @@ def main(argv=None):
             rec["logrank"] = lr
             log.info("log-rank test across clusters: chi2=%.2f p=%.2e",
                      lr["chi2"], lr["p_value"])
+            if isinstance(surv_spec, dict) and surv_spec.get("cox"):
+                # covariate-adjusted effect sizes: hazard ratio of each
+                # cluster vs the baseline (analysis/survival.cox_ph_clusters)
+                from .analysis.survival import cox_ph_clusters
+
+                cox = cox_ph_clusters(times, events, pred,
+                                      baseline=int(surv_spec.get("cox_baseline", 0)))
+                rec["cox"] = {k: cox[k] for k in
+                              ("clusters", "hazard_ratio", "ci95_low",
+                               "ci95_high", "p_wald", "lr_chi2", "lr_p",
+                               "converged")}
+                log.info("Cox hazard ratios vs baseline: %s (LR p=%.2e)",
+                         [round(h, 3) for h in cox["hazard_ratio"]],
+                         cox["lr_p"])
         if mw is not None:
             mw.write(rec)
         print(json.dumps(rec))
