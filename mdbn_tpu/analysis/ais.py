@@ -588,6 +588,194 @@ def dbn_log_likelihood_bound(
     }
 
 
+def _labeled_anneal_kernel(params: RBMParams, a_base: jax.Array, n_code: int):
+    """(log_p_star, gibbs_sweep) closures for the ASSOCIATIVE label-top
+    anneal. The visible layer is [Bernoulli code block ; one-hot label
+    block] (train/labeled.py): the geometric interpolation and log p* are
+    the Bernoulli path's formulas unchanged, but the support restriction to
+    one-hot labels changes the TRANSITIONS (the label block is one
+    categorical draw per row at every beta) and the base log Z."""
+    a_B, c = params.b, params.c
+    n_classes = params.W.shape[0] - n_code
+
+    def log_p_star(v, beta):
+        quad = (1.0 - beta) * (v @ a_base) + beta * (v @ a_B)
+        hid = jnp.sum(jax.nn.softplus(beta * (v @ params.W + c)), axis=1)
+        return quad + hid
+
+    def sweep(k, v, beta):
+        kh, kv, kl = jax.random.split(k, 3)
+        hp = jax.nn.sigmoid(beta * (v @ params.W + c))
+        h = (jax.random.uniform(kh, hp.shape) < hp).astype(v.dtype)
+        pre = (1.0 - beta) * a_base + beta * (h @ params.W.T + a_B)
+        cp = jax.nn.sigmoid(pre[:, :n_code])
+        code = (jax.random.uniform(kv, cp.shape) < cp).astype(v.dtype)
+        # Gumbel-max categorical draw of the one-hot label block
+        g = -jnp.log(-jnp.log(jax.random.uniform(
+            kl, (v.shape[0], n_classes), jnp.float32, 1e-20, 1.0)))
+        label = jax.nn.one_hot(jnp.argmax(pre[:, n_code:] + g, axis=1),
+                               n_classes, dtype=v.dtype)
+        return jnp.concatenate([code, label], axis=1)
+
+    return log_p_star, sweep
+
+
+@partial(jax.jit, static_argnums=(2, 4, 5, 6, 7))
+def _ais_forward_labeled(params, a_base, n_code, key, n_chains, n_betas,
+                         n_sweeps, schedule):
+    n_classes = params.W.shape[0] - n_code
+    betas = anneal_betas(n_betas, schedule)
+    log_p_star, sweep = _labeled_anneal_kernel(params, a_base, n_code)
+
+    k0, kl0, kscan = jax.random.split(key, 3)
+    p0 = jax.nn.sigmoid(a_base[:n_code])
+    code = (jax.random.uniform(k0, (n_chains, n_code)) < p0).astype(
+        params.W.dtype)
+    g = -jnp.log(-jnp.log(jax.random.uniform(
+        kl0, (n_chains, n_classes), jnp.float32, 1e-20, 1.0)))
+    label = jax.nn.one_hot(jnp.argmax(a_base[n_code:] + g, axis=1),
+                           n_classes, dtype=params.W.dtype)
+    v = jnp.concatenate([code, label], axis=1)
+    v, logw = _anneal_scan(log_p_star, sweep, v, betas, kscan, n_sweeps)
+
+    # base log Z: independent code bits x one categorical label group,
+    # times 2^H for the unwired hidden units
+    log_z_a = (jnp.sum(jax.nn.softplus(a_base[:n_code]))
+               + jax.scipy.special.logsumexp(a_base[n_code:])
+               + params.W.shape[1] * jnp.log(2.0))
+    log_z = log_z_a + jax.scipy.special.logsumexp(logw) - jnp.log(n_chains)
+    return log_z, logw
+
+
+def ais_log_z_labeled(
+    params: RBMParams,
+    a_base: jax.Array,  # [n_code + n_classes] base biases (label block =
+                        # categorical logits of the base label distribution)
+    n_code: int,
+    key: jax.Array,
+    n_chains: int = 256,
+    n_betas: int = 1000,
+    n_sweeps: int = 1,
+    schedule: str = "uniform",
+) -> Tuple[jax.Array, jax.Array]:
+    """AIS log Z of an associative label-top RBM over its TRUE support
+    {0,1}^n_code x {one-hot labels}. Returns (log_z_estimate, log_weights)."""
+    return _ais_forward_labeled(params, a_base, int(n_code), key, n_chains,
+                                n_betas, n_sweeps, schedule)
+
+
+def exact_log_z_labeled(params: RBMParams, n_code: int,
+                        n_classes: int) -> float:
+    """Brute-force log Z of an associative label-top RBM over its one-hot
+    label support (``exact_log_z`` would overcount non-one-hot label
+    configurations). Needs n_code <= ~14."""
+    import numpy as np
+    from scipy.special import logsumexp
+
+    W = np.asarray(params.W, np.float64)
+    b = np.asarray(params.b, np.float64)
+    c = np.asarray(params.c, np.float64)
+    if W.shape[0] != n_code + n_classes:
+        raise ValueError(f"W has visible {W.shape[0]}, expected "
+                         f"{n_code} + {n_classes}")
+    if n_code > 14:
+        raise ValueError("exact enumeration needs n_code <= 14")
+    S = ((np.arange(2 ** n_code)[:, None] >> np.arange(n_code)) & 1).astype(
+        np.float64)
+    pre = S @ W[:n_code] + c[None, :]                              # [Ns, H]
+    hid = np.logaddexp(0.0, pre[:, None, :] + W[n_code:][None, :, :]).sum(
+        axis=2)                                                     # [Ns, C]
+    neg_f = S @ b[:n_code, None] + b[n_code:][None, :] + hid
+    return float(logsumexp(neg_f))
+
+
+def labeled_dbn_log_likelihood_bound(
+    layers,  # [(RBMParams, RBMConfig)] bottom -> top, ALL directed
+    label_top: RBMParams,
+    n_classes: int,
+    data: jax.Array,
+    key: Optional[jax.Array] = None,
+    n_samples: int = 32,
+    n_chains: int = 256,
+    n_betas: int = 1000,
+    n_sweeps: int = 1,
+    schedule: str = "uniform",
+    gen=None,  # untied generative [(W, b)] for EVERY stack layer
+) -> dict:
+    """Variational lower bound on log p(v) under the COMPLETE labeled 2006
+    model (train/updown.finetune_updown_labeled): every stack layer is
+    directed and the associative label-top RBM is the undirected top. Same
+    Salakhutdinov-Murray section-4 structure as dbn_log_likelihood_bound,
+    with the label MARGINALIZED exactly at the top —
+    log p*(h^L) = logsumexp_y -F_top([h^L ; e_y]) (C terms) — and log Z_top
+    from AIS over the label top's one-hot-restricted support
+    (:func:`ais_log_z_labeled`; the label block's base distribution is the
+    uniform categorical)."""
+    if not layers:
+        raise ValueError("needs >= 1 directed layer below the label top")
+    n_code = layers[-1][0].W.shape[1]
+    if label_top.W.shape[0] != n_code + n_classes:
+        raise ValueError(f"label top has visible {label_top.W.shape[0]}, "
+                         f"expected {n_code} + {n_classes}")
+    if gen is not None and len(gen) != len(layers):
+        raise ValueError(f"gen has {len(gen)} entries, expected one per "
+                         f"stack layer ({len(layers)})")
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    data = jnp.asarray(data, layers[0][0].W.dtype)
+    kais, kq = jax.random.split(key)
+
+    # base the anneal at the aggregate posterior's code marginals; the label
+    # base is uniform (labels are unobserved at evaluation time)
+    reps = data
+    for p, cfg in layers:
+        reps = jax.nn.sigmoid(reps @ p.W + p.c)
+    a_base = jnp.concatenate([base_rate_biases(reps),
+                              jnp.zeros((n_classes,), jnp.float32)])
+    log_z_top, logw = ais_log_z_labeled(label_top, a_base, n_code, kais,
+                                        n_chains, n_betas, n_sweeps, schedule)
+
+    from ..train.labeled import _class_free_energy_fn
+
+    neg_f = _class_free_energy_fn(int(n_code), int(n_classes))
+
+    def one_pass(k, v):
+        """One stochastic up-pass: log p*(path) - log Q(path), the label
+        summed out exactly at the top."""
+        eps = 1e-7
+        h = v
+        total = jnp.zeros(v.shape[0], jnp.float32)
+        for li, (p, cfg) in enumerate(layers):
+            k, kl = jax.random.split(k)
+            q = jnp.clip(jax.nn.sigmoid(h @ p.W + p.c), eps, 1.0 - eps)
+            hs = (jax.random.uniform(kl, q.shape) < q).astype(v.dtype)
+            total -= jnp.sum(hs * jnp.log(q) + (1 - hs) * jnp.log1p(-q), axis=1)
+            Wg, bg = gen[li] if gen is not None else (p.W, p.b)
+            mean_down = hs @ Wg.T + bg
+            if cfg.visible == "gaussian":
+                d = h - mean_down
+                total += -0.5 * jnp.sum(d * d, axis=1) \
+                    - 0.5 * h.shape[1] * jnp.log(2.0 * jnp.pi)
+            else:
+                pd = jnp.clip(jax.nn.sigmoid(mean_down), eps, 1.0 - eps)
+                total += jnp.sum(h * jnp.log(pd) + (1 - h) * jnp.log1p(-pd),
+                                 axis=1)
+            h = hs
+        total += jax.scipy.special.logsumexp(neg_f(label_top, h), axis=1)
+        return total
+
+    keys = jax.random.split(kq, n_samples)
+    samples = jax.jit(
+        lambda ks, v: jax.lax.map(lambda k: one_pass(k, v), ks))(keys, data)
+    bound = jnp.mean(samples) - log_z_top
+    return {
+        "log_z_top": float(log_z_top),
+        "mean_log_likelihood_bound": float(bound),
+        "logw_std": float(jnp.std(logw)),
+        "mc_std": float(jnp.std(jnp.mean(samples, axis=1))),
+    }
+
+
 def exact_dbn_log_likelihood(layers, data, gen=None) -> float:
     """Exact mean log-likelihood of a SMALL DBN by full enumeration.
 
@@ -675,6 +863,100 @@ def exact_dbn_log_likelihood(layers, data, gen=None) -> float:
                 - 0.5 * X.shape[1] * np.log(2.0 * np.pi))
     ll = logsumexp(logp + f[None, :], axis=1)            # [N]
     return float(np.mean(ll) - exact_log_z(top_params))
+
+
+def exact_labeled_dbn_log_likelihood(layers, label_top, data, labels,
+                                     n_classes: int, gen=None) -> float:
+    """Exact mean JOINT log-likelihood log p(v, y) of a small labeled DBN.
+
+    The complete 2006 model (train/updown.finetune_updown_labeled): ALL
+    ``layers`` are directed sigmoid layers; ``label_top`` is the undirected
+    associative RBM over [top code ; one-hot label]. Enumeration:
+
+        log p(v, y) = logsumexp_s [ log p(v | h^L = s) - F_top([s ; e_y]) ]
+                      - log Z_top,
+
+    with log p(v | s) by the same per-adjacent-pair message passing as
+    ``exact_dbn_log_likelihood``. With ``labels=None`` the label is summed
+    out too, giving the exact MARGINAL log p(v) — the ground truth for
+    :func:`labeled_dbn_log_likelihood_bound`. Layer widths and the top's
+    hidden must be <= ~14 bits.
+    """
+    import numpy as np
+    from scipy.special import logsumexp
+
+    X = np.asarray(data, np.float64)
+    if labels is not None:
+        labels = np.asarray(labels, int)
+        if X.shape[0] != labels.shape[0]:
+            raise ValueError(
+                f"data rows {X.shape[0]} != labels {labels.shape[0]}")
+        if labels.min() < 0 or labels.max() >= n_classes:
+            raise ValueError(f"labels out of range for n_classes={n_classes}")
+    if not layers:
+        raise ValueError("needs >= 1 directed layer below the label top")
+    n_code = layers[-1][0].W.shape[1]
+    if label_top.W.shape[0] != n_code + n_classes:
+        raise ValueError(f"label top has visible {label_top.W.shape[0]}, "
+                         f"expected {n_code} + {n_classes}")
+    if gen is None:
+        gen = [(p.W, p.b) for p, _ in layers]
+    elif len(gen) != len(layers):
+        raise ValueError(f"gen has {len(gen)} layers, stack has {len(layers)}")
+
+    def states(n):
+        if n > 14:
+            raise ValueError(f"exact enumeration needs widths <= 14 (got {n})")
+        return ((np.arange(2 ** n)[:, None] >> np.arange(n)) & 1).astype(
+            np.float64)
+
+    def bern_cond_logp(S, T, W, b):
+        pre = T @ W.T + b[None, :]
+        return (S @ (-np.logaddexp(0.0, -pre)).T
+                + (1.0 - S) @ (-np.logaddexp(0.0, pre)).T)
+
+    # G[n, s] = log p(v_n | top code state s): fold directed layers top-down
+    M = None
+    for li in range(len(layers) - 1, 0, -1):
+        W, b = (np.asarray(gen[li][0], np.float64),
+                np.asarray(gen[li][1], np.float64))
+        cond = bern_cond_logp(states(W.shape[0]), states(W.shape[1]), W, b)
+        M = cond if M is None else logsumexp(
+            cond[:, :, None] + M[None, :, :], axis=1)
+    W0, b0 = (np.asarray(gen[0][0], np.float64),
+              np.asarray(gen[0][1], np.float64))
+    T = states(W0.shape[1])
+    cfg0 = layers[0][1]
+    if cfg0.visible == "bernoulli":
+        logp = bern_cond_logp(X, T, W0, b0)
+    else:
+        mean = T @ W0.T + b0[None, :]
+        d = X[:, None, :] - mean[None, :, :]
+        logp = (-0.5 * np.sum(d * d, axis=2)
+                - 0.5 * X.shape[1] * np.log(2.0 * np.pi))
+    G = logp if M is None else logsumexp(logp[:, :, None] + M[None, :, :],
+                                         axis=1)                # [N, 2^code]
+
+    # -F_top([s ; e_y]) for every (code state, class)
+    Wt = np.asarray(label_top.W, np.float64)
+    bt = np.asarray(label_top.b, np.float64)
+    ct = np.asarray(label_top.c, np.float64)
+    S = states(n_code)
+    pre = S @ Wt[:n_code] + ct[None, :]                          # [Ns, H]
+    hid = np.logaddexp(0.0, pre[:, None, :] + Wt[n_code:][None, :, :]).sum(
+        axis=2)                                                   # [Ns, C]
+    neg_f = S @ bt[:n_code, None] + bt[n_code:][None, :] + hid    # [Ns, C]
+
+    # the label block is a SOFTMAX group: the model's support is
+    # {0,1}^code x {one-hot labels}, so Z sums -F over exactly that grid
+    # (exact_log_z would overcount non-one-hot label configurations)
+    log_z_top = logsumexp(neg_f)
+    if labels is None:  # marginal: sum over (code state, class) jointly
+        ll = logsumexp(G[:, :, None] + neg_f[None, :, :],
+                       axis=(1, 2)) - log_z_top
+    else:
+        ll = logsumexp(G + neg_f[:, labels].T, axis=1) - log_z_top
+    return float(np.mean(ll))
 
 
 def exact_mdbn_log_likelihood(towers, joint, modalities, gen=None) -> float:

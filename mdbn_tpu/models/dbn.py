@@ -208,6 +208,41 @@ class DBN:
         self._gen = gen
         return history
 
+    def finetune_updown_labeled(self, data, labels, epochs: int = 10,
+                                lr: float = 0.01, k: int = 1,
+                                batch_size: Optional[int] = None,
+                                seed: int = 0):
+        """The COMPLETE Hinton-Osindero-Teh 2006 fine-tuning: up-down over
+        the whole stack with the associative label top (fit_label_top must
+        run first) as the undirected top — wake clamps the true label,
+        sleep dreams code AND label. Unties every stack layer's
+        recognition/generative weights and tunes the label top;
+        predict_generative/class_posterior/generate_class then read the
+        tuned associative model. Returns per-epoch wake mse history."""
+        if not hasattr(self, "_label_top"):
+            raise RuntimeError("DBN.finetune_updown_labeled called before "
+                               "fit_label_top")
+        from ..train.updown import finetune_updown_labeled
+
+        top, n_classes = self._label_top
+        prev_gen = getattr(self, "_gen", None)
+        if prev_gen is not None and len(prev_gen) != len(self.layers):
+            raise ValueError(
+                f"stored generative weights cover {len(prev_gen)} layers but "
+                f"labeled up-down unties all {len(self.layers)} (they came "
+                "from unlabeled finetune_updown, which keeps the stack's own "
+                "top RBM undirected); rerun from pretrained weights")
+        rec, gen, top, history = finetune_updown_labeled(
+            [(r.params, r.cfg) for r in self.layers], top, data, labels,
+            n_classes, epochs=epochs, lr=lr, k=k,
+            batch_size=batch_size or self.cfg.batch_size, seed=seed,
+            gen=prev_gen)
+        for rbm, new_params in zip(self.layers, rec):
+            rbm.state = rbm.state._replace(params=new_params)
+        self._gen = gen
+        self._label_top = (top, n_classes)
+        return history
+
     def reconstruct(self, v) -> jax.Array:
         """Deterministic encode->decode through the whole stack: the untied
         fine-tuned decoder after finetune_autoencoder(), else the tied W^T
@@ -222,7 +257,23 @@ class DBN:
     def generate(self, n_samples: int = 16, n_gibbs: int = 200, seed: int = 0) -> jax.Array:
         """Sample from the DBN: Gibbs in the top RBM, mean-field down-pass.
         After finetune_updown() the down-pass uses the untied generative
-        weights (the 2006 directed generative model)."""
+        weights (the 2006 directed generative model). After
+        finetune_updown_labeled() EVERY stack layer is directed and the
+        undirected top is the associative label-top RBM, so generation
+        Gibbs-samples (code, label) there — the label marginalized by
+        softmax sampling — and dreams down through all generative layers."""
+        gen = getattr(self, "_gen", None)
+        if gen is not None and len(gen) == len(self.layers):
+            if not hasattr(self, "_label_top"):
+                raise RuntimeError(
+                    "generative weights cover every layer (labeled up-down) "
+                    "but no label top is stored; the undirected top is gone")
+            from ..train.labeled import generate_labeled_model
+
+            params, n_classes = self._label_top
+            return generate_labeled_model(
+                params, self._generative_layers(), n_classes,
+                n_samples=n_samples, n_gibbs=n_gibbs, seed=seed)
         from ..ops.sample import generate_from_stack
 
         return generate_from_stack(self._generative_layers(),

@@ -214,11 +214,22 @@ def main(argv=None):
             if analysis.get("ais_bracket"):
                 log.warning("'ais_bracket' is only defined for single-RBM "
                             "configs; running the one-sided DBN bound")
-            out = ais_mod.dbn_log_likelihood_bound(
-                [(r.params, r.cfg) for r in model.layers], sample, **kw,
-                # after up-down fine-tuning the top-down terms use the
-                # untied generative weights (train/updown.py)
-                gen=getattr(model, "_gen", None))
+            gen = getattr(model, "_gen", None)
+            if (model_cls is DBN and gen is not None
+                    and len(gen) == len(model.layers)):
+                # labeled up-down made EVERY stack layer directed; the
+                # undirected top is the label-top RBM, so the bound must
+                # marginalize the softmax label block (analysis/ais.py)
+                top, n_classes = model._label_top
+                out = ais_mod.labeled_dbn_log_likelihood_bound(
+                    [(r.params, r.cfg) for r in model.layers], top,
+                    n_classes, sample, **kw, gen=gen)
+            else:
+                out = ais_mod.dbn_log_likelihood_bound(
+                    [(r.params, r.cfg) for r in model.layers], sample, **kw,
+                    # after up-down fine-tuning the top-down terms use the
+                    # untied generative weights (train/updown.py)
+                    gen=gen)
         rec = {"kind": "ais", "n_rows": int(len(sample)), **out}
         log.info("AIS evaluation: %s", {k: round(v, 3) for k, v in out.items()})
         if mw is not None:
@@ -281,6 +292,41 @@ def main(argv=None):
                    "err_last": float(history[-1]), "train_accuracy": acc}
             log.info("label-top fit: code mse %.5f -> %.5f, train acc %.3f",
                      history[0], history[-1], acc)
+        elif mode == "updown_labeled":
+            # the COMPLETE 2006 fine-tuning: up-down over the whole stack
+            # with the associative label top undirected — wake clamps the
+            # true label, sleep dreams code AND label (DBN only)
+            if labels is None:
+                raise ValueError(
+                    "'finetune': {'mode': 'updown_labeled'} needs labels — "
+                    "use a synthetic data kind with planted labels or add "
+                    "'labels_path' (IDX1 file) to a mnist_idx data spec")
+            if model_cls is MDBN:
+                raise ValueError(
+                    "'updown_labeled' is DBN-only (the MDBN's undirected "
+                    "top is its joint RBM; use 'label_top' + 'updown' there)")
+            if not hasattr(model, "_label_top"):
+                # the label top is a prerequisite; fit it here with the
+                # block's knobs so one config block drives the whole phase
+                model.fit_label_top(
+                    data, np.asarray(labels),
+                    int(spec.get("n_classes", int(np.max(labels)) + 1)),
+                    n_hidden=int(spec.get("n_hidden", 64)),
+                    epochs=int(spec.get("label_top_epochs", 20)),
+                    lr=float(spec.get("label_top_lr", 0.1)),
+                    batch_size=int(spec.get("batch_size", 20)))
+            history = model.finetune_updown_labeled(
+                data, np.asarray(labels), epochs=epochs,
+                lr=float(spec.get("lr", 0.01)), k=int(spec.get("k", 1)),
+                batch_size=int(spec.get("batch_size", 20)))
+            pred = np.asarray(model.predict_generative(data))
+            acc = float((pred == np.asarray(labels)[: len(pred)]).mean())
+            rec = {"kind": "finetune", "mode": "updown_labeled",
+                   "epochs": epochs, "wake_mse_first": float(history[0]),
+                   "wake_mse_last": float(history[-1]),
+                   "train_accuracy": acc}
+            log.info("labeled up-down: wake mse %.5f -> %.5f, train acc %.3f",
+                     history[0], history[-1], acc)
         elif mode == "classifier":
             if labels is None:
                 raise ValueError(
@@ -301,8 +347,8 @@ def main(argv=None):
                      history[0], history[-1], acc)
         else:
             raise ValueError(f"finetune mode must be 'autoencoder', "
-                             f"'classifier', 'label_top' or 'updown', "
-                             f"got {mode!r}")
+                             f"'classifier', 'label_top', 'updown' or "
+                             f"'updown_labeled', got {mode!r}")
         _codes_cache.pop("codes", None)  # weights changed; codes are stale
         if mw is not None:
             mw.write(rec)

@@ -193,6 +193,56 @@ def predict_label_top(params: RBMParams, layers, x, n_classes: int) -> jax.Array
     return jnp.argmax(label_top_logits(params, layers, x, n_classes), axis=1)
 
 
+def generate_labeled_model(
+    params: RBMParams,
+    layers,
+    n_classes: int,
+    n_samples: int = 16,
+    n_gibbs: int = 200,
+    seed: int = 0,
+) -> jax.Array:
+    """Unconditional dreams from the COMPLETE labeled 2006 model (after
+    finetune_updown_labeled every stack layer is directed and the label top
+    is the only undirected module): Gibbs over (code, label, hidden) in the
+    associative top with the label block softmax-sampled — the same negative
+    dynamics labeled up-down's sleep phase uses — then the mean-field
+    down-pass through ALL generative layers. Returns
+    [n_samples, n_visible_bottom]."""
+    n_code = params.W.shape[0] - n_classes
+    key = jax.random.PRNGKey(seed)
+    key, kinit, klab = jax.random.split(key, 3)
+    code = (jax.random.uniform(kinit, (n_samples, n_code)) < 0.5).astype(
+        jnp.float32)
+    label = _softmax_sample(klab, jnp.zeros((n_samples, n_classes)))
+
+    @jax.jit
+    def run(params, code, label, key):
+        def one(carry, k):
+            code, label = carry
+            k1, k2, k3 = jax.random.split(k, 3)
+            v = jnp.concatenate([code, label], axis=1)
+            hp = jax.nn.sigmoid(v @ params.W + params.c)
+            h = (jax.random.uniform(k1, hp.shape) < hp).astype(jnp.float32)
+            pre = h @ params.W.T + params.b
+            cm = jax.nn.sigmoid(pre[:, :n_code])
+            code = (jax.random.uniform(k2, cm.shape) < cm).astype(jnp.float32)
+            label = _softmax_sample(k3, pre[:, n_code:])
+            return (code, label), cm
+
+        _, cms = jax.lax.scan(one, (code, label),
+                              jax.random.split(key, n_gibbs))
+        return cms[-1]
+
+    code_mean = run(params, code, label, key)
+    if not layers:
+        return code_mean
+    from ..ops.sample import _down_pass_fn
+
+    params_list = [p for p, _ in reversed(list(layers))]
+    cfgs = tuple(c for _, c in reversed(list(layers)))
+    return _down_pass_fn(cfgs)(params_list, code_mean)
+
+
 def generate_class_conditional(
     params: RBMParams,
     layers,

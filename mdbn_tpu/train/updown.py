@@ -188,6 +188,170 @@ def finetune_updown_stack(
     return list(rec), list(gen), top_params, history
 
 
+# --- labeled up-down: the COMPLETE Hinton-Osindero-Teh 2006 algorithm --------
+#
+# The 2006 MNIST network fine-tunes the whole stack with the labels attached
+# to the associative top RBM (visible = [top code ; one-hot label]): wake
+# clamps the TRUE label while the top RBM does CD, sleep dreams both the
+# code and the label. Every stack layer is directed below the label top.
+# After this phase the free-energy classifier (train.labeled) reads the
+# tuned associative memory, and class-conditional generation dreams through
+# the untied generative weights.
+
+
+@lru_cache(maxsize=None)
+def _updown_labeled_epoch_fn(cfgs: Tuple[RBMConfig, ...], n_code: int,
+                             n_classes: int, lr: float, k: int):
+    """One jitted epoch of labeled up-down. ``cfgs`` = ALL stack layers'
+    configs bottom-up (all directed); the label top is the undirected top."""
+    L = len(cfgs)
+
+    def step(params, xs):
+        rec, gen, top = params
+        v0, onehot, key = xs
+        B = v0.shape[0]
+        keys = jax.random.split(key, L + 3 * k + 1 + L)
+
+        # --- wake: stochastic up-pass through recognition weights ---
+        s = [v0]
+        for l in range(L):
+            p_up = hidden_mean(rec[l], s[l], cfgs[l])
+            s.append(_bern(keys[l], p_up))
+        new_gen = []
+        wake_err = None
+        for l in range(L):
+            p_down = _down_mean(gen[l], s[l + 1], cfgs[l])
+            resid = s[l] - p_down
+            W, b = gen[l]
+            new_gen.append((W + (lr / B) * (resid.T @ s[l + 1]),
+                            b + lr * resid.mean(axis=0)))
+            if l == 0:
+                d = v0 - p_down
+                wake_err = jnp.mean(d * d)
+
+        # --- associative top RBM: CD-k with the true label CLAMPED in the
+        # positive phase and the label block softmax-dreamed in the negative
+        vt = jnp.concatenate([s[L], onehot], axis=1)
+        h0p = jax.nn.sigmoid(vt @ top.W + top.c)
+        h = _bern(keys[L], h0p)
+        vneg, hkp = vt, h0p
+        for t in range(k):
+            pre = h @ top.W.T + top.b
+            code_mean = jax.nn.sigmoid(pre[:, :n_code])
+            code_s = _bern(keys[L + 1 + 3 * t], code_mean)
+            # Gumbel-max one-hot draw of the dreamed label
+            g = -jnp.log(-jnp.log(jax.random.uniform(
+                keys[L + 2 + 3 * t], (B, n_classes), jnp.float32,
+                1e-20, 1.0)))
+            label_s = jax.nn.one_hot(
+                jnp.argmax(pre[:, n_code:] + g, axis=1), n_classes,
+                dtype=jnp.float32)
+            vneg = jnp.concatenate([code_s, label_s], axis=1)
+            hkp = jax.nn.sigmoid(vneg @ top.W + top.c)
+            h = _bern(keys[L + 3 + 3 * t], hkp)
+        top = RBMParams(
+            W=top.W + (lr / B) * (vt.T @ h0p - vneg.T @ hkp),
+            b=top.b + lr * (vt - vneg).mean(axis=0),
+            c=top.c + lr * (h0p - hkp).mean(axis=0),
+        )
+
+        # --- sleep: dream down from the negative CODE block ---
+        sp = [None] * (L + 1)
+        sp[L] = vneg[:, :n_code]
+        base = L + 3 * k + 1
+        for l in range(L - 1, -1, -1):
+            p_down = _down_mean(new_gen[l], sp[l + 1], cfgs[l])
+            if cfgs[l].visible == "bernoulli":
+                sp[l] = _bern(keys[base + l], p_down)
+            elif cfgs[l].resolved_sample_visible:
+                sp[l] = p_down + jax.random.normal(
+                    keys[base + l], p_down.shape, jnp.float32)
+            else:
+                sp[l] = p_down
+        new_rec = []
+        for l in range(L):
+            q_up = hidden_mean(rec[l], sp[l], cfgs[l])
+            resid = sp[l + 1] - q_up
+            new_rec.append(RBMParams(
+                W=rec[l].W + (lr / B) * (sp[l].T @ resid),
+                b=rec[l].b,
+                c=rec[l].c + lr * resid.mean(axis=0),
+            ))
+        return (new_rec, new_gen, top), wake_err
+
+    @jax.jit
+    def epoch(params, xb, yb, keys):
+        params, errs = jax.lax.scan(step, params, (xb, yb, keys))
+        return params, errs.mean()
+
+    return epoch
+
+
+def finetune_updown_labeled(
+    layers: Sequence[Tuple[RBMParams, RBMConfig]],
+    label_top: RBMParams,
+    data: jax.Array,
+    labels,
+    n_classes: int,
+    epochs: int = 10,
+    lr: float = 0.01,
+    k: int = 1,
+    batch_size: int = 20,
+    seed: int = 0,
+    gen: Optional[List[Tuple[jax.Array, jax.Array]]] = None,
+) -> Tuple[List[RBMParams], List[Tuple[jax.Array, jax.Array]], RBMParams, List[float]]:
+    """Labeled up-down over a full stack + associative label top (the
+    complete 2006 algorithm). ALL ``layers`` become directed; ``label_top``
+    (from train.labeled.fit_label_top) is the undirected top over
+    [top code ; one-hot label].
+
+    Returns (recognition params per layer, generative (W, b) per layer,
+    tuned label-top RBMParams, per-epoch wake reconstruction mse)."""
+    if not layers:
+        raise ValueError("labeled up-down needs >= 1 stack layer below the "
+                         "label top")
+    labels = jnp.asarray(labels, jnp.int32)
+    if labels.ndim != 1:
+        raise ValueError(f"labels must be 1-D class indices, got {labels.shape}")
+    if int(labels.min()) < 0 or int(labels.max()) >= n_classes:
+        raise ValueError(f"labels out of range for n_classes={n_classes}")
+    n_code = layers[-1][0].W.shape[1]
+    if label_top.W.shape[0] != n_code + n_classes:
+        raise ValueError(f"label top has visible {label_top.W.shape[0]}, "
+                         f"expected code {n_code} + {n_classes} classes")
+    cfgs = tuple(cfg for _, cfg in layers)
+    rec = [p for p, _ in layers]
+    if gen is None:
+        gen = [(p.W, p.b) for p, _ in layers]
+    elif len(gen) != len(layers):
+        raise ValueError(f"gen has {len(gen)} layers, stack has {len(layers)}")
+
+    data = jnp.asarray(data, jnp.float32)
+    if data.shape[0] != labels.shape[0]:
+        raise ValueError(f"data rows {data.shape[0]} != labels {labels.shape[0]}")
+    n = (data.shape[0] // batch_size) * batch_size
+    nb = n // batch_size
+    if nb == 0:
+        raise ValueError(f"dataset has {data.shape[0]} samples — fewer than "
+                         f"one minibatch (batch_size={batch_size})")
+    xb = data[:n].reshape(nb, batch_size, -1)
+    yb = jax.nn.one_hot(labels[:n], n_classes,
+                        dtype=jnp.float32).reshape(nb, batch_size, n_classes)
+
+    epoch = _updown_labeled_epoch_fn(cfgs, int(n_code), int(n_classes),
+                                     float(lr), int(k))
+    params = (rec, [(jnp.asarray(W, jnp.float32), jnp.asarray(b, jnp.float32))
+                    for W, b in gen], label_top)
+    key = jax.random.PRNGKey(seed)
+    history = []
+    for _ in range(epochs):
+        key, kepoch = jax.random.split(key)
+        params, err = epoch(params, xb, yb, jax.random.split(kepoch, nb))
+        history.append(float(err))
+    rec, gen, label_top = params
+    return list(rec), list(gen), label_top, history
+
+
 # --- multimodal (MDBN) up-down -----------------------------------------------
 #
 # The MDBN generative model is a TREE-structured 2006 DBN: the joint RBM is

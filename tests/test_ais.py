@@ -259,3 +259,24 @@ def test_dbn_bound_is_lower_bound_on_enumerable_model():
     mc = 3 * out["mc_std"] + 0.2  # MC + AIS slack
     assert bound <= exact_ll + mc, (bound, exact_ll)
     assert bound >= exact_ll - 5.0, (bound, exact_ll)  # tight-ish, not vacuous
+
+
+def test_labeled_ais_matches_exact_log_z():
+    """AIS over the associative label top's one-hot-restricted support
+    reproduces exact enumeration; the restriction must make Z strictly
+    smaller than the unrestricted-Bernoulli exact_log_z."""
+    from mdbn_tpu.analysis.ais import ais_log_z_labeled, exact_log_z_labeled
+
+    n_code, C = 8, 3
+    params = random_params(n_code + C, 6, 0.5, seed=3)
+    exact = exact_log_z_labeled(params, n_code, C)
+    assert exact < exact_log_z(params)
+    a_base = jnp.zeros(n_code + C, jnp.float32)
+    est, logw = ais_log_z_labeled(params, a_base, n_code,
+                                  jax.random.PRNGKey(2),
+                                  n_chains=256, n_betas=2000)
+    assert abs(float(est) - exact) < 0.2, (float(est), exact)
+    assert logw.shape == (256,)
+    # validation of the validators: n_code mismatch must raise
+    with pytest.raises(ValueError, match="expected"):
+        exact_log_z_labeled(params, n_code + 1, C)

@@ -429,3 +429,55 @@ def test_cli_finetune_label_top(tmp_path):
     assert ft and ft[0]["mode"] == "label_top"
     assert ft[0]["train_accuracy"] > 0.9
     assert hasattr(DBN.load(str(tmp_path / "model")), "_label_top")
+
+
+def test_cli_finetune_updown_labeled(tmp_path):
+    """CLI-driven COMPLETE 2006 fine-tuning: 'updown_labeled' fits the label
+    top when absent, unties every stack layer, reports accuracy, persists
+    through --save — and the AIS block then evaluates the LABELED bound
+    (every layer directed, label marginalized at the top)."""
+    import json
+
+    from mdbn_tpu.config import DBNConfig, save_config
+    from mdbn_tpu.models.dbn import DBN
+    from mdbn_tpu.run import main
+
+    rng = np.random.default_rng(6)
+    n = 120
+    labels = rng.integers(0, 2, n).astype(np.uint8)
+    # block-structured classes (class k lights pixel block k, 8% flips):
+    # unlike a plain brightness split this gives the stack a non-degenerate
+    # code to learn, which the stochastic sleep phase needs — marginal codes
+    # from under-pretrained stacks make labeled up-down collapse
+    base = np.where((np.arange(64)[None, :] // 32) == labels[:, None], 220, 30)
+    flip = rng.random((n, 64)) < 0.08
+    images = np.where(flip, 250 - base, base).astype(np.uint8)
+    idx = tmp_path / "images-idx3-ubyte"
+    _write_idx(idx, images.reshape(n, 8, 8).astype(np.uint8))
+    lab = tmp_path / "labels-idx1-ubyte"
+    _write_idx_labels(str(lab), labels)
+
+    save_config({
+        "model": DBNConfig(layer_sizes=[16, 8], epochs=30, lr=0.3,
+                           batch_size=20, engine="xla", seed=0),
+        "data": {"kind": "mnist_idx", "path": str(idx),
+                 "labels_path": str(lab), "binarize": "threshold"},
+        "finetune": {"mode": "updown_labeled", "epochs": 5, "lr": 0.02,
+                     "n_classes": 2, "n_hidden": 16,
+                     "label_top_epochs": 30, "label_top_lr": 0.2},
+        "analysis": {"ais": True, "ais_samples": 32, "ais_chains": 64,
+                     "ais_betas": 300},
+    }, str(tmp_path / "exp.json"))
+    assert main(["--config", str(tmp_path / "exp.json"),
+                 "--metrics", str(tmp_path / "m.jsonl"),
+                 "--save", str(tmp_path / "model")]) == 0
+    recs = [json.loads(l) for l in open(tmp_path / "m.jsonl")]
+    ft = [r for r in recs if r["kind"] == "finetune"]
+    assert ft and ft[0]["mode"] == "updown_labeled"
+    assert ft[0]["train_accuracy"] > 0.9
+    assert np.isfinite(ft[0]["wake_mse_last"])
+    aisr = [r for r in recs if r["kind"] == "ais"]
+    assert aisr and np.isfinite(aisr[0]["mean_log_likelihood_bound"])
+    loaded = DBN.load(str(tmp_path / "model"))
+    assert hasattr(loaded, "_label_top")
+    assert len(loaded._gen) == 2  # ALL layers untied

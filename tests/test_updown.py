@@ -371,3 +371,164 @@ def test_updown_mdbn_validates_inputs():
                              gen={"a": [(towers["a"][0][0].W,
                                          towers["a"][0][0].b)],
                                   "b": []})
+
+
+# --- labeled up-down: the complete 2006 algorithm ------------------------------
+
+
+def test_exact_labeled_dbn_matches_brute_force():
+    """Enumerator == longhand joint enumeration over (h1, top hidden)."""
+    from scipy.special import logsumexp
+
+    from mdbn_tpu.analysis.ais import exact_labeled_dbn_log_likelihood
+
+    key = jax.random.PRNGKey(20)
+    k0, k1, kd, kl = jax.random.split(key, 4)
+    p0 = _rand_params(k0, 4, 3)
+    cfg0 = RBMConfig(n_visible=4, n_hidden=3)
+    C, H = 2, 3
+    top = _rand_params(k1, 3 + C, H)
+    data = (jax.random.uniform(kd, (6, 4)) < 0.5).astype(jnp.float32)
+    labels = jax.random.randint(kl, (6,), 0, C)
+
+    got = exact_labeled_dbn_log_likelihood([(p0, cfg0)], top,
+                                           data, labels, C)
+
+    W0, b0 = np.asarray(p0.W, np.float64), np.asarray(p0.b, np.float64)
+    Wt = np.asarray(top.W, np.float64)
+    bt, ct = np.asarray(top.b, np.float64), np.asarray(top.c, np.float64)
+    h1s = ((np.arange(8)[:, None] >> np.arange(3)) & 1).astype(np.float64)
+    X = np.asarray(data, np.float64)
+    pre = h1s @ W0.T + b0[None, :]
+    log_cond = X @ (-np.logaddexp(0, -pre)).T + (1 - X) @ (-np.logaddexp(0, pre)).T
+    def negF(s, y):
+        v = np.concatenate([s, np.eye(C)[y]])
+        return v @ bt + np.logaddexp(0, v @ Wt + ct).sum()
+    # proper Z: one-hot label support only
+    log_z = logsumexp([negF(h1s[i], y) for i in range(8) for y in range(C)])
+    lls = []
+    for n in range(6):
+        y = int(labels[n])
+        lls.append(logsumexp([log_cond[n, i] + negF(h1s[i], y)
+                              for i in range(8)]) - log_z)
+    assert got == pytest.approx(np.mean(lls), abs=1e-8)
+
+
+def _block_data(key, n, V, n_classes=2, flip=0.08):
+    """Separable binary data: class k activates feature block k (the
+    test_labeled generator, inlined)."""
+    kl, kf = jax.random.split(key)
+    labels = jax.random.randint(kl, (n,), 0, n_classes)
+    block = V // n_classes
+    base = jnp.zeros((n, V))
+    for k in range(n_classes):
+        mask = (labels == k)[:, None] & (jnp.arange(V) // block == k)[None, :]
+        base = jnp.where(mask, 1.0, base)
+    noise = jax.random.uniform(kf, (n, V)) < flip
+    return (jnp.where(noise, 1.0 - base, base).astype(jnp.float32),
+            np.asarray(labels))
+
+
+def test_labeled_updown_improves_exact_joint_likelihood():
+    from mdbn_tpu.analysis.ais import exact_labeled_dbn_log_likelihood
+    from mdbn_tpu.train.labeled import fit_label_top
+    from mdbn_tpu.train.updown import finetune_updown_labeled
+
+    key = jax.random.PRNGKey(21)
+    data, labels = _block_data(key, 160, 6)
+    cfg = DBNConfig(layer_sizes=[5, 4], epochs=15, lr=0.2, batch_size=20)
+    dbn = DBN(cfg).train(data)
+    layers = [(r.params, r.cfg) for r in dbn.layers]
+    top, _ = fit_label_top(layers, data, labels, 2, n_hidden=6, epochs=20,
+                           lr=0.2)
+    ll0 = exact_labeled_dbn_log_likelihood(layers, top, data, labels, 2)
+
+    rec, gen, top2, hist = finetune_updown_labeled(
+        layers, top, data, labels, 2, epochs=30, lr=0.05, batch_size=20)
+    tuned = [(p, c) for p, (_, c) in zip(rec, layers)]
+    ll1 = exact_labeled_dbn_log_likelihood(tuned, top2, data, labels, 2,
+                                           gen=gen)
+    assert all(np.isfinite(hist))
+    assert ll1 > ll0, (ll0, ll1)
+
+
+def test_dbn_labeled_updown_method_and_classification():
+    from mdbn_tpu.train.updown import finetune_updown_labeled
+
+    key = jax.random.PRNGKey(22)
+    data, labels = _block_data(key, 120, 6)
+    cfg = DBNConfig(layer_sizes=[10, 6], epochs=30, lr=0.3, batch_size=20)
+    dbn = DBN(cfg).train(data)
+    with pytest.raises(RuntimeError, match="before fit_label_top"):
+        dbn.finetune_updown_labeled(data, labels)
+    dbn.fit_label_top(data, labels, 2, n_hidden=16, epochs=25, lr=0.2)
+    hist = dbn.finetune_updown_labeled(data, labels, epochs=5, lr=0.02)
+    assert len(hist) == 5 and len(dbn._gen) == 2  # ALL layers untied
+    acc = float(np.mean(np.asarray(dbn.predict_generative(data)) == labels))
+    assert acc > 0.9, acc
+    s = dbn.generate_class(1, n_samples=4, n_gibbs=30)
+    assert s.shape == (4, 6)
+    # gen from labeled up-down covers all layers -> unlabeled resume raises
+    with pytest.raises(ValueError, match="gen has"):
+        dbn.finetune_updown(data, epochs=1)
+
+    layers = [(r.params, r.cfg) for r in dbn.layers]
+    top, _ = dbn._label_top
+    with pytest.raises(ValueError, match="out of range"):
+        finetune_updown_labeled(layers, top, data, labels, 1)
+    with pytest.raises(ValueError, match="label top has visible"):
+        finetune_updown_labeled(layers, top, data, labels, 3)
+    with pytest.raises(ValueError, match=">= 1 stack layer"):
+        finetune_updown_labeled([], top, data, labels, 2)
+
+
+def test_labeled_bound_is_lower_bound_on_enumerable_model():
+    """labeled_dbn_log_likelihood_bound <= exact MARGINAL log p(v) of the
+    complete labeled model (labels=None enumeration), and not vacuous."""
+    from mdbn_tpu.analysis.ais import (exact_labeled_dbn_log_likelihood,
+                                       labeled_dbn_log_likelihood_bound)
+    from mdbn_tpu.train.labeled import fit_label_top
+    from mdbn_tpu.train.updown import finetune_updown_labeled
+
+    key = jax.random.PRNGKey(23)
+    data, labels = _block_data(key, 160, 6)
+    cfg = DBNConfig(layer_sizes=[5, 4], epochs=15, lr=0.2, batch_size=20)
+    dbn = DBN(cfg).train(data)
+    layers = [(r.params, r.cfg) for r in dbn.layers]
+    top, _ = fit_label_top(layers, data, labels, 2, n_hidden=6, epochs=20,
+                           lr=0.2)
+    rec, gen, top, _ = finetune_updown_labeled(
+        layers, top, data, labels, 2, epochs=10, lr=0.05, batch_size=20)
+    tuned = [(p, c) for p, (_, c) in zip(rec, layers)]
+
+    exact = exact_labeled_dbn_log_likelihood(tuned, top, data[:64], None, 2,
+                                             gen=gen)
+    out = labeled_dbn_log_likelihood_bound(
+        tuned, top, 2, data[:64], key=jax.random.PRNGKey(3),
+        n_samples=64, n_chains=256, n_betas=2000, gen=gen)
+    bound = out["mean_log_likelihood_bound"]
+    mc = 3 * out["mc_std"] + 0.2  # MC + AIS slack
+    assert bound <= exact + mc, (bound, exact)
+    assert bound >= exact - 5.0, (bound, exact)  # tight-ish, not vacuous
+    with pytest.raises(ValueError, match="gen has"):
+        labeled_dbn_log_likelihood_bound(tuned, top, 2, data[:8],
+                                         gen=gen[:1])
+    with pytest.raises(ValueError, match="label top has visible"):
+        labeled_dbn_log_likelihood_bound(tuned, top, 3, data[:8])
+
+
+def test_generate_routes_through_label_top_after_labeled_updown():
+    """After labeled up-down EVERY stack layer is directed: generate() must
+    Gibbs in the label top (marginalizing the label) and dream down through
+    the untied generative weights — and refuse if the label top is gone."""
+    key = jax.random.PRNGKey(24)
+    data, labels = _block_data(key, 120, 6)
+    cfg = DBNConfig(layer_sizes=[10, 6], epochs=10, lr=0.3, batch_size=20)
+    dbn = DBN(cfg).train(data)
+    dbn.fit_label_top(data, labels, 2, n_hidden=12, epochs=10, lr=0.2)
+    dbn.finetune_updown_labeled(data, labels, epochs=2, lr=0.02)
+    s = dbn.generate(n_samples=3, n_gibbs=10, seed=1)
+    assert s.shape == (3, 6) and bool(np.all(np.isfinite(np.asarray(s))))
+    del dbn._label_top
+    with pytest.raises(RuntimeError, match="undirected top is gone"):
+        dbn.generate(n_samples=2, n_gibbs=5)
