@@ -1059,3 +1059,134 @@ def exact_mdbn_log_likelihood(towers, joint, modalities, gen=None) -> float:
     log_z_joint = exact_log_z(joint_params)
     ll = logsumexp(branch_sum + neg_f[None, :], axis=1) - log_z_joint
     return float(np.mean(ll))
+
+
+def exact_labeled_mdbn_log_likelihood(towers, joint, label_top, modalities,
+                                      labels, n_classes: int, gen=None,
+                                      joint_gen=None) -> float:
+    """Exact mean JOINT log-likelihood log p(v, y) of a small labeled MDBN.
+
+    The complete multimodal 2006 model (train/updown.
+    finetune_updown_mdbn_labeled): every tower layer AND the joint layer are
+    directed; ``label_top`` is the undirected associative RBM over
+    [joint code ; one-hot label]. Per tower the branch message G_m[n, t_m]
+    marginalizes the tower conditional on its top state (as in
+    exact_mdbn_log_likelihood); the directed joint layer then folds each
+    branch against p(t_m | u) — which factorizes per concat bit, so each
+    tower folds independently —
+
+        H_m[n, u] = logsumexp_{t_m} (G_m[n, t_m] + log p(t_m | u)),
+        log p(v, y) = logsumexp_u [ sum_m H_m[n, u] - F_top([u ; e_y]) ]
+                      - log Z_top,
+
+    with Z_top over the one-hot-restricted support. ``labels=None`` sums the
+    label out too (the exact MARGINAL log p(v)). Limits: each tower's
+    intermediate widths and the JOINT HIDDEN width <= ~14 bits (the
+    concatenated code is never enumerated jointly, so its total width is
+    unconstrained — looser than the unlabeled enumerator).
+
+    ``gen``: untied tower generative weights {name: [(W, b)]};
+    ``joint_gen``: the untied joint generative (W, b). Default None = tied.
+    """
+    import numpy as np
+    from scipy.special import logsumexp
+
+    joint_params, joint_cfg = joint
+    if joint_cfg.visible != "bernoulli":
+        raise ValueError("the joint RBM is Bernoulli-visible by construction")
+    names = list(towers)
+    if set(names) != set(modalities):
+        raise ValueError(f"towers {sorted(names)} and modalities "
+                         f"{sorted(modalities)} disagree")
+    if gen is not None and set(gen) != set(names):
+        raise ValueError("gen must cover exactly the tower names")
+    n_code = joint_params.W.shape[1]
+    if n_code > 14:
+        raise ValueError(f"exact enumeration needs joint hidden <= 14 "
+                         f"(got {n_code})")
+    if label_top.W.shape[0] != n_code + n_classes:
+        raise ValueError(f"label top has visible {label_top.W.shape[0]}, "
+                         f"expected joint code {n_code} + {n_classes}")
+    Wjg, bjg = (joint_gen if joint_gen is not None
+                else (joint_params.W, joint_params.b))
+    Wjg = np.asarray(Wjg, np.float64)
+    bjg = np.asarray(bjg, np.float64)
+    if labels is not None:
+        labels = np.asarray(labels, int)
+        if labels.min() < 0 or labels.max() >= n_classes:
+            raise ValueError(f"labels out of range for n_classes={n_classes}")
+
+    def states(n):
+        if n > 14:
+            raise ValueError(f"exact enumeration needs widths <= 14 (got {n})")
+        return ((np.arange(2 ** n)[:, None] >> np.arange(n)) & 1).astype(
+            np.float64)
+
+    def bern_cond_logp(S, T, W, b):
+        pre = T @ W.T + b[None, :]
+        return (S @ (-np.logaddexp(0.0, -pre)).T
+                + (1.0 - S) @ (-np.logaddexp(0.0, pre)).T)
+
+    U = states(n_code)                                   # joint code states
+    # per-tower: branch message G_m[n, t_m], then fold against the directed
+    # joint layer's slice -> H_m[n, u]
+    S_sum = None
+    n_rows = None
+    offset = 0
+    for nm in names:
+        layers_n = towers[nm]
+        gens_n = (gen[nm] if gen is not None
+                  else [(p.W, p.b) for p, _ in layers_n])
+        if len(gens_n) != len(layers_n):
+            raise ValueError(f"gen for tower {nm!r} has wrong depth")
+        M = None
+        for li in range(len(layers_n) - 1, 0, -1):
+            W, b = (np.asarray(gens_n[li][0], np.float64),
+                    np.asarray(gens_n[li][1], np.float64))
+            cond = bern_cond_logp(states(W.shape[0]), states(W.shape[1]), W, b)
+            M = cond if M is None else logsumexp(
+                cond[:, :, None] + M[None, :, :], axis=1)
+        W0, b0 = (np.asarray(gens_n[0][0], np.float64),
+                  np.asarray(gens_n[0][1], np.float64))
+        X = np.asarray(modalities[nm], np.float64)
+        if n_rows is None:
+            n_rows = X.shape[0]
+        elif X.shape[0] != n_rows:
+            raise ValueError("modalities disagree on rows")
+        T = states(W0.shape[1])
+        cfg0 = layers_n[0][1]
+        if cfg0.visible == "bernoulli":
+            logp = bern_cond_logp(X, T, W0, b0)
+        else:
+            mean = T @ W0.T + b0[None, :]
+            d = X[:, None, :] - mean[None, :, :]
+            logp = (-0.5 * np.sum(d * d, axis=2)
+                    - 0.5 * X.shape[1] * np.log(2.0 * np.pi))
+        G = logp if M is None else logsumexp(logp[:, :, None] + M[None, :, :],
+                                             axis=1)            # [N, 2^w_m]
+        w = layers_n[-1][0].W.shape[1]
+        cond_j = bern_cond_logp(states(w), U, Wjg[offset:offset + w],
+                                bjg[offset:offset + w])  # [2^w_m, 2^code]
+        offset += w
+        H = logsumexp(G[:, :, None] + cond_j[None, :, :], axis=1)
+        S_sum = H if S_sum is None else S_sum + H        # [N, 2^code]
+    if offset != Wjg.shape[0]:
+        raise ValueError(f"tower top widths sum to {offset}, joint visible "
+                         f"is {Wjg.shape[0]}")
+
+    # -F_top([u ; e_y]) over the one-hot-restricted support (the labeled
+    # DBN enumerator's top block, with u = the joint code)
+    Wt = np.asarray(label_top.W, np.float64)
+    bt = np.asarray(label_top.b, np.float64)
+    ct = np.asarray(label_top.c, np.float64)
+    pre = U @ Wt[:n_code] + ct[None, :]
+    hid = np.logaddexp(0.0, pre[:, None, :] + Wt[n_code:][None, :, :]).sum(
+        axis=2)
+    neg_f = U @ bt[:n_code, None] + bt[n_code:][None, :] + hid   # [2^code, C]
+    log_z_top = logsumexp(neg_f)
+    if labels is None:
+        ll = logsumexp(S_sum[:, :, None] + neg_f[None, :, :],
+                       axis=(1, 2)) - log_z_top
+    else:
+        ll = logsumexp(S_sum + neg_f[:, labels].T, axis=1) - log_z_top
+    return float(np.mean(ll))

@@ -379,11 +379,12 @@ def save_decoder(decoder, directory: str,
     np.savez(path, **arrays)
 
 
-def save_gen(gen, directory: str) -> None:
-    """Persist up-down's untied generative (W, b) per directed layer. With
-    ``gen=None`` any stale gen.npz from a previous save is removed — load()
+def save_gen(gen, directory: str, filename: str = "gen.npz") -> None:
+    """Persist up-down's untied generative (W, b) per directed layer (the
+    MDBN stores its joint layer's pair as ``joint_gen.npz``). With
+    ``gen=None`` any stale file from a previous save is removed — load()
     must never pair old generative weights with new recognition weights."""
-    path = os.path.join(directory, "gen.npz")
+    path = os.path.join(directory, filename)
     if gen is None:
         if os.path.exists(path):
             os.remove(path)
@@ -397,8 +398,8 @@ def save_gen(gen, directory: str) -> None:
     np.savez(path, **arrays)
 
 
-def load_gen(directory: str):
-    path = os.path.join(directory, "gen.npz")
+def load_gen(directory: str, filename: str = "gen.npz"):
+    path = os.path.join(directory, filename)
     if not os.path.exists(path):
         return None
     import numpy as np

@@ -138,7 +138,12 @@ class MDBN:
         cohort missing one omics platform): clamped Gibbs on the joint RBM
         infers the missing towers' top codes from the observed ones, then a
         mean-field generative down-pass maps each inferred code to that
-        modality's feature space. Returns {missing_name: [n, features]}."""
+        modality's feature space. Returns {missing_name: [n, features]}.
+
+        After finetune_updown_labeled() the joint layer is directed; the
+        clamped Gibbs here still uses the joint layer's recognition weights
+        as the (approximate) conditional — the 2006 convention that
+        recognition weights ARE the model's inference machinery."""
         missing = [n for n in self.cfg.towers if n not in modalities]
         if not missing:
             raise ValueError("all modalities observed — nothing to impute")
@@ -307,6 +312,88 @@ class MDBN:
         self.joint.state = self.joint.state._replace(params=joint_p)
         return history
 
+    def finetune_updown_labeled(self, modalities: Dict[str, jax.Array],
+                                labels, epochs: int = 10, lr: float = 0.01,
+                                k: int = 1, batch_size: int = 20,
+                                seed: int = 0):
+        """The COMPLETE Hinton-Osindero-Teh 2006 fine-tuning on the
+        multimodal tree: up-down with the associative label top
+        (fit_label_top must run first) as the only undirected module —
+        every tower layer AND the joint layer become directed; wake clamps
+        the true patient label, sleep dreams joint code AND label.
+        predict_generative/class_posterior then read the tuned associative
+        model; generate()/generate_class() dream through the untied joint +
+        tower generative weights. Returns per-epoch wake mse history."""
+        if self.joint is None:
+            raise RuntimeError("MDBN.finetune_updown_labeled called before "
+                               "train")
+        if not hasattr(self, "_label_top"):
+            raise RuntimeError("MDBN.finetune_updown_labeled called before "
+                               "fit_label_top")
+        from ..train.updown import finetune_updown_mdbn_labeled
+
+        top, n_classes = self._label_top
+        towers = {m: [(r.params, r.cfg) for r in self.towers[m].layers]
+                  for m in self.cfg.towers}
+        gen = ({m: self.towers[m]._gen for m in self.cfg.towers}
+               if all(hasattr(self.towers[m], "_gen") for m in self.cfg.towers)
+               else None)
+        rec, gen, joint_p, joint_gen, top, history = \
+            finetune_updown_mdbn_labeled(
+                towers, (self.joint.params, self.joint.cfg), top, modalities,
+                labels, n_classes, epochs=epochs, lr=lr, k=k,
+                batch_size=batch_size, seed=seed, gen=gen,
+                joint_gen=getattr(self, "_joint_gen", None))
+        for m, plist in rec.items():
+            for rbm, new_params in zip(self.towers[m].layers, plist):
+                rbm.state = rbm.state._replace(params=new_params)
+            self.towers[m]._gen = gen[m]
+        self.joint.state = self.joint.state._replace(params=joint_p)
+        self._joint_gen = joint_gen
+        self._label_top = (top, n_classes)
+        return history
+
+    def _dream_down(self, codes: jax.Array, joint_gen) -> Dict[str, jax.Array]:
+        """Generative down-pass from a joint code batch: ``joint_gen``
+        (untied after labeled up-down, else the joint RBM's tied (W, b))
+        maps codes to concat probabilities, then each tower's generative
+        layers map its slice to feature space."""
+        from ..ops.sample import _down_pass_fn
+
+        Wjg, bjg = joint_gen
+        concat = jax.nn.sigmoid(codes @ Wjg.T + bjg)
+        out: Dict[str, jax.Array] = {}
+        offset = 0
+        for name in self.cfg.towers:
+            tower = self.towers[name]
+            width = tower.layers[-1].cfg.n_hidden
+            code = concat[:, offset:offset + width]
+            offset += width
+            gen_layers = tower._generative_layers()
+            params_list = [p for p, _ in reversed(gen_layers)]
+            cfgs = tuple(c for _, c in reversed(gen_layers))
+            out[name] = _down_pass_fn(cfgs)(params_list, code)
+        return out
+
+    def generate_class(self, label: int, n_samples: int = 16,
+                       n_gibbs: int = 200, seed: int = 0) -> Dict[str, jax.Array]:
+        """Dream multi-omics profiles of ONE class: clamped-label Gibbs in
+        the label top yields joint codes, then the generative down-pass
+        (untied joint weights after finetune_updown_labeled, else the tied
+        joint RBM weights) maps them to every modality."""
+        if not hasattr(self, "_label_top"):
+            raise RuntimeError("MDBN.generate_class called before "
+                               "fit_label_top")
+        from ..train.labeled import generate_class_conditional
+
+        params, n_classes = self._label_top
+        codes = generate_class_conditional(params, [], label, n_classes,
+                                           n_samples=n_samples,
+                                           n_gibbs=n_gibbs, seed=seed)
+        joint_gen = getattr(self, "_joint_gen",
+                            (self.joint.params.W, self.joint.params.b))
+        return self._dream_down(codes, joint_gen)
+
     def reconstruct(self, modalities: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
         """Deterministic encode->decode of every modality (untied fine-tuned
         decoder after finetune_autoencoder(), else the tied W^T down-pass)."""
@@ -321,9 +408,25 @@ class MDBN:
 
     def generate(self, n_samples: int = 16, n_gibbs: int = 200, seed: int = 0) -> Dict[str, jax.Array]:
         """Generate synthetic multi-omics profiles: Gibbs in the joint RBM,
-        split the concatenated code, mean-field down-pass per tower."""
+        split the concatenated code, mean-field down-pass per tower. After
+        finetune_updown_labeled() the joint layer is directed and the label
+        top is the undirected top, so the Gibbs runs there (label
+        marginalized by softmax sampling) and the down-pass goes through
+        the untied joint generative weights."""
         if self.joint is None:
             raise RuntimeError("MDBN.generate called before train")
+        if hasattr(self, "_joint_gen"):
+            if not hasattr(self, "_label_top"):
+                raise RuntimeError(
+                    "joint generative weights exist (labeled up-down) but no "
+                    "label top is stored; the undirected top is gone")
+            from ..train.labeled import generate_labeled_model
+
+            params, n_classes = self._label_top
+            codes = generate_labeled_model(params, [], n_classes,
+                                           n_samples=n_samples,
+                                           n_gibbs=n_gibbs, seed=seed)
+            return self._dream_down(codes, self._joint_gen)
         from ..ops.sample import generate_from_stack, gibbs_sample, _down_pass_fn
 
         key = jax.random.PRNGKey(seed)
@@ -364,9 +467,12 @@ class MDBN:
         save_head(getattr(self, "_head", None), directory)
         save_decoder(getattr(self, "_decoder", None), directory,
                      filename="mdbn_decoder.npz")
-        from .dbn import save_label_top
+        from .dbn import save_gen, save_label_top
 
         save_label_top(getattr(self, "_label_top", None), directory)
+        jg = getattr(self, "_joint_gen", None)
+        save_gen([jg] if jg is not None else None, directory,
+                 filename="joint_gen.npz")
 
     @classmethod
     def load(cls, directory: str) -> "MDBN":
@@ -396,6 +502,11 @@ class MDBN:
         label_top = load_label_top(directory)
         if label_top is not None:
             mdbn._label_top = label_top
+        from .dbn import load_gen
+
+        jg = load_gen(directory, filename="joint_gen.npz")
+        if jg is not None:
+            mdbn._joint_gen = jg[0]
         return mdbn
 
     @property

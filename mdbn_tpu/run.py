@@ -293,18 +293,15 @@ def main(argv=None):
             log.info("label-top fit: code mse %.5f -> %.5f, train acc %.3f",
                      history[0], history[-1], acc)
         elif mode == "updown_labeled":
-            # the COMPLETE 2006 fine-tuning: up-down over the whole stack
-            # with the associative label top undirected — wake clamps the
-            # true label, sleep dreams code AND label (DBN only)
+            # the COMPLETE 2006 fine-tuning: up-down with the associative
+            # label top undirected — wake clamps the true label, sleep
+            # dreams code AND label. DBN: every stack layer directed;
+            # MDBN: every tower layer AND the joint layer directed.
             if labels is None:
                 raise ValueError(
                     "'finetune': {'mode': 'updown_labeled'} needs labels — "
                     "use a synthetic data kind with planted labels or add "
                     "'labels_path' (IDX1 file) to a mnist_idx data spec")
-            if model_cls is MDBN:
-                raise ValueError(
-                    "'updown_labeled' is DBN-only (the MDBN's undirected "
-                    "top is its joint RBM; use 'label_top' + 'updown' there)")
             if not hasattr(model, "_label_top"):
                 # the label top is a prerequisite; fit it here with the
                 # block's knobs so one config block drives the whole phase

@@ -515,3 +515,226 @@ def finetune_updown_mdbn(
     rec, gen, joint_params = params
     return ({n: list(v) for n, v in rec.items()},
             {n: list(v) for n, v in gen.items()}, joint_params, history)
+
+
+# --- labeled multimodal up-down: the complete 2006 algorithm on the tree -----
+#
+# With an associative label top fitted over the JOINT codes
+# (models/mdbn.fit_label_top), the complete labeled MDBN generative model
+# makes the label top the only undirected module: every tower layer AND the
+# joint layer become directed sigmoid layers. Wake adds a recognition
+# up-sample through the joint layer plus its generative delta-rule toward
+# the wake concat; the label-top CD clamps the true patient label; sleep
+# dreams (joint code, label), reconstitutes the concat through the joint
+# generative weights, and dreams down each tower.
+
+
+@lru_cache(maxsize=None)
+def _updown_mdbn_labeled_epoch_fn(tower_cfgs, n_code: int, n_classes: int,
+                                  lr: float, k: int):
+    """``tower_cfgs``: tuple of (name, (cfg, ...)) in modality order;
+    ``n_code``: the joint layer's hidden width (= the label top's code
+    block)."""
+    names = [n for n, _ in tower_cfgs]
+    cfg_of = dict(tower_cfgs)
+
+    def step(params, xs):
+        rec, gen, jrec, jgen, top = params
+        batches, onehot, key = xs
+        B = onehot.shape[0]
+        nk = sum(2 * len(cfg_of[n]) for n in names) + 3 * k + 3
+        keys = iter(jax.random.split(key, nk))
+
+        # --- wake per tower + tower generative updates (the unlabeled tree's
+        # recipe unchanged) ---
+        wakes, new_gen = {}, {}
+        wake_err = 0.0
+        for n in names:
+            s = [batches[n]]
+            for l, cfg in enumerate(cfg_of[n]):
+                p_up = hidden_mean(rec[n][l], s[l], cfg)
+                s.append(_bern(next(keys), p_up))
+            wakes[n] = s
+            ng = []
+            for l, cfg in enumerate(cfg_of[n]):
+                p_down = _down_mean(gen[n][l], s[l + 1], cfg)
+                resid = s[l] - p_down
+                W, b = gen[n][l]
+                ng.append((W + (lr / B) * (resid.T @ s[l + 1]),
+                           b + lr * resid.mean(axis=0)))
+                if l == 0:
+                    d = batches[n] - p_down
+                    wake_err = wake_err + jnp.mean(d * d)
+            new_gen[n] = ng
+        wake_err = wake_err / len(names)
+
+        # --- the joint layer is DIRECTED here: recognition up-sample to the
+        # joint code, generative delta-rule toward the wake concat ---
+        vt_c = jnp.concatenate([wakes[n][-1] for n in names], axis=1)
+        pj = jax.nn.sigmoid(vt_c @ jrec.W + jrec.c)
+        s_j = _bern(next(keys), pj)
+        Wjg, bjg = jgen
+        p_down_c = jax.nn.sigmoid(s_j @ Wjg.T + bjg)
+        resid_c = vt_c - p_down_c
+        new_jgen = (Wjg + (lr / B) * (resid_c.T @ s_j),
+                    bjg + lr * resid_c.mean(axis=0))
+
+        # --- associative label top: CD-k with the true label CLAMPED in the
+        # positive phase, code + softmax label dreamed in the negative ---
+        vt = jnp.concatenate([s_j, onehot], axis=1)
+        h0p = jax.nn.sigmoid(vt @ top.W + top.c)
+        h = _bern(next(keys), h0p)
+        vneg, hkp = vt, h0p
+        for _ in range(k):
+            pre = h @ top.W.T + top.b
+            code_s = _bern(next(keys), jax.nn.sigmoid(pre[:, :n_code]))
+            g = -jnp.log(-jnp.log(jax.random.uniform(
+                next(keys), (B, n_classes), jnp.float32, 1e-20, 1.0)))
+            label_s = jax.nn.one_hot(
+                jnp.argmax(pre[:, n_code:] + g, axis=1), n_classes,
+                dtype=jnp.float32)
+            vneg = jnp.concatenate([code_s, label_s], axis=1)
+            hkp = jax.nn.sigmoid(vneg @ top.W + top.c)
+            h = _bern(next(keys), hkp)
+        top = RBMParams(
+            W=top.W + (lr / B) * (vt.T @ h0p - vneg.T @ hkp),
+            b=top.b + lr * (vt - vneg).mean(axis=0),
+            c=top.c + lr * (h0p - hkp).mean(axis=0),
+        )
+
+        # --- sleep: dream the concat from the negative joint code, update
+        # the joint recognition, then dream down each tower ---
+        sp_j = vneg[:, :n_code]
+        pc = jax.nn.sigmoid(sp_j @ new_jgen[0].T + new_jgen[1])
+        s_c = _bern(next(keys), pc)
+        q = jax.nn.sigmoid(s_c @ jrec.W + jrec.c)
+        resid_j = sp_j - q
+        new_jrec = RBMParams(W=jrec.W + (lr / B) * (s_c.T @ resid_j),
+                             b=jrec.b, c=jrec.c + lr * resid_j.mean(axis=0))
+
+        new_rec = {}
+        offset = 0
+        for n in names:
+            L = len(cfg_of[n])
+            width = rec[n][-1].W.shape[1]
+            sp = [None] * (L + 1)
+            sp[L] = jax.lax.dynamic_slice_in_dim(s_c, offset, width, axis=1)
+            offset += width
+            for l in range(L - 1, -1, -1):
+                cfg = cfg_of[n][l]
+                p_down = _down_mean(new_gen[n][l], sp[l + 1], cfg)
+                if cfg.visible == "bernoulli":
+                    sp[l] = _bern(next(keys), p_down)
+                elif cfg.resolved_sample_visible:
+                    sp[l] = p_down + jax.random.normal(
+                        next(keys), p_down.shape, jnp.float32)
+                else:
+                    sp[l] = p_down
+            nr = []
+            for l, cfg in enumerate(cfg_of[n]):
+                q_up = hidden_mean(rec[n][l], sp[l], cfg)
+                resid = sp[l + 1] - q_up
+                nr.append(RBMParams(
+                    W=rec[n][l].W + (lr / B) * (sp[l].T @ resid),
+                    b=rec[n][l].b,
+                    c=rec[n][l].c + lr * resid.mean(axis=0),
+                ))
+            new_rec[n] = nr
+
+        return (new_rec, new_gen, new_jrec, new_jgen, top), wake_err
+
+    @jax.jit
+    def epoch(params, xb, yb, keys):
+        params, errs = jax.lax.scan(step, params, (xb, yb, keys))
+        return params, errs.mean()
+
+    return epoch
+
+
+def finetune_updown_mdbn_labeled(
+    towers,  # {name: [(RBMParams, RBMConfig)] bottom-up, ALL directed}
+    joint: Tuple[RBMParams, RBMConfig],
+    label_top: RBMParams,
+    modalities,  # {name: [n, features]}
+    labels,
+    n_classes: int,
+    epochs: int = 10,
+    lr: float = 0.01,
+    k: int = 1,
+    batch_size: int = 20,
+    seed: int = 0,
+    gen=None,  # {name: [(W, b)]} tower generative resume
+    joint_gen: Optional[Tuple[jax.Array, jax.Array]] = None,
+):
+    """Labeled up-down over a full MDBN: towers + joint layer all directed,
+    the associative label top (MDBN.fit_label_top) undirected.
+
+    Returns (recognition {name: [RBMParams]}, generative {name: [(W, b)]},
+    joint recognition RBMParams, joint generative (W, b), tuned label-top
+    RBMParams, per-epoch mean wake reconstruction mse)."""
+    if set(towers) != set(modalities):
+        raise ValueError(f"towers {sorted(towers)} and modalities "
+                         f"{sorted(modalities)} disagree")
+    joint_params, joint_cfg = joint
+    if joint_cfg.visible != "bernoulli":
+        raise ValueError("the joint RBM is Bernoulli-visible by construction")
+    n_code = joint_params.W.shape[1]
+    if label_top.W.shape[0] != n_code + n_classes:
+        raise ValueError(f"label top has visible {label_top.W.shape[0]}, "
+                         f"expected joint code {n_code} + {n_classes} classes")
+    labels = jnp.asarray(labels, jnp.int32)
+    if labels.ndim != 1:
+        raise ValueError(f"labels must be 1-D class indices, got {labels.shape}")
+    if int(labels.min()) < 0 or int(labels.max()) >= n_classes:
+        raise ValueError(f"labels out of range for n_classes={n_classes}")
+    names = list(towers)
+    rows = {n: int(jnp.shape(modalities[n])[0]) for n in names}
+    if len(set(rows.values())) != 1:
+        raise ValueError(f"modalities disagree on rows: {rows}")
+    n_rows = next(iter(rows.values()))
+    if n_rows != labels.shape[0]:
+        raise ValueError(f"data rows {n_rows} != labels {labels.shape[0]}")
+    nb = n_rows // batch_size
+    if nb == 0:
+        raise ValueError(f"dataset has {n_rows} samples — fewer than one "
+                         f"minibatch (batch_size={batch_size})")
+
+    rec = {n: [p for p, _ in towers[n]] for n in names}
+    if gen is None:
+        gen = {n: [(p.W, p.b) for p, _ in towers[n]] for n in names}
+    else:
+        for n in names:
+            if n not in gen or len(gen[n]) != len(towers[n]):
+                raise ValueError(f"gen for tower {n!r} missing or wrong depth")
+        gen = {n: [(jnp.asarray(W, jnp.float32), jnp.asarray(b, jnp.float32))
+                   for W, b in gen[n]] for n in names}
+    if joint_gen is None:
+        joint_gen = (joint_params.W, joint_params.b)
+    else:
+        joint_gen = (jnp.asarray(joint_gen[0], jnp.float32),
+                     jnp.asarray(joint_gen[1], jnp.float32))
+        if joint_gen[0].shape != joint_params.W.shape:
+            raise ValueError(f"joint_gen W {joint_gen[0].shape} != joint "
+                             f"{joint_params.W.shape}")
+
+    xb = {}
+    for n in names:
+        d = jnp.asarray(modalities[n], jnp.float32)
+        xb[n] = d[: nb * batch_size].reshape(nb, batch_size, -1)
+    yb = jax.nn.one_hot(labels[: nb * batch_size], n_classes,
+                        dtype=jnp.float32).reshape(nb, batch_size, n_classes)
+
+    tower_cfgs = tuple((n, tuple(cfg for _, cfg in towers[n])) for n in names)
+    epoch = _updown_mdbn_labeled_epoch_fn(tower_cfgs, int(n_code),
+                                          int(n_classes), float(lr), int(k))
+    params = (rec, gen, joint_params, joint_gen, label_top)
+    key = jax.random.PRNGKey(seed)
+    history = []
+    for _ in range(epochs):
+        key, kepoch = jax.random.split(key)
+        params, err = epoch(params, xb, yb, jax.random.split(kepoch, nb))
+        history.append(float(err))
+    rec, gen, joint_params, joint_gen, label_top = params
+    return ({n: list(v) for n, v in rec.items()},
+            {n: list(v) for n, v in gen.items()},
+            joint_params, joint_gen, label_top, history)

@@ -388,3 +388,45 @@ def test_cli_impute_evaluation(tmp_path):
     imp = [r for r in records if r["kind"] == "impute"]
     assert imp and imp[0]["holdout"] == "meth"
     assert np.isfinite(imp[0]["mse"]) and np.isfinite(imp[0]["ratio"])
+
+
+def test_cli_mdbn_updown_labeled(tmp_path):
+    """CLI-driven COMPLETE 2006 fine-tuning on an MDBN: 'updown_labeled'
+    fits the label top over the joint codes when absent, unties every tower
+    layer AND the joint layer, reports accuracy on the planted subtypes,
+    and persists the untied joint weights through --save."""
+    from mdbn_tpu.models.mdbn import MDBN
+    from mdbn_tpu.run import main
+
+    save_config({
+        "model": MDBNConfig(
+            # under-pretrained gaussian towers yield near-constant joint
+            # codes (std ~1e-6) — k-means survives on the residual signal
+            # but the free-energy classifier cannot, so this phase needs
+            # converged pretraining (40 epochs, gaussian_lr)
+            towers={m: DBNConfig(layer_sizes=[16, 8], visible="gaussian",
+                                 epochs=40, lr=0.1, gaussian_lr=0.02,
+                                 batch_size=10, engine="xla", seed=i)
+                    for i, m in enumerate(["ge", "meth", "mirna"])},
+            joint=RBMConfig(n_visible=1, n_hidden=8, epochs=40, lr=0.2,
+                            batch_size=10, engine="xla"),
+        ),
+        "data": {"kind": "tcga_like", "n_patients": 80, "n_clusters": 3,
+                 "dims": {"ge": 40, "meth": 30, "mirna": 20}, "seed": 1,
+                 "signal": 3.0},
+        "finetune": {"mode": "updown_labeled", "epochs": 3, "lr": 0.01,
+                     "n_classes": 3, "n_hidden": 24,
+                     "label_top_epochs": 30, "label_top_lr": 0.2,
+                     "batch_size": 10},
+    }, str(tmp_path / "exp.json"))
+    metrics = str(tmp_path / "m.jsonl")
+    assert main(["--config", str(tmp_path / "exp.json"), "--metrics", metrics,
+                 "--save", str(tmp_path / "model")]) == 0
+    records = [json.loads(l) for l in open(metrics)]
+    ft = [r for r in records if r["kind"] == "finetune"]
+    assert ft and ft[0]["mode"] == "updown_labeled"
+    assert np.isfinite(ft[0]["wake_mse_last"])
+    assert ft[0]["train_accuracy"] > 0.8
+    loaded = MDBN.load(str(tmp_path / "model"))
+    assert hasattr(loaded, "_joint_gen") and hasattr(loaded, "_label_top")
+    assert all(hasattr(loaded.towers[m], "_gen") for m in loaded.cfg.towers)

@@ -532,3 +532,218 @@ def test_generate_routes_through_label_top_after_labeled_updown():
     del dbn._label_top
     with pytest.raises(RuntimeError, match="undirected top is gone"):
         dbn.generate(n_samples=2, n_gibbs=5)
+
+
+# --- labeled multimodal up-down: the complete 2006 algorithm on the tree ----
+
+
+def _labeled_mods(key, n=160, n_classes=2):
+    """Two modalities whose class-k rows light feature block k (8% flips),
+    sharing one planted label vector."""
+    kl, ka, kb = jax.random.split(key, 3)
+    labels = jax.random.randint(kl, (n,), 0, n_classes)
+
+    def mk(k, V):
+        block = V // n_classes
+        base = jnp.zeros((n, V))
+        for c in range(n_classes):
+            mask = ((labels == c)[:, None]
+                    & (jnp.arange(V) // block == c)[None, :])
+            base = jnp.where(mask, 1.0, base)
+        noise = jax.random.uniform(k, (n, V)) < 0.08
+        return jnp.where(noise, 1.0 - base, base).astype(jnp.float32)
+
+    return {"a": mk(ka, 6), "b": mk(kb, 6)}, np.asarray(labels)
+
+
+def test_exact_labeled_mdbn_single_tower_reduces_to_labeled_dbn():
+    """One tower + directed joint layer + label top IS a labeled DBN whose
+    stack is [tower layers..., joint layer]: both enumerators must agree,
+    for the joint p(v, y) and the marginal p(v)."""
+    from mdbn_tpu.analysis.ais import (exact_labeled_dbn_log_likelihood,
+                                       exact_labeled_mdbn_log_likelihood)
+
+    key = jax.random.PRNGKey(30)
+    k0, kj, kt, kd, kl = jax.random.split(key, 5)
+    p0 = _rand_params(k0, 5, 3)
+    joint = _rand_params(kj, 3, 4)
+    top = _rand_params(kt, 4 + 2, 3)
+    cfg0 = RBMConfig(n_visible=5, n_hidden=3)
+    cj = RBMConfig(n_visible=3, n_hidden=4)
+    data = (jax.random.uniform(kd, (6, 5)) < 0.5).astype(jnp.float32)
+    labels = np.asarray(jax.random.randint(kl, (6,), 0, 2))
+
+    for lab in (labels, None):
+        got = exact_labeled_mdbn_log_likelihood(
+            {"a": [(p0, cfg0)]}, (joint, cj), top, {"a": data}, lab, 2)
+        want = exact_labeled_dbn_log_likelihood(
+            [(p0, cfg0), (joint, cj)], top, data, lab, 2)
+        assert got == pytest.approx(want, abs=1e-10), lab
+
+
+def test_exact_labeled_mdbn_two_towers_matches_brute_force():
+    """2-tower labeled enumerator == longhand enumeration over (t_a, t_b, u)."""
+    from scipy.special import logsumexp
+
+    from mdbn_tpu.analysis.ais import exact_labeled_mdbn_log_likelihood
+
+    key = jax.random.PRNGKey(31)
+    ks = jax.random.split(key, 7)
+    pa0 = _rand_params(ks[0], 4, 2)
+    pb0 = _rand_params(ks[1], 3, 2)
+    joint = _rand_params(ks[2], 4, 3)   # concat(2, 2) -> 3-bit joint code
+    C = 2
+    top = _rand_params(ks[3], 3 + C, 3)
+    ca0 = RBMConfig(n_visible=4, n_hidden=2)
+    cb0 = RBMConfig(n_visible=3, n_hidden=2)
+    cj = RBMConfig(n_visible=4, n_hidden=3)
+    va = (jax.random.uniform(ks[4], (6, 4)) < 0.5).astype(jnp.float32)
+    vb = (jax.random.uniform(ks[5], (6, 3)) < 0.5).astype(jnp.float32)
+    labels = np.asarray(jax.random.randint(ks[6], (6,), 0, C))
+
+    got = exact_labeled_mdbn_log_likelihood(
+        {"a": [(pa0, ca0)], "b": [(pb0, cb0)]}, (joint, cj), top,
+        {"a": va, "b": vb}, labels, C)
+
+    def st(n):
+        return ((np.arange(2 ** n)[:, None] >> np.arange(n)) & 1).astype(
+            np.float64)
+
+    def cond(S, T, W, b):
+        pre = T @ np.asarray(W, np.float64).T + np.asarray(b, np.float64)
+        return (S @ (-np.logaddexp(0, -pre)).T
+                + (1 - S) @ (-np.logaddexp(0, pre)).T)
+
+    ta, tb, us = st(2), st(2), st(3)
+    la = cond(np.asarray(va, np.float64), ta, pa0.W, pa0.b)   # [N, 4]
+    lb = cond(np.asarray(vb, np.float64), tb, pb0.W, pb0.b)   # [N, 4]
+    Wj = np.asarray(joint.W, np.float64)
+    bj = np.asarray(joint.b, np.float64)
+    Wt = np.asarray(top.W, np.float64)
+    bt, ct = np.asarray(top.b, np.float64), np.asarray(top.c, np.float64)
+
+    def neg_f(u, y):
+        v = np.concatenate([u, np.eye(C)[y]])
+        return v @ bt + np.logaddexp(0, v @ Wt + ct).sum()
+
+    # log Z over the one-hot-restricted support
+    log_z = logsumexp([neg_f(us[i], y) for i in range(8) for y in range(C)])
+    lls = []
+    for n in range(6):
+        acc = []
+        for i in range(4):        # t_a
+            for j in range(4):    # t_b
+                t = np.concatenate([ta[i], tb[j]])
+                for uu in range(8):
+                    pre = us[uu] @ Wj.T + bj
+                    lpt = float(np.sum(t * (-np.logaddexp(0, -pre))
+                                       + (1 - t) * (-np.logaddexp(0, pre))))
+                    acc.append(la[n, i] + lb[n, j] + lpt
+                               + neg_f(us[uu], int(labels[n])))
+        lls.append(logsumexp(acc) - log_z)
+    assert got == pytest.approx(np.mean(lls), abs=1e-8)
+
+
+def test_labeled_updown_mdbn_improves_exact_joint_likelihood():
+    from mdbn_tpu.analysis.ais import exact_labeled_mdbn_log_likelihood
+    from mdbn_tpu.config import MDBNConfig
+    from mdbn_tpu.models.mdbn import MDBN
+    from mdbn_tpu.train.updown import finetune_updown_mdbn_labeled
+
+    mods, labels = _labeled_mods(jax.random.PRNGKey(32))
+    cfg = MDBNConfig(
+        towers={"a": DBNConfig(layer_sizes=[4, 3], epochs=15, lr=0.3,
+                               batch_size=20),
+                "b": DBNConfig(layer_sizes=[3], epochs=15, lr=0.3,
+                               batch_size=20)},
+        joint=RBMConfig(n_visible=1, n_hidden=4, epochs=15, lr=0.3,
+                        batch_size=20))
+    mdbn = MDBN(cfg).train(mods)
+    mdbn.fit_label_top(mods, labels, 2, n_hidden=6, epochs=20, lr=0.2)
+    towers = {m: [(r.params, r.cfg) for r in mdbn.towers[m].layers]
+              for m in mdbn.cfg.towers}
+    joint = (mdbn.joint.params, mdbn.joint.cfg)
+    top, _ = mdbn._label_top
+    ll0 = exact_labeled_mdbn_log_likelihood(towers, joint, top, mods,
+                                            labels, 2)
+
+    rec, gen, joint_p, joint_gen, top1, hist = finetune_updown_mdbn_labeled(
+        towers, joint, top, mods, labels, 2, epochs=30, lr=0.05,
+        batch_size=20, seed=1)
+    tuned = {m: [(p, c) for p, (_, c) in zip(rec[m], towers[m])]
+             for m in towers}
+    ll1 = exact_labeled_mdbn_log_likelihood(
+        tuned, (joint_p, joint[1]), top1, mods, labels, 2, gen=gen,
+        joint_gen=joint_gen)
+    assert len(hist) == 30 and all(np.isfinite(hist))
+    assert ll1 > ll0, (ll0, ll1)
+
+
+def test_mdbn_labeled_updown_method_generate_persistence(tmp_path):
+    from mdbn_tpu.config import MDBNConfig
+    from mdbn_tpu.models.mdbn import MDBN
+
+    mods, labels = _labeled_mods(jax.random.PRNGKey(33), n=120)
+    cfg = MDBNConfig(
+        towers={"a": DBNConfig(layer_sizes=[6, 4], epochs=30, lr=0.3,
+                               batch_size=20),
+                "b": DBNConfig(layer_sizes=[4], epochs=30, lr=0.3,
+                               batch_size=20)},
+        joint=RBMConfig(n_visible=1, n_hidden=6, epochs=30, lr=0.3,
+                        batch_size=20))
+    mdbn = MDBN(cfg).train(mods)
+    with pytest.raises(RuntimeError, match="before fit_label_top"):
+        mdbn.finetune_updown_labeled(mods, labels)
+    mdbn.fit_label_top(mods, labels, 2, n_hidden=12, epochs=25, lr=0.2)
+    hist = mdbn.finetune_updown_labeled(mods, labels, epochs=5, lr=0.02)
+    assert len(hist) == 5
+    assert hasattr(mdbn, "_joint_gen")           # the joint layer untied
+    assert len(mdbn.towers["a"]._gen) == 2       # ALL tower layers untied
+    acc = float(np.mean(np.asarray(mdbn.predict_generative(mods)) == labels))
+    assert acc > 0.9, acc
+
+    # generate routes through the label top + untied joint weights
+    out = mdbn.generate(n_samples=3, n_gibbs=10, seed=1)
+    assert out["a"].shape == (3, 6) and out["b"].shape == (3, 6)
+    assert all(np.all(np.isfinite(np.asarray(v))) for v in out.values())
+    # class-conditional dreams per modality
+    dreams = mdbn.generate_class(1, n_samples=4, n_gibbs=20)
+    assert dreams["a"].shape == (4, 6) and dreams["b"].shape == (4, 6)
+
+    mdbn.save(str(tmp_path / "m"))
+    from mdbn_tpu.models.mdbn import MDBN as M2
+    loaded = M2.load(str(tmp_path / "m"))
+    assert hasattr(loaded, "_joint_gen") and hasattr(loaded, "_label_top")
+    np.testing.assert_array_equal(np.asarray(loaded._joint_gen[0]),
+                                  np.asarray(mdbn._joint_gen[0]))
+    # resume consumes the stored joint gen + tower gens
+    hist2 = loaded.finetune_updown_labeled(mods, labels, epochs=1, lr=0.02)
+    assert len(hist2) == 1
+
+    del mdbn._label_top
+    with pytest.raises(RuntimeError, match="undirected top is gone"):
+        mdbn.generate(n_samples=2, n_gibbs=5)
+
+
+def test_updown_mdbn_labeled_validates_inputs():
+    from mdbn_tpu.train.updown import finetune_updown_mdbn_labeled
+
+    mdbn, mods = _tiny_mdbn(jax.random.PRNGKey(34), n=40)
+    labels = np.zeros(40, int)
+    towers = {m: [(r.params, r.cfg) for r in mdbn.towers[m].layers]
+              for m in mdbn.cfg.towers}
+    joint = (mdbn.joint.params, mdbn.joint.cfg)
+    n_code = mdbn.joint.params.W.shape[1]
+    top = _rand_params(jax.random.PRNGKey(0), n_code + 2, 3)
+    with pytest.raises(ValueError, match="disagree"):
+        finetune_updown_mdbn_labeled(towers, joint, top, {"a": mods["a"]},
+                                     labels, 2)
+    with pytest.raises(ValueError, match="label top has visible"):
+        finetune_updown_mdbn_labeled(towers, joint, top, mods, labels, 3)
+    with pytest.raises(ValueError, match="out of range"):
+        finetune_updown_mdbn_labeled(towers, joint, top, mods,
+                                     np.full(40, 5), 2)
+    with pytest.raises(ValueError, match="joint_gen W"):
+        finetune_updown_mdbn_labeled(
+            towers, joint, top, mods, labels, 2,
+            joint_gen=(np.zeros((2, 2)), np.zeros(2)))
