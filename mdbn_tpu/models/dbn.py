@@ -77,7 +77,8 @@ class DBN:
         return stack_transform([(r.params, r.cfg) for r in self.layers], v)
 
     def finetune(self, data, labels, n_classes: int, epochs: int = 10,
-                 lr: float = 0.1, batch_size: int = 20, seed: int = 0):
+                 lr: float = 0.1, batch_size: int = 20, seed: int = 0,
+                 mesh=None):
         """Supervised fine-tuning (tutorial-lineage phase 2): softmax head on
         the top code, cross-entropy backprop through the whole stack. Updates
         the layers' weights in place; returns the per-epoch loss history."""
@@ -85,7 +86,7 @@ class DBN:
 
         stack, head, history = finetune_stack(
             [(r.params, r.cfg) for r in self.layers], data, labels, n_classes,
-            epochs=epochs, lr=lr, batch_size=batch_size, seed=seed)
+            epochs=epochs, lr=lr, batch_size=batch_size, seed=seed, mesh=mesh)
         for rbm, new_params in zip(self.layers, stack):
             rbm.state = rbm.state._replace(params=new_params)
         self._head = head
@@ -100,7 +101,7 @@ class DBN:
         return predict_stack([(r.params, r.cfg) for r in self.layers], self._head, x)
 
     def finetune_autoencoder(self, data, epochs: int = 10, lr: float = 1e-3,
-                             batch_size: Optional[int] = None):
+                             batch_size: Optional[int] = None, mesh=None):
         """Unsupervised deep-autoencoder fine-tuning (Hinton & Salakhutdinov
         2006): unroll the pretrained stack into encoder + untied decoder and
         backprop the reconstruction loss. Updates the layers' weights in
@@ -117,7 +118,8 @@ class DBN:
         tuned, decoder, history = finetune_autoencoder_stack(
             [(r.params, r.cfg) for r in self.layers], data, epochs=epochs,
             lr=lr, batch_size=batch_size or self.cfg.batch_size,
-            decoder=getattr(self, "_decoder", None))  # resume, don't reset
+            decoder=getattr(self, "_decoder", None),  # resume, don't reset
+            mesh=mesh)
         for rbm, new_params in zip(self.layers, tuned):
             rbm.state = rbm.state._replace(params=new_params)
         self._decoder = decoder
@@ -126,7 +128,7 @@ class DBN:
     def fit_label_top(self, data, labels, n_classes: int, n_hidden: int = 64,
                       epochs: int = 20, lr: float = 0.1, k: int = 1,
                       batch_size: int = 20, momentum: float = 0.0,
-                      l2: float = 0.0, seed: int = 0):
+                      l2: float = 0.0, seed: int = 0, mesh=None):
         """Train an associative label-top RBM over [top codes ; one-hot
         labels] (Hinton-Osindero-Teh 2006 §4): the generative alternative to
         the backprop head — classification by free energy
@@ -143,7 +145,7 @@ class DBN:
             [(r.params, r.cfg) for r in self.layers], data, labels, n_classes,
             n_hidden=n_hidden, epochs=epochs, lr=lr, k=k,
             batch_size=batch_size, momentum=momentum, l2=l2, seed=seed,
-            params=prev[0] if prev else None)
+            params=prev[0] if prev else None, mesh=mesh)
         self._label_top = (params, n_classes)
         return history
 
@@ -188,7 +190,7 @@ class DBN:
 
     def finetune_updown(self, data, epochs: int = 10, lr: float = 0.01,
                         k: int = 1, batch_size: Optional[int] = None,
-                        seed: int = 0):
+                        seed: int = 0, mesh=None):
         """Generative fine-tuning by the up-down (contrastive wake-sleep)
         algorithm (Hinton, Osindero & Teh 2006, appendix B): unties each
         directed layer's recognition and generative weights and tunes both
@@ -201,7 +203,7 @@ class DBN:
         rec, gen, top, history = finetune_updown_stack(
             [(r.params, r.cfg) for r in self.layers], data, epochs=epochs,
             lr=lr, k=k, batch_size=batch_size or self.cfg.batch_size,
-            seed=seed, gen=getattr(self, "_gen", None))
+            seed=seed, gen=getattr(self, "_gen", None), mesh=mesh)
         for rbm, new_params in zip(self.layers[:-1], rec):
             rbm.state = rbm.state._replace(params=new_params)
         self.layers[-1].state = self.layers[-1].state._replace(params=top)
@@ -211,7 +213,7 @@ class DBN:
     def finetune_updown_labeled(self, data, labels, epochs: int = 10,
                                 lr: float = 0.01, k: int = 1,
                                 batch_size: Optional[int] = None,
-                                seed: int = 0):
+                                seed: int = 0, mesh=None):
         """The COMPLETE Hinton-Osindero-Teh 2006 fine-tuning: up-down over
         the whole stack with the associative label top (fit_label_top must
         run first) as the undirected top — wake clamps the true label,
@@ -236,7 +238,7 @@ class DBN:
             [(r.params, r.cfg) for r in self.layers], top, data, labels,
             n_classes, epochs=epochs, lr=lr, k=k,
             batch_size=batch_size or self.cfg.batch_size, seed=seed,
-            gen=prev_gen)
+            gen=prev_gen, mesh=mesh)
         for rbm, new_params in zip(self.layers, rec):
             rbm.state = rbm.state._replace(params=new_params)
         self._gen = gen

@@ -177,7 +177,7 @@ class MDBN:
 
     def finetune(self, modalities: Dict[str, jax.Array], labels, n_classes: int,
                  epochs: int = 10, lr: float = 0.1, batch_size: int = 20,
-                 seed: int = 0):
+                 seed: int = 0, mesh: Optional[Mesh] = None):
         """Supervised multimodal fine-tuning: softmax head on the joint code,
         cross-entropy backprop through the joint layer and every tower.
         Updates weights in place; returns the per-epoch loss history."""
@@ -189,7 +189,8 @@ class MDBN:
                   for m in self.cfg.towers}
         tower_p, joint_p, head, history = finetune_mdbn(
             towers, (self.joint.params, self.joint.cfg), modalities, labels,
-            n_classes, epochs=epochs, lr=lr, batch_size=batch_size, seed=seed)
+            n_classes, epochs=epochs, lr=lr, batch_size=batch_size, seed=seed,
+            mesh=mesh)
         for m, plist in tower_p.items():
             for rbm, new_params in zip(self.towers[m].layers, plist):
                 rbm.state = rbm.state._replace(params=new_params)
@@ -210,7 +211,7 @@ class MDBN:
 
     def finetune_autoencoder(self, modalities: Dict[str, jax.Array],
                              epochs: int = 10, lr: float = 1e-3,
-                             batch_size: int = 20):
+                             batch_size: int = 20, mesh: Optional[Mesh] = None):
         """Unsupervised multimodal deep-autoencoder fine-tuning (Hinton &
         Salakhutdinov 2006 applied across the towers + joint layer):
         encoder = towers -> concat -> joint code; the untied mirrored decoder
@@ -225,7 +226,8 @@ class MDBN:
         tower_p, joint_p, decoder, history = finetune_autoencoder_mdbn(
             towers, (self.joint.params, self.joint.cfg), modalities,
             epochs=epochs, lr=lr, batch_size=batch_size,
-            decoder=getattr(self, "_decoder", None))  # resume, don't reset
+            decoder=getattr(self, "_decoder", None),  # resume, don't reset
+            mesh=mesh)
         for m, plist in tower_p.items():
             for rbm, new_params in zip(self.towers[m].layers, plist):
                 rbm.state = rbm.state._replace(params=new_params)
@@ -236,7 +238,8 @@ class MDBN:
     def fit_label_top(self, modalities: Dict[str, jax.Array], labels,
                       n_classes: int, n_hidden: int = 64, epochs: int = 20,
                       lr: float = 0.1, k: int = 1, batch_size: int = 20,
-                      momentum: float = 0.0, l2: float = 0.0, seed: int = 0):
+                      momentum: float = 0.0, l2: float = 0.0, seed: int = 0,
+                      mesh: Optional[Mesh] = None):
         """Associative label-top RBM over [joint codes ; one-hot labels]
         (Hinton-Osindero-Teh 2006 §4 applied to the multimodal join): the
         generative alternative to the backprop head — free-energy
@@ -254,7 +257,7 @@ class MDBN:
         params, history = fit_label_top(
             [], codes, labels, n_classes, n_hidden=n_hidden, epochs=epochs,
             lr=lr, k=k, batch_size=batch_size, momentum=momentum, l2=l2,
-            seed=seed, params=prev[0] if prev else None)
+            seed=seed, params=prev[0] if prev else None, mesh=mesh)
         self._label_top = (params, n_classes)
         return history
 
@@ -282,7 +285,8 @@ class MDBN:
 
     def finetune_updown(self, modalities: Dict[str, jax.Array],
                         epochs: int = 10, lr: float = 0.01, k: int = 1,
-                        batch_size: int = 20, seed: int = 0):
+                        batch_size: int = 20, seed: int = 0,
+                        mesh: Optional[Mesh] = None):
         """Generative up-down (contrastive wake-sleep) fine-tuning of the
         full multimodal model: the joint RBM is the undirected top, every
         tower layer becomes a directed sigmoid layer (train/updown.py).
@@ -303,7 +307,7 @@ class MDBN:
         rec, gen, joint_p, history = finetune_updown_mdbn(
             towers, (self.joint.params, self.joint.cfg), modalities,
             epochs=epochs, lr=lr, k=k, batch_size=batch_size, seed=seed,
-            gen=gen)
+            gen=gen, mesh=mesh)
         for m, plist in rec.items():
             for rbm, new_params in zip(self.towers[m].layers, plist):
                 rbm.state = rbm.state._replace(params=new_params)
@@ -315,7 +319,7 @@ class MDBN:
     def finetune_updown_labeled(self, modalities: Dict[str, jax.Array],
                                 labels, epochs: int = 10, lr: float = 0.01,
                                 k: int = 1, batch_size: int = 20,
-                                seed: int = 0):
+                                seed: int = 0, mesh: Optional[Mesh] = None):
         """The COMPLETE Hinton-Osindero-Teh 2006 fine-tuning on the
         multimodal tree: up-down with the associative label top
         (fit_label_top must run first) as the only undirected module —
@@ -343,7 +347,7 @@ class MDBN:
                 towers, (self.joint.params, self.joint.cfg), top, modalities,
                 labels, n_classes, epochs=epochs, lr=lr, k=k,
                 batch_size=batch_size, seed=seed, gen=gen,
-                joint_gen=getattr(self, "_joint_gen", None))
+                joint_gen=getattr(self, "_joint_gen", None), mesh=mesh)
         for m, plist in rec.items():
             for rbm, new_params in zip(self.towers[m].layers, plist):
                 rbm.state = rbm.state._replace(params=new_params)

@@ -206,3 +206,25 @@ def _build_shard_map_train(cfg: RBMConfig, mesh: Mesh, n_epochs: int,
         return run(st, batches)
 
     return fused
+
+
+def dp_put_finetune(mesh: Mesh, params, batches):
+    """GSPMD data-parallel placement for a fine-tuning epoch.
+
+    The phase-2 loops (backprop head, deep autoencoder, up-down, label-top
+    CD — train/finetune.py, autoencoder.py, updown.py, labeled.py) all scan
+    a jitted step over [nb, B, ...] minibatch arrays with a replicated
+    parameter pytree. Committing the inputs — minibatch ROW dim (axis 1 of
+    every batch leaf) sharded over the mesh's first axis, parameters
+    replicated — makes the existing jitted epoch compile to a partitioned
+    program with XLA-inserted collectives: the GSPMD variant of SURVEY.md
+    §2.4, bit-identical math to the single-device run (jax.random draws are
+    sharding-invariant), no per-driver rewrites.
+
+    Returns (params, batches) committed to the mesh.
+    """
+    axis = mesh.axis_names[0]
+    repl = NamedSharding(mesh, P())
+    bsh = NamedSharding(mesh, P(None, axis))
+    return (jax.device_put(params, repl),
+            jax.tree.map(lambda a: jax.device_put(a, bsh), batches))

@@ -246,6 +246,8 @@ def main(argv=None):
         spec = exp.get("finetune")
         if not spec:
             return
+        # --dp N: fine-tuning epochs run GSPMD data-parallel on the same
+        # mesh as pretraining (parallel/dp.dp_put_finetune; same math)
         if model_cls is RBM:
             raise ValueError("'finetune' applies to DBN/MDBN configs (an RBM "
                              "has no stack to fine-tune)")
@@ -253,7 +255,7 @@ def main(argv=None):
         epochs = int(spec.get("epochs", 10))
         if mode == "autoencoder":
             kw = {"epochs": epochs, "lr": float(spec.get("lr", 1e-3))}
-            history = model.finetune_autoencoder(data, **kw)
+            history = model.finetune_autoencoder(data, mesh=mesh, **kw)
             rec = {"kind": "finetune", "mode": "autoencoder", "epochs": epochs,
                    "loss_first": float(history[0]), "loss_last": float(history[-1])}
             log.info("autoencoder fine-tune: loss %.5f -> %.5f",
@@ -264,7 +266,7 @@ def main(argv=None):
             history = model.finetune_updown(
                 data, epochs=epochs, lr=float(spec.get("lr", 0.01)),
                 k=int(spec.get("k", 1)),
-                batch_size=int(spec.get("batch_size", 20)))
+                batch_size=int(spec.get("batch_size", 20)), mesh=mesh)
             rec = {"kind": "finetune", "mode": "updown", "epochs": epochs,
                    "wake_mse_first": float(history[0]),
                    "wake_mse_last": float(history[-1])}
@@ -284,7 +286,7 @@ def main(argv=None):
                 data, np.asarray(labels), n_classes,
                 n_hidden=int(spec.get("n_hidden", 64)), epochs=epochs,
                 lr=float(spec.get("lr", 0.1)), k=int(spec.get("k", 1)),
-                batch_size=int(spec.get("batch_size", 20)))
+                batch_size=int(spec.get("batch_size", 20)), mesh=mesh)
             pred = np.asarray(model.predict_generative(data))
             acc = float((pred == np.asarray(labels)[: len(pred)]).mean())
             rec = {"kind": "finetune", "mode": "label_top", "epochs": epochs,
@@ -311,11 +313,11 @@ def main(argv=None):
                     n_hidden=int(spec.get("n_hidden", 64)),
                     epochs=int(spec.get("label_top_epochs", 20)),
                     lr=float(spec.get("label_top_lr", 0.1)),
-                    batch_size=int(spec.get("batch_size", 20)))
+                    batch_size=int(spec.get("batch_size", 20)), mesh=mesh)
             history = model.finetune_updown_labeled(
                 data, np.asarray(labels), epochs=epochs,
                 lr=float(spec.get("lr", 0.01)), k=int(spec.get("k", 1)),
-                batch_size=int(spec.get("batch_size", 20)))
+                batch_size=int(spec.get("batch_size", 20)), mesh=mesh)
             pred = np.asarray(model.predict_generative(data))
             acc = float((pred == np.asarray(labels)[: len(pred)]).mean())
             rec = {"kind": "finetune", "mode": "updown_labeled",
@@ -334,7 +336,7 @@ def main(argv=None):
             history = model.finetune(
                 data, np.asarray(labels), n_classes, epochs=epochs,
                 lr=float(spec.get("lr", 0.1)),
-                batch_size=int(spec.get("batch_size", 20)))
+                batch_size=int(spec.get("batch_size", 20)), mesh=mesh)
             pred = np.asarray(model.predict(data))
             acc = float((pred == np.asarray(labels)[: len(pred)]).mean())
             rec = {"kind": "finetune", "mode": "classifier", "epochs": epochs,

@@ -97,8 +97,11 @@ def finetune_autoencoder_stack(
     lr: float = 1e-3,
     batch_size: int = 20,
     decoder: List[jax.Array] = None,
+    mesh=None,
 ) -> Tuple[List[RBMParams], List[jax.Array], List[float]]:
-    """Unroll + reconstruction fine-tuning of a DBN stack.
+    """Unroll + reconstruction fine-tuning of a DBN stack. With a ``mesh``
+    the Adam epochs run data-parallel via GSPMD (minibatch rows sharded,
+    params + optimizer state replicated — parallel/dp.dp_put_finetune).
 
     Returns (tuned layer params, untied decoder weight list bottom-up,
     per-epoch mean reconstruction loss). Tuned layer i packs the encoder's
@@ -119,7 +122,12 @@ def finetune_autoencoder_stack(
         enc, dec = params
         return _recon_loss(x, _decode_pre(dec, _encode(enc, x)), visible)
 
-    (enc, dec), history = _adam_epochs((enc, dec), loss_of_batch, xb, epochs, lr)
+    params = (enc, dec)
+    if mesh is not None:
+        from ..parallel.dp import dp_put_finetune
+
+        params, xb = dp_put_finetune(mesh, params, xb)
+    (enc, dec), history = _adam_epochs(params, loss_of_batch, xb, epochs, lr)
     tuned = [RBMParams(W=W, b=b, c=c) for (W, c), (_, b) in zip(enc, dec)]
     return tuned, [D for D, _ in dec], history
 
@@ -144,12 +152,14 @@ def finetune_autoencoder_mdbn(
     lr: float = 1e-3,
     batch_size: int = 20,
     decoder: Dict[str, list] = None,
+    mesh=None,
 ):
     """Multimodal deep autoencoder: per-tower encoders -> concat -> joint
     code -> mirrored decode back to every modality; loss is the sum of the
     per-modality reconstruction losses. Returns
     (tuned towers, tuned joint params, decoder dict, history). Pass the
-    previous call's ``decoder`` dict to RESUME fine-tuning."""
+    previous call's ``decoder`` dict to RESUME fine-tuning.
+    ``mesh``: GSPMD data-parallel epochs."""
     names = list(towers)
     widths = {m: towers[m][-1][1].n_hidden for m in names}
     visibles = {m: towers[m][0][1].visible for m in names}
@@ -183,8 +193,13 @@ def finetune_autoencoder_mdbn(
                                         visibles[m])
         return total
 
+    params = (enc, dec, jenc, jdec)
+    if mesh is not None:
+        from ..parallel.dp import dp_put_finetune
+
+        params, xb = dp_put_finetune(mesh, params, xb)
     (enc, dec, jenc, jdec), history = _adam_epochs(
-        (enc, dec, jenc, jdec), loss_of_batch, xb, epochs, lr)
+        params, loss_of_batch, xb, epochs, lr)
 
     tuned_towers = {
         m: [RBMParams(W=W, b=b, c=c) for (W, c), (_, b) in zip(enc[m], dec[m])]

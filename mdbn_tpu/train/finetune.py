@@ -84,9 +84,11 @@ def finetune_stack(
     lr: float = 0.1,
     batch_size: int = 20,
     seed: int = 0,
+    mesh=None,
 ) -> Tuple[List[RBMParams], Tuple[jax.Array, jax.Array], List[float]]:
     """Backprop fine-tuning. Returns (tuned stack params, softmax head,
-    per-epoch mean cross-entropy)."""
+    per-epoch mean cross-entropy). With a ``mesh`` the epoch runs
+    data-parallel via GSPMD (parallel/dp.dp_put_finetune), same math."""
     _check_labels(labels, n_classes)
     cfgs = tuple(cfg for _, cfg in layers)
     stack = [p for p, _ in layers]
@@ -105,7 +107,12 @@ def finetune_stack(
         stack_p, head_p = params
         return _forward_logits(stack_p, head_p, cfgs, x)
 
-    (stack, head), history = _sgd((stack, head), forward, xb, yb, epochs, lr)
+    params = (stack, head)
+    if mesh is not None:
+        from ..parallel.dp import dp_put_finetune
+
+        params, (xb, yb) = dp_put_finetune(mesh, params, (xb, yb))
+    (stack, head), history = _sgd(params, forward, xb, yb, epochs, lr)
     return stack, head, history
 
 
@@ -119,10 +126,12 @@ def finetune_mdbn(
     lr: float = 0.1,
     batch_size: int = 20,
     seed: int = 0,
+    mesh=None,
 ):
     """Multimodal supervised fine-tuning: backprop through every tower, the
     concat, and the joint RBM layer into a softmax head. Returns
-    (tuned towers dict, tuned joint params, head, per-epoch loss history)."""
+    (tuned towers dict, tuned joint params, head, per-epoch loss history).
+    ``mesh``: GSPMD data-parallel epochs."""
     _check_labels(labels, n_classes)
     names = list(towers)
     tower_cfgs = {m: tuple(cfg for _, cfg in towers[m]) for m in names}
@@ -148,6 +157,10 @@ def finetune_mdbn(
                             names, xs)
 
     params = ({m: [p_l for p_l, _ in towers[m]] for m in names}, joint_params, head)
+    if mesh is not None:
+        from ..parallel.dp import dp_put_finetune
+
+        params, (xb, yb) = dp_put_finetune(mesh, params, (xb, yb))
     (tower_p, joint_p, head), history = _sgd(params, forward, xb, yb, epochs, lr)
     return ({m: list(tower_p[m]) for m in names}, joint_p, head, history)
 

@@ -108,13 +108,15 @@ def fit_label_top(
     l2: float = 0.0,
     seed: int = 0,
     params: Optional[RBMParams] = None,
+    mesh=None,
 ) -> Tuple[RBMParams, List[float]]:
     """Train the associative top RBM over [stack codes ; one-hot labels].
 
     ``layers`` is the pretrained stack (may be empty: the RBM then sits
     directly on the data). Pass a previous run's ``params`` to RESUME.
     Returns (top RBMParams with W [n_code + n_classes, n_hidden], per-epoch
-    code-block reconstruction mse)."""
+    code-block reconstruction mse). With a ``mesh`` the CD epochs run
+    data-parallel via GSPMD (parallel/dp.dp_put_finetune), same math."""
     labels = jnp.asarray(labels, jnp.int32)
     if labels.ndim != 1:
         raise ValueError(f"labels must be 1-D class indices, got {labels.shape}")
@@ -153,6 +155,11 @@ def fit_label_top(
                                 float(momentum), float(l2))
     history = []
     carry = (params, vel)
+    if mesh is not None:
+        from ..parallel.dp import dp_put_finetune
+
+        carry, (codes_b, onehot_b) = dp_put_finetune(
+            mesh, carry, (codes_b, onehot_b))
     for _ in range(epochs):
         key, kep = jax.random.split(key)
         carry, err = epoch(carry, codes_b, onehot_b,

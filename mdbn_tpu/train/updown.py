@@ -145,13 +145,16 @@ def finetune_updown_stack(
     batch_size: int = 20,
     seed: int = 0,
     gen: Optional[List[Tuple[jax.Array, jax.Array]]] = None,
+    mesh=None,
 ) -> Tuple[List[RBMParams], List[Tuple[jax.Array, jax.Array]], RBMParams, List[float]]:
     """Up-down fine-tuning of a pretrained stack (bottom-up ``layers``; the
     last entry is the undirected top RBM, the rest become directed).
 
     Returns (recognition layer params, generative (W, b) per directed layer,
     top RBM params, per-epoch wake reconstruction mse). Pass a previous run's
-    ``gen`` to RESUME with the already-untied generative weights.
+    ``gen`` to RESUME with the already-untied generative weights. With a
+    ``mesh`` the epoch runs data-parallel via GSPMD (minibatch rows sharded,
+    params replicated — parallel/dp.dp_put_finetune), same math.
     """
     if len(layers) < 2:
         raise ValueError("up-down fine-tuning needs >= 2 layers (directed "
@@ -178,6 +181,10 @@ def finetune_updown_stack(
     epoch = _updown_epoch_fn(cfgs, top_cfg, float(lr), int(k))
     params = (rec, [(jnp.asarray(W, jnp.float32), jnp.asarray(b, jnp.float32))
                     for W, b in gen], top_params)
+    if mesh is not None:
+        from ..parallel.dp import dp_put_finetune
+
+        params, xb = dp_put_finetune(mesh, params, xb)
     key = jax.random.PRNGKey(seed)
     history = []
     for _ in range(epochs):
@@ -299,11 +306,12 @@ def finetune_updown_labeled(
     batch_size: int = 20,
     seed: int = 0,
     gen: Optional[List[Tuple[jax.Array, jax.Array]]] = None,
+    mesh=None,
 ) -> Tuple[List[RBMParams], List[Tuple[jax.Array, jax.Array]], RBMParams, List[float]]:
     """Labeled up-down over a full stack + associative label top (the
     complete 2006 algorithm). ALL ``layers`` become directed; ``label_top``
     (from train.labeled.fit_label_top) is the undirected top over
-    [top code ; one-hot label].
+    [top code ; one-hot label]. ``mesh``: GSPMD data-parallel epochs.
 
     Returns (recognition params per layer, generative (W, b) per layer,
     tuned label-top RBMParams, per-epoch wake reconstruction mse)."""
@@ -342,6 +350,10 @@ def finetune_updown_labeled(
                                      float(lr), int(k))
     params = (rec, [(jnp.asarray(W, jnp.float32), jnp.asarray(b, jnp.float32))
                     for W, b in gen], label_top)
+    if mesh is not None:
+        from ..parallel.dp import dp_put_finetune
+
+        params, (xb, yb) = dp_put_finetune(mesh, params, (xb, yb))
     key = jax.random.PRNGKey(seed)
     history = []
     for _ in range(epochs):
@@ -466,6 +478,7 @@ def finetune_updown_mdbn(
     batch_size: int = 20,
     seed: int = 0,
     gen=None,  # {name: [(W, b)]} to resume with untied generative weights
+    mesh=None,
 ):
     """Up-down fine-tuning of a full MDBN (towers + joint RBM).
 
@@ -473,6 +486,7 @@ def finetune_updown_mdbn(
     joint RBMParams, per-epoch mean wake reconstruction mse). Modality order
     follows ``towers`` insertion order and must match the concat layout the
     joint RBM was trained on (models/mdbn.py uses config insertion order).
+    ``mesh``: GSPMD data-parallel epochs (parallel/dp.dp_put_finetune).
     """
     if set(towers) != set(modalities):
         raise ValueError(f"towers {sorted(towers)} and modalities "
@@ -506,6 +520,10 @@ def finetune_updown_mdbn(
     tower_cfgs = tuple((n, tuple(cfg for _, cfg in towers[n])) for n in names)
     epoch = _updown_mdbn_epoch_fn(tower_cfgs, joint_cfg, float(lr), int(k))
     params = (rec, gen, joint_params)
+    if mesh is not None:
+        from ..parallel.dp import dp_put_finetune
+
+        params, xb = dp_put_finetune(mesh, params, xb)
     key = jax.random.PRNGKey(seed)
     history = []
     for _ in range(epochs):
@@ -665,9 +683,11 @@ def finetune_updown_mdbn_labeled(
     seed: int = 0,
     gen=None,  # {name: [(W, b)]} tower generative resume
     joint_gen: Optional[Tuple[jax.Array, jax.Array]] = None,
+    mesh=None,
 ):
     """Labeled up-down over a full MDBN: towers + joint layer all directed,
     the associative label top (MDBN.fit_label_top) undirected.
+    ``mesh``: GSPMD data-parallel epochs.
 
     Returns (recognition {name: [RBMParams]}, generative {name: [(W, b)]},
     joint recognition RBMParams, joint generative (W, b), tuned label-top
@@ -728,6 +748,10 @@ def finetune_updown_mdbn_labeled(
     epoch = _updown_mdbn_labeled_epoch_fn(tower_cfgs, int(n_code),
                                           int(n_classes), float(lr), int(k))
     params = (rec, gen, joint_params, joint_gen, label_top)
+    if mesh is not None:
+        from ..parallel.dp import dp_put_finetune
+
+        params, (xb, yb) = dp_put_finetune(mesh, params, (xb, yb))
     key = jax.random.PRNGKey(seed)
     history = []
     for _ in range(epochs):

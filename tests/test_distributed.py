@@ -13,7 +13,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from mdbn_tpu.config import RBMConfig
+from mdbn_tpu.config import DBNConfig, RBMConfig
 from mdbn_tpu.core.rbm_math import RBMParams, cd_step_stats
 from mdbn_tpu.core.state import init_train_state
 from mdbn_tpu.data.synthetic import mnist_like
@@ -307,3 +307,108 @@ def test_finetune_label_validation():
         dbn.finetune(data, np.full(40, 12), n_classes=10, batch_size=8)
     with pytest.raises(ValueError, match="labels must be in"):
         dbn.finetune(data, np.full(40, -1), n_classes=10, batch_size=8)
+
+
+# --- GSPMD data-parallel fine-tuning (phase-2 paths accept mesh=) -----------
+#
+# parallel/dp.dp_put_finetune commits minibatch rows sharded + params
+# replicated; the existing jitted epochs then compile partitioned. GSPMD is
+# semantics-preserving, so every phase must reproduce its single-device
+# result on the 8-device mesh.
+
+
+def _ft_fixture(seed=0, n=160, V=12):
+    rng = np.random.default_rng(seed)
+    labels = rng.integers(0, 2, n)
+    base = (np.arange(V)[None, :] // (V // 2) == labels[:, None]).astype(np.float32)
+    flip = rng.random((n, V)) < 0.1
+    data = np.where(flip, 1 - base, base).astype(np.float32)
+    from mdbn_tpu.models.dbn import DBN
+
+    dbn = DBN(DBNConfig(layer_sizes=[8, 6], epochs=4, lr=0.2, batch_size=16,
+                        engine="xla", seed=0)).train(data)
+    return dbn, jnp.asarray(data), labels
+
+
+def _tuned_params(dbn):
+    return [np.asarray(r.params.W) for r in dbn.layers]
+
+
+@pytest.mark.parametrize("phase", ["classifier", "autoencoder", "label_top",
+                                   "updown", "updown_labeled"])
+def test_finetune_phases_dp_mesh_match_single_device(phase):
+    """Each fine-tuning phase with mesh= reproduces the single-device run."""
+    mesh = make_mesh(8)
+    results = {}
+    for m in (None, mesh):
+        dbn, data, labels = _ft_fixture()
+        if phase == "classifier":
+            hist = dbn.finetune(data, labels, 2, epochs=3, lr=0.1,
+                                batch_size=16, mesh=m)
+        elif phase == "autoencoder":
+            hist = dbn.finetune_autoencoder(data, epochs=3, lr=1e-3,
+                                            batch_size=16, mesh=m)
+        elif phase == "label_top":
+            hist = dbn.fit_label_top(data, labels, 2, n_hidden=8, epochs=3,
+                                     lr=0.2, batch_size=16, mesh=m)
+        elif phase == "updown":
+            hist = dbn.finetune_updown(data, epochs=3, lr=0.02,
+                                       batch_size=16, mesh=m)
+        else:
+            dbn.fit_label_top(data, labels, 2, n_hidden=8, epochs=3, lr=0.2,
+                              batch_size=16)
+            hist = dbn.finetune_updown_labeled(data, labels, epochs=3,
+                                               lr=0.02, batch_size=16, mesh=m)
+        results[m is None] = (hist, _tuned_params(dbn),
+                              np.asarray(dbn._label_top[0].W)
+                              if hasattr(dbn, "_label_top") else None)
+    (h1, p1, t1), (h0, p0, t0) = results[True], results[False]
+    np.testing.assert_allclose(h0, h1, rtol=1e-5, atol=1e-6)
+    for a, b in zip(p0, p1):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+    if t0 is not None:
+        np.testing.assert_allclose(t0, t1, rtol=1e-5, atol=1e-6)
+
+
+def test_finetune_mdbn_phases_dp_mesh_match_single_device():
+    """The multimodal fine-tuning paths with mesh= reproduce single-device:
+    backprop head, labeled up-down (towers + joint + label top)."""
+    from mdbn_tpu.config import MDBNConfig
+    from mdbn_tpu.models.mdbn import MDBN
+
+    rng = np.random.default_rng(3)
+    n = 160
+    labels = rng.integers(0, 2, n)
+
+    def mk(V, s):
+        base = (np.arange(V)[None, :] // (V // 2) == labels[:, None]).astype(
+            np.float32)
+        flip = np.random.default_rng(s).random((n, V)) < 0.1
+        return np.where(flip, 1 - base, base).astype(np.float32)
+
+    mods = {"a": mk(8, 1), "b": mk(6, 2)}
+    mesh = make_mesh(8)
+    results = {}
+    for m in (None, mesh):
+        cfg = MDBNConfig(
+            towers={"a": DBNConfig(layer_sizes=[6, 4], epochs=4, lr=0.3,
+                                   batch_size=16, engine="xla"),
+                    "b": DBNConfig(layer_sizes=[4], epochs=4, lr=0.3,
+                                   batch_size=16, engine="xla")},
+            joint=RBMConfig(n_visible=1, n_hidden=4, epochs=4, lr=0.3,
+                            batch_size=16, engine="xla"))
+        mdbn = MDBN(cfg).train(mods)
+        h_cls = mdbn.finetune(mods, labels, 2, epochs=2, lr=0.1,
+                              batch_size=16, mesh=m)
+        mdbn.fit_label_top(mods, labels, 2, n_hidden=8, epochs=3, lr=0.2,
+                           batch_size=16, mesh=m)
+        h_ud = mdbn.finetune_updown_labeled(mods, labels, epochs=2, lr=0.02,
+                                            batch_size=16, mesh=m)
+        results[m is None] = (h_cls, h_ud,
+                              np.asarray(mdbn._joint_gen[0]),
+                              np.asarray(mdbn.towers["a"].layers[0].params.W))
+    (c1, u1, jg1, w1), (c0, u0, jg0, w0) = results[True], results[False]
+    np.testing.assert_allclose(c0, c1, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(u0, u1, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(jg0, jg1, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(w0, w1, rtol=1e-5, atol=1e-6)
