@@ -165,18 +165,23 @@ def main():
     fig.tight_layout()
     fig.savefig(os.path.join(args.outdir, "autoencoder.png"), dpi=100)
 
-    # ---- 5. up-down fine-tuning + label-top class-conditional dreams --------
-    print("[5/6] up-down fine-tuning + associative label-top RBM ...")
+    # ---- 5. the COMPLETE 2006 network: label top + labeled up-down ----------
+    print("[5/6] associative label top + labeled up-down (the complete 2006 "
+          "algorithm) ...")
     data_l, digits = mnist_like(2000, seed=2, return_labels=True)
     gdbn = DBN(DBNConfig(layer_sizes=[128, 32], epochs=max(3, args.epochs // 3),
                          batch_size=20, seed=0)).train(data_l)
-    ud_hist = gdbn.finetune_updown(data_l, epochs=10, lr=0.01)
-    print(f"    up-down wake mse {ud_hist[0]:.4f} -> {ud_hist[-1]:.4f}")
     lt_hist = gdbn.fit_label_top(data_l, digits, n_classes=10, n_hidden=64,
                                  epochs=15, lr=0.1)
+    acc0 = float(np.mean(np.asarray(gdbn.predict_generative(data_l))
+                         == np.asarray(digits)))
+    # labeled up-down: wake clamps the true digit at the label top, sleep
+    # dreams code AND label, every stack layer unties
+    ud_hist = gdbn.finetune_updown_labeled(data_l, digits, epochs=10, lr=0.005)
     acc = float(np.mean(np.asarray(gdbn.predict_generative(data_l))
                         == np.asarray(digits)))
-    print(f"    label-top free-energy classifier train acc: {acc:.3f}")
+    print(f"    labeled up-down wake mse {ud_hist[0]:.4f} -> {ud_hist[-1]:.4f}")
+    print(f"    free-energy classifier train acc: {acc0:.3f} -> {acc:.3f}")
     fig, axes = plt.subplots(4, 10, figsize=(13, 5.5))
     for y in range(10):
         dreams_y = np.asarray(gdbn.generate_class(y, n_samples=3,
@@ -188,9 +193,9 @@ def main():
             axes[r + 1, y].imshow(dreams_y[r].reshape(28, 28), cmap="gray")
         for r in range(4):
             axes[r, y].axis("off")
-    fig.suptitle("class-conditional dreams: clamp one label unit, Gibbs the "
-                 "label top, down-pass the untied generative weights "
-                 "(row 1 = a real sample of each class)")
+    fig.suptitle("class-conditional dreams after labeled up-down: clamp one "
+                 "label unit, Gibbs the associative top, down-pass the "
+                 "untied generative weights (row 1 = a real sample)")
     fig.tight_layout()
     fig.savefig(os.path.join(args.outdir, "class_dreams.png"), dpi=100)
 

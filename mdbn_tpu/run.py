@@ -253,6 +253,41 @@ def main(argv=None):
                              "has no stack to fine-tune)")
         mode = spec.get("mode", "autoencoder")
         epochs = int(spec.get("epochs", 10))
+        # "label_fraction": f — keep a seeded fraction of the labels and mark
+        # the rest -1 (unlabeled). The generative label modes (label_top /
+        # updown_labeled) then train SEMI-SUPERVISED (train/labeled.py), and
+        # accuracy is also reported on the hidden-label rows — the
+        # scarce-clinical-labels evaluation.
+        labels_used, hidden_rows = labels, None
+        frac = spec.get("label_fraction")
+        if frac is not None:
+            if labels is None:
+                raise ValueError("'label_fraction' needs labels in the data "
+                                 "spec to subsample")
+            if mode not in ("label_top", "updown_labeled"):
+                raise ValueError("'label_fraction' applies to the generative "
+                                 "label modes (label_top / updown_labeled)")
+            frac = float(frac)
+            if not 0.0 < frac <= 1.0:
+                raise ValueError(f"label_fraction={frac} not in (0, 1]")
+            rng = np.random.default_rng(int(spec.get("label_seed", 0)))
+            keep = rng.random(len(labels)) < frac
+            if not keep.any():
+                raise ValueError(f"label_fraction={frac} left zero labeled "
+                                 "rows at this seed")
+            labels_used = np.where(keep, np.asarray(labels), -1)
+            hidden_rows = ~keep
+
+        def _label_accuracies(pred):
+            """(acc on labeled rows, acc on hidden-label rows or None)."""
+            truth = np.asarray(labels)[: len(pred)]
+            lab = np.asarray(labels_used)[: len(pred)] >= 0
+            accs = {"train_accuracy": float((pred[lab] == truth[lab]).mean())}
+            if hidden_rows is not None:
+                hid = hidden_rows[: len(pred)]
+                accs["accuracy_unlabeled"] = float(
+                    (pred[hid] == truth[hid]).mean())
+            return accs
         if mode == "autoencoder":
             kw = {"epochs": epochs, "lr": float(spec.get("lr", 1e-3))}
             history = model.finetune_autoencoder(data, mesh=mesh, **kw)
@@ -283,17 +318,17 @@ def main(argv=None):
                     "'labels_path' (IDX1 file) to a mnist_idx data spec")
             n_classes = int(spec.get("n_classes", int(np.max(labels)) + 1))
             history = model.fit_label_top(
-                data, np.asarray(labels), n_classes,
+                data, np.asarray(labels_used), n_classes,
                 n_hidden=int(spec.get("n_hidden", 64)), epochs=epochs,
                 lr=float(spec.get("lr", 0.1)), k=int(spec.get("k", 1)),
                 batch_size=int(spec.get("batch_size", 20)), mesh=mesh)
             pred = np.asarray(model.predict_generative(data))
-            acc = float((pred == np.asarray(labels)[: len(pred)]).mean())
+            accs = _label_accuracies(pred)
             rec = {"kind": "finetune", "mode": "label_top", "epochs": epochs,
                    "n_classes": n_classes, "err_first": float(history[0]),
-                   "err_last": float(history[-1]), "train_accuracy": acc}
+                   "err_last": float(history[-1]), **accs}
             log.info("label-top fit: code mse %.5f -> %.5f, train acc %.3f",
-                     history[0], history[-1], acc)
+                     history[0], history[-1], accs["train_accuracy"])
         elif mode == "updown_labeled":
             # the COMPLETE 2006 fine-tuning: up-down with the associative
             # label top undirected — wake clamps the true label, sleep
@@ -308,24 +343,23 @@ def main(argv=None):
                 # the label top is a prerequisite; fit it here with the
                 # block's knobs so one config block drives the whole phase
                 model.fit_label_top(
-                    data, np.asarray(labels),
+                    data, np.asarray(labels_used),
                     int(spec.get("n_classes", int(np.max(labels)) + 1)),
                     n_hidden=int(spec.get("n_hidden", 64)),
                     epochs=int(spec.get("label_top_epochs", 20)),
                     lr=float(spec.get("label_top_lr", 0.1)),
                     batch_size=int(spec.get("batch_size", 20)), mesh=mesh)
             history = model.finetune_updown_labeled(
-                data, np.asarray(labels), epochs=epochs,
+                data, np.asarray(labels_used), epochs=epochs,
                 lr=float(spec.get("lr", 0.01)), k=int(spec.get("k", 1)),
                 batch_size=int(spec.get("batch_size", 20)), mesh=mesh)
             pred = np.asarray(model.predict_generative(data))
-            acc = float((pred == np.asarray(labels)[: len(pred)]).mean())
+            accs = _label_accuracies(pred)
             rec = {"kind": "finetune", "mode": "updown_labeled",
                    "epochs": epochs, "wake_mse_first": float(history[0]),
-                   "wake_mse_last": float(history[-1]),
-                   "train_accuracy": acc}
+                   "wake_mse_last": float(history[-1]), **accs}
             log.info("labeled up-down: wake mse %.5f -> %.5f, train acc %.3f",
-                     history[0], history[-1], acc)
+                     history[0], history[-1], accs["train_accuracy"])
         elif mode == "classifier":
             if labels is None:
                 raise ValueError(

@@ -42,19 +42,74 @@ def _softmax_sample(key, logits):
     return jax.nn.one_hot(idx, logits.shape[1], dtype=jnp.float32)
 
 
+def _class_logits(params: RBMParams, codes: jax.Array, n_code: int) -> jax.Array:
+    """Class-dependent part of -F([codes ; e_y]) for every y: [B, C].
+
+    Softmaxing these gives the EXACT posterior p(y | code) under the
+    associative top (terms independent of y — the code-bias energy — cancel
+    across classes, so they are omitted). Used by the semi-supervised paths
+    to impute the label block of UNLABELED rows with a posterior draw."""
+    Wc, Wl = params.W[:n_code], params.W[n_code:]            # [V,H], [C,H]
+    bl = params.b[n_code:]
+    pre = codes @ Wc + params.c                              # [B, H]
+    hid = jax.nn.softplus(pre[:, None, :] + Wl[None, :, :]).sum(axis=2)
+    return bl[None, :] + hid                                 # [B, C]
+
+
+def _posterior_label_fill(key, params: RBMParams, codes, onehot, mask,
+                          n_code: int) -> jax.Array:
+    """Label block for the positive phase under PARTIAL labels: the true
+    one-hot where ``mask`` is 1, a posterior sample y ~ p(y | code) where 0.
+
+    This is the stochastic-EM treatment of the unlabeled rows: CD on the
+    marginal p(code) with the label treated as a latent softmax group,
+    sampled EXACTLY from its conditional (enumerable over C classes)."""
+    y_s = _softmax_sample(key, _class_logits(params, codes, n_code))
+    return jnp.where(mask[:, None] > 0, onehot, y_s)
+
+
+def _validate_partial_labels(labels, n_classes: int) -> Tuple[jax.Array, bool]:
+    """Validate class labels where -1 means UNLABELED. Returns
+    (int32 labels, semi) with semi = True iff any row is unlabeled."""
+    labels = jnp.asarray(labels, jnp.int32)
+    if labels.ndim != 1:
+        raise ValueError(f"labels must be 1-D class indices, got {labels.shape}")
+    lo, hi = int(labels.min()), int(labels.max())
+    if lo < -1 or hi >= n_classes:
+        raise ValueError(f"labels out of range for n_classes={n_classes} "
+                         "(use -1 for unlabeled rows)")
+    if hi < 0:
+        raise ValueError("every label is -1 (unlabeled) — semi-supervised "
+                         "training needs at least one labeled row; for a "
+                         "fully unsupervised top, train a plain RBM on the "
+                         "codes instead")
+    return labels, lo < 0
+
+
 @lru_cache(maxsize=None)
 def _label_top_epoch_fn(n_code: int, n_classes: int, lr: float, k: int,
-                        momentum: float, l2: float):
+                        momentum: float, l2: float, semi: bool = False):
     """One jitted epoch of CD-k on the associative top RBM. The visible
     vector is [code (Bernoulli block) ; label (softmax block)]; positive
     phase clamps the true one-hot label, negative phase Gibbs-samples the
-    code block as Bernoullis and the label block as a softmax group."""
+    code block as Bernoullis and the label block as a softmax group.
+
+    ``semi``: each minibatch additionally carries a [B] 0/1 labeled-row
+    mask; unlabeled rows get their positive-phase label block drawn from
+    the exact posterior p(y | code) under the CURRENT params
+    (_posterior_label_fill) — CD on the marginal for those rows."""
 
     def step(carry, xs):
         p, vel = carry
-        codes, onehot, key = xs
+        if semi:
+            codes, onehot, mask, key = xs
+        else:
+            codes, onehot, key = xs
         B = codes.shape[0]
-        keys = jax.random.split(key, 3 * k + 1)
+        keys = jax.random.split(key, 3 * k + 1 + semi)
+        if semi:
+            onehot = _posterior_label_fill(keys[3 * k + 1], p, codes, onehot,
+                                           mask, n_code)
         v0 = jnp.concatenate([codes, onehot], axis=1)
 
         h0p = jax.nn.sigmoid(v0 @ p.W + p.c)
@@ -86,10 +141,17 @@ def _label_top_epoch_fn(n_code: int, n_classes: int, lr: float, k: int,
             (h @ p.W.T + p.b)[:, :n_code])
         return (p, vel), jnp.mean(d * d)
 
-    @jax.jit
-    def epoch(carry, codes_b, onehot_b, keys):
-        carry, errs = jax.lax.scan(step, carry, (codes_b, onehot_b, keys))
-        return carry, errs.mean()
+    if semi:
+        @jax.jit
+        def epoch(carry, codes_b, onehot_b, mask_b, keys):
+            carry, errs = jax.lax.scan(step, carry,
+                                       (codes_b, onehot_b, mask_b, keys))
+            return carry, errs.mean()
+    else:
+        @jax.jit
+        def epoch(carry, codes_b, onehot_b, keys):
+            carry, errs = jax.lax.scan(step, carry, (codes_b, onehot_b, keys))
+            return carry, errs.mean()
 
     return epoch
 
@@ -116,12 +178,14 @@ def fit_label_top(
     directly on the data). Pass a previous run's ``params`` to RESUME.
     Returns (top RBMParams with W [n_code + n_classes, n_hidden], per-epoch
     code-block reconstruction mse). With a ``mesh`` the CD epochs run
-    data-parallel via GSPMD (parallel/dp.dp_put_finetune), same math."""
-    labels = jnp.asarray(labels, jnp.int32)
-    if labels.ndim != 1:
-        raise ValueError(f"labels must be 1-D class indices, got {labels.shape}")
-    if int(labels.min()) < 0 or int(labels.max()) >= n_classes:
-        raise ValueError(f"labels out of range for n_classes={n_classes}")
+    data-parallel via GSPMD (parallel/dp.dp_put_finetune), same math.
+
+    **Semi-supervised**: rows with label ``-1`` are UNLABELED — their
+    positive-phase label block is drawn from the exact posterior
+    p(y | code) under the current params each step (stochastic-EM CD on the
+    marginal), so scarce clinical labels still shape the associative memory
+    while every unlabeled patient contributes to the code model."""
+    labels, semi = _validate_partial_labels(labels, n_classes)
     codes = (stack_transform(list(layers), jnp.asarray(data, jnp.float32))
              if layers else jnp.asarray(data, jnp.float32))
     if codes.shape[0] != labels.shape[0]:
@@ -133,9 +197,13 @@ def fit_label_top(
     if nb == 0:
         raise ValueError(f"dataset has {codes.shape[0]} samples — fewer than "
                          f"one minibatch (batch_size={batch_size})")
+    # one_hot maps -1 (unlabeled) to an all-zero row; the semi step replaces
+    # those rows with a posterior draw before the positive phase
     onehot = jax.nn.one_hot(labels, n_classes, dtype=jnp.float32)
     codes_b = codes[:n].reshape(nb, batch_size, n_code)
     onehot_b = onehot[:n].reshape(nb, batch_size, n_classes)
+    mask_b = ((labels[:n] >= 0).astype(jnp.float32)
+              .reshape(nb, batch_size) if semi else None)
 
     key = jax.random.PRNGKey(seed)
     if params is None:
@@ -152,18 +220,26 @@ def fit_label_top(
     vel = RBMParams(W=jnp.zeros_like(params.W), b=jnp.zeros_like(params.b),
                     c=jnp.zeros_like(params.c))
     epoch = _label_top_epoch_fn(n_code, n_classes, float(lr), int(k),
-                                float(momentum), float(l2))
+                                float(momentum), float(l2), semi)
     history = []
     carry = (params, vel)
     if mesh is not None:
         from ..parallel.dp import dp_put_finetune
 
-        carry, (codes_b, onehot_b) = dp_put_finetune(
-            mesh, carry, (codes_b, onehot_b))
+        if semi:
+            carry, (codes_b, onehot_b, mask_b) = dp_put_finetune(
+                mesh, carry, (codes_b, onehot_b, mask_b))
+        else:
+            carry, (codes_b, onehot_b) = dp_put_finetune(
+                mesh, carry, (codes_b, onehot_b))
     for _ in range(epochs):
         key, kep = jax.random.split(key)
-        carry, err = epoch(carry, codes_b, onehot_b,
-                           jax.random.split(kep, nb))
+        if semi:
+            carry, err = epoch(carry, codes_b, onehot_b, mask_b,
+                               jax.random.split(kep, nb))
+        else:
+            carry, err = epoch(carry, codes_b, onehot_b,
+                               jax.random.split(kep, nb))
         history.append(float(err))
     return carry[0], history
 

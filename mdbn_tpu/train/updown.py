@@ -208,16 +208,24 @@ def finetune_updown_stack(
 
 @lru_cache(maxsize=None)
 def _updown_labeled_epoch_fn(cfgs: Tuple[RBMConfig, ...], n_code: int,
-                             n_classes: int, lr: float, k: int):
+                             n_classes: int, lr: float, k: int,
+                             semi: bool = False):
     """One jitted epoch of labeled up-down. ``cfgs`` = ALL stack layers'
-    configs bottom-up (all directed); the label top is the undirected top."""
+    configs bottom-up (all directed); the label top is the undirected top.
+
+    ``semi``: minibatches carry a [B] 0/1 labeled-row mask; unlabeled rows
+    wake with a posterior label draw p(y | wake code) instead of a clamped
+    truth (train.labeled._posterior_label_fill)."""
     L = len(cfgs)
 
     def step(params, xs):
         rec, gen, top = params
-        v0, onehot, key = xs
+        if semi:
+            v0, onehot, mask, key = xs
+        else:
+            v0, onehot, key = xs
         B = v0.shape[0]
-        keys = jax.random.split(key, L + 3 * k + 1 + L)
+        keys = jax.random.split(key, L + 3 * k + 1 + L + semi)
 
         # --- wake: stochastic up-pass through recognition weights ---
         s = [v0]
@@ -238,6 +246,11 @@ def _updown_labeled_epoch_fn(cfgs: Tuple[RBMConfig, ...], n_code: int,
 
         # --- associative top RBM: CD-k with the true label CLAMPED in the
         # positive phase and the label block softmax-dreamed in the negative
+        if semi:
+            from .labeled import _posterior_label_fill
+
+            onehot = _posterior_label_fill(keys[L + 3 * k + 1 + L], top,
+                                           s[L], onehot, mask, n_code)
         vt = jnp.concatenate([s[L], onehot], axis=1)
         h0p = jax.nn.sigmoid(vt @ top.W + top.c)
         h = _bern(keys[L], h0p)
@@ -286,10 +299,16 @@ def _updown_labeled_epoch_fn(cfgs: Tuple[RBMConfig, ...], n_code: int,
             ))
         return (new_rec, new_gen, top), wake_err
 
-    @jax.jit
-    def epoch(params, xb, yb, keys):
-        params, errs = jax.lax.scan(step, params, (xb, yb, keys))
-        return params, errs.mean()
+    if semi:
+        @jax.jit
+        def epoch(params, xb, yb, mb, keys):
+            params, errs = jax.lax.scan(step, params, (xb, yb, mb, keys))
+            return params, errs.mean()
+    else:
+        @jax.jit
+        def epoch(params, xb, yb, keys):
+            params, errs = jax.lax.scan(step, params, (xb, yb, keys))
+            return params, errs.mean()
 
     return epoch
 
@@ -314,15 +333,17 @@ def finetune_updown_labeled(
     [top code ; one-hot label]. ``mesh``: GSPMD data-parallel epochs.
 
     Returns (recognition params per layer, generative (W, b) per layer,
-    tuned label-top RBMParams, per-epoch wake reconstruction mse)."""
+    tuned label-top RBMParams, per-epoch wake reconstruction mse).
+
+    **Semi-supervised**: rows with label ``-1`` wake with a posterior label
+    draw p(y | wake code) in place of the clamped truth (see
+    train.labeled.fit_label_top)."""
+    from .labeled import _validate_partial_labels
+
     if not layers:
         raise ValueError("labeled up-down needs >= 1 stack layer below the "
                          "label top")
-    labels = jnp.asarray(labels, jnp.int32)
-    if labels.ndim != 1:
-        raise ValueError(f"labels must be 1-D class indices, got {labels.shape}")
-    if int(labels.min()) < 0 or int(labels.max()) >= n_classes:
-        raise ValueError(f"labels out of range for n_classes={n_classes}")
+    labels, semi = _validate_partial_labels(labels, n_classes)
     n_code = layers[-1][0].W.shape[1]
     if label_top.W.shape[0] != n_code + n_classes:
         raise ValueError(f"label top has visible {label_top.W.shape[0]}, "
@@ -343,22 +364,33 @@ def finetune_updown_labeled(
         raise ValueError(f"dataset has {data.shape[0]} samples — fewer than "
                          f"one minibatch (batch_size={batch_size})")
     xb = data[:n].reshape(nb, batch_size, -1)
+    # one_hot maps -1 (unlabeled) to an all-zero row; the semi wake replaces
+    # those rows with a posterior draw
     yb = jax.nn.one_hot(labels[:n], n_classes,
                         dtype=jnp.float32).reshape(nb, batch_size, n_classes)
+    mb = ((labels[:n] >= 0).astype(jnp.float32)
+          .reshape(nb, batch_size) if semi else None)
 
     epoch = _updown_labeled_epoch_fn(cfgs, int(n_code), int(n_classes),
-                                     float(lr), int(k))
+                                     float(lr), int(k), semi)
     params = (rec, [(jnp.asarray(W, jnp.float32), jnp.asarray(b, jnp.float32))
                     for W, b in gen], label_top)
     if mesh is not None:
         from ..parallel.dp import dp_put_finetune
 
-        params, (xb, yb) = dp_put_finetune(mesh, params, (xb, yb))
+        if semi:
+            params, (xb, yb, mb) = dp_put_finetune(mesh, params, (xb, yb, mb))
+        else:
+            params, (xb, yb) = dp_put_finetune(mesh, params, (xb, yb))
     key = jax.random.PRNGKey(seed)
     history = []
     for _ in range(epochs):
         key, kepoch = jax.random.split(key)
-        params, err = epoch(params, xb, yb, jax.random.split(kepoch, nb))
+        if semi:
+            params, err = epoch(params, xb, yb, mb,
+                                jax.random.split(kepoch, nb))
+        else:
+            params, err = epoch(params, xb, yb, jax.random.split(kepoch, nb))
         history.append(float(err))
     rec, gen, label_top = params
     return list(rec), list(gen), label_top, history
@@ -549,18 +581,23 @@ def finetune_updown_mdbn(
 
 @lru_cache(maxsize=None)
 def _updown_mdbn_labeled_epoch_fn(tower_cfgs, n_code: int, n_classes: int,
-                                  lr: float, k: int):
+                                  lr: float, k: int, semi: bool = False):
     """``tower_cfgs``: tuple of (name, (cfg, ...)) in modality order;
     ``n_code``: the joint layer's hidden width (= the label top's code
-    block)."""
+    block). ``semi``: minibatches carry a [B] 0/1 labeled-row mask;
+    unlabeled rows wake with a posterior label draw p(y | joint wake code)
+    instead of a clamped truth."""
     names = [n for n, _ in tower_cfgs]
     cfg_of = dict(tower_cfgs)
 
     def step(params, xs):
         rec, gen, jrec, jgen, top = params
-        batches, onehot, key = xs
+        if semi:
+            batches, onehot, mask, key = xs
+        else:
+            batches, onehot, key = xs
         B = onehot.shape[0]
-        nk = sum(2 * len(cfg_of[n]) for n in names) + 3 * k + 3
+        nk = sum(2 * len(cfg_of[n]) for n in names) + 3 * k + 3 + semi
         keys = iter(jax.random.split(key, nk))
 
         # --- wake per tower + tower generative updates (the unlabeled tree's
@@ -599,6 +636,11 @@ def _updown_mdbn_labeled_epoch_fn(tower_cfgs, n_code: int, n_classes: int,
 
         # --- associative label top: CD-k with the true label CLAMPED in the
         # positive phase, code + softmax label dreamed in the negative ---
+        if semi:
+            from .labeled import _posterior_label_fill
+
+            onehot = _posterior_label_fill(next(keys), top, s_j, onehot,
+                                           mask, n_code)
         vt = jnp.concatenate([s_j, onehot], axis=1)
         h0p = jax.nn.sigmoid(vt @ top.W + top.c)
         h = _bern(next(keys), h0p)
@@ -661,10 +703,16 @@ def _updown_mdbn_labeled_epoch_fn(tower_cfgs, n_code: int, n_classes: int,
 
         return (new_rec, new_gen, new_jrec, new_jgen, top), wake_err
 
-    @jax.jit
-    def epoch(params, xb, yb, keys):
-        params, errs = jax.lax.scan(step, params, (xb, yb, keys))
-        return params, errs.mean()
+    if semi:
+        @jax.jit
+        def epoch(params, xb, yb, mb, keys):
+            params, errs = jax.lax.scan(step, params, (xb, yb, mb, keys))
+            return params, errs.mean()
+    else:
+        @jax.jit
+        def epoch(params, xb, yb, keys):
+            params, errs = jax.lax.scan(step, params, (xb, yb, keys))
+            return params, errs.mean()
 
     return epoch
 
@@ -691,7 +739,13 @@ def finetune_updown_mdbn_labeled(
 
     Returns (recognition {name: [RBMParams]}, generative {name: [(W, b)]},
     joint recognition RBMParams, joint generative (W, b), tuned label-top
-    RBMParams, per-epoch mean wake reconstruction mse)."""
+    RBMParams, per-epoch mean wake reconstruction mse).
+
+    **Semi-supervised**: rows with label ``-1`` (unlabeled patients) wake
+    with a posterior label draw p(y | joint wake code) in place of the
+    clamped truth (see train.labeled.fit_label_top)."""
+    from .labeled import _validate_partial_labels
+
     if set(towers) != set(modalities):
         raise ValueError(f"towers {sorted(towers)} and modalities "
                          f"{sorted(modalities)} disagree")
@@ -702,11 +756,7 @@ def finetune_updown_mdbn_labeled(
     if label_top.W.shape[0] != n_code + n_classes:
         raise ValueError(f"label top has visible {label_top.W.shape[0]}, "
                          f"expected joint code {n_code} + {n_classes} classes")
-    labels = jnp.asarray(labels, jnp.int32)
-    if labels.ndim != 1:
-        raise ValueError(f"labels must be 1-D class indices, got {labels.shape}")
-    if int(labels.min()) < 0 or int(labels.max()) >= n_classes:
-        raise ValueError(f"labels out of range for n_classes={n_classes}")
+    labels, semi = _validate_partial_labels(labels, n_classes)
     names = list(towers)
     rows = {n: int(jnp.shape(modalities[n])[0]) for n in names}
     if len(set(rows.values())) != 1:
@@ -741,22 +791,34 @@ def finetune_updown_mdbn_labeled(
     for n in names:
         d = jnp.asarray(modalities[n], jnp.float32)
         xb[n] = d[: nb * batch_size].reshape(nb, batch_size, -1)
+    # one_hot maps -1 (unlabeled) to an all-zero row; the semi wake replaces
+    # those rows with a posterior draw
     yb = jax.nn.one_hot(labels[: nb * batch_size], n_classes,
                         dtype=jnp.float32).reshape(nb, batch_size, n_classes)
+    mb = ((labels[: nb * batch_size] >= 0).astype(jnp.float32)
+          .reshape(nb, batch_size) if semi else None)
 
     tower_cfgs = tuple((n, tuple(cfg for _, cfg in towers[n])) for n in names)
     epoch = _updown_mdbn_labeled_epoch_fn(tower_cfgs, int(n_code),
-                                          int(n_classes), float(lr), int(k))
+                                          int(n_classes), float(lr), int(k),
+                                          semi)
     params = (rec, gen, joint_params, joint_gen, label_top)
     if mesh is not None:
         from ..parallel.dp import dp_put_finetune
 
-        params, (xb, yb) = dp_put_finetune(mesh, params, (xb, yb))
+        if semi:
+            params, (xb, yb, mb) = dp_put_finetune(mesh, params, (xb, yb, mb))
+        else:
+            params, (xb, yb) = dp_put_finetune(mesh, params, (xb, yb))
     key = jax.random.PRNGKey(seed)
     history = []
     for _ in range(epochs):
         key, kepoch = jax.random.split(key)
-        params, err = epoch(params, xb, yb, jax.random.split(kepoch, nb))
+        if semi:
+            params, err = epoch(params, xb, yb, mb,
+                                jax.random.split(kepoch, nb))
+        else:
+            params, err = epoch(params, xb, yb, jax.random.split(kepoch, nb))
         history.append(float(err))
     rec, gen, joint_params, joint_gen, label_top = params
     return ({n: list(v) for n, v in rec.items()},

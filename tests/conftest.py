@@ -23,3 +23,22 @@ import jax  # noqa: E402
 _platform = os.environ.get("MDBN_TEST_PLATFORM", "cpu")
 if _platform != "axon":
     jax.config.update("jax_platforms", _platform)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables at module boundaries.
+
+    The full suite compiles many hundreds of XLA CPU executables, all kept
+    alive by the package's lru-cached jitted factories; past roughly 60% of
+    the suite the NEXT compilation segfaults inside
+    ``backend_compile_and_load`` (reproduced twice at the identical test,
+    which passes alone and after any ~third of the suite — the trigger is
+    cumulative live-executable state, not any one test). Clearing between
+    modules caps the live count at one file's worth, which is measured
+    safe; the cost is a handful of recompiles per module boundary.
+    """
+    yield
+    jax.clear_caches()
