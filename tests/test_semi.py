@@ -195,6 +195,38 @@ def test_mdbn_semi_labeled_updown_runs_and_classifies():
     assert float((pred[hid] == labels[hid]).mean()) > 0.9
 
 
+def test_semi_phases_dp_mesh_match_single_device():
+    """Semi-supervised label top + labeled up-down with mesh= reproduce the
+    single-device run exactly — the labeled-row mask shards with the batch
+    and the posterior fill sees identical per-row keys either way."""
+    import jax as _jax
+
+    from mdbn_tpu.parallel.mesh import make_mesh
+    from mdbn_tpu.train.updown import finetune_updown_labeled
+
+    if _jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    data, labels = _block_data(jax.random.PRNGKey(5), 160, 12, flip=0.1)
+    semi_labels = np.where(np.arange(160) % 4 == 0, labels, -1)
+    cfg = DBNConfig(layer_sizes=[8, 6], epochs=4, lr=0.2, batch_size=16,
+                    engine="xla", seed=0)
+    mesh = make_mesh(8)
+    results = {}
+    for m in (None, mesh):
+        dbn = DBN(cfg).train(data)
+        layers = [(r.params, r.cfg) for r in dbn.layers]
+        top, h_top = fit_label_top(layers, data, semi_labels, 3, n_hidden=8,
+                                   epochs=3, lr=0.2, batch_size=16, mesh=m)
+        rec, gen, top2, h_ud = finetune_updown_labeled(
+            layers, top, data, semi_labels, 3, epochs=3, lr=0.02,
+            batch_size=16, mesh=m)
+        results[m is None] = (h_top, h_ud, np.asarray(top2.W),
+                              np.asarray(rec[0].W), np.asarray(gen[0][0]))
+    single, meshed = results[True], results[False]
+    for a, b in zip(single, meshed):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
 def test_cli_label_fraction_semi_supervised(tmp_path):
     """CLI end-to-end: hide 80% of the planted labels, train the label top
     semi-supervised, report accuracy on the hidden rows."""
