@@ -28,6 +28,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import RBMConfig
 from ..core.rbm_math import RBMParams, free_energy
@@ -776,6 +777,24 @@ def labeled_dbn_log_likelihood_bound(
     }
 
 
+def _enum_states(n: int) -> np.ndarray:
+    """All 2^n binary states as float64 rows — the shared bit-enumeration
+    basis of the four exact-likelihood enumerators below."""
+    if n > 14:
+        raise ValueError(f"exact enumeration needs widths <= 14 (got {n})")
+    return ((np.arange(2 ** n)[:, None] >> np.arange(n)) & 1).astype(
+        np.float64)
+
+
+def _bern_cond_logp(S, T, W, b) -> np.ndarray:
+    """log p(S_row | T_row) for Bernoulli rows under mean sigma(T W^T + b).
+
+    Returns [Ns, Nt]. Uses log sigma(x) = -softplus(-x)."""
+    pre = T @ W.T + b[None, :]
+    return (S @ (-np.logaddexp(0.0, -pre)).T
+            + (1.0 - S) @ (-np.logaddexp(0.0, pre)).T)
+
+
 def exact_dbn_log_likelihood(layers, data, gen=None) -> float:
     """Exact mean log-likelihood of a SMALL DBN by full enumeration.
 
@@ -810,12 +829,7 @@ def exact_dbn_log_likelihood(layers, data, gen=None) -> float:
         raise ValueError(f"gen has {len(gen)} layers, stack has "
                          f"{len(directed)} directed layers")
 
-    def states(n):
-        if n > 14:
-            raise ValueError(f"exact DBN enumeration needs layer widths <= 14 "
-                             f"(got {n})")
-        return ((np.arange(2 ** n)[:, None] >> np.arange(n)) & 1).astype(
-            np.float64)
+    states, bern_cond_logp = _enum_states, _bern_cond_logp
 
     def neg_free_energy64(v):
         """-F(v) of the Bernoulli top RBM in float64: v.b + sum softplus."""
@@ -830,15 +844,6 @@ def exact_dbn_log_likelihood(layers, data, gen=None) -> float:
 
     # message from the top RBM over states of h^{L-1}
     f = neg_free_energy64(states(directed[-1][0].W.shape[1]))
-
-    def bern_cond_logp(S, T, W, b):
-        """log p(S_row | T_row) for Bernoulli rows under mean sigma(T W^T + b).
-
-        Returns [Ns, Nt]. Uses log sigma(x) = -softplus(-x)."""
-        pre = T @ W.T + b[None, :]                       # [Nt, d_s]
-        log_p = -np.logaddexp(0.0, -pre)
-        log_q = -np.logaddexp(0.0, pre)
-        return S @ log_p.T + (1.0 - S) @ log_q.T
 
     # fold intermediate directed layers top-down: f_l(s) over states of h^l
     for li in range(len(directed) - 1, 0, -1):
@@ -904,16 +909,7 @@ def exact_labeled_dbn_log_likelihood(layers, label_top, data, labels,
     elif len(gen) != len(layers):
         raise ValueError(f"gen has {len(gen)} layers, stack has {len(layers)}")
 
-    def states(n):
-        if n > 14:
-            raise ValueError(f"exact enumeration needs widths <= 14 (got {n})")
-        return ((np.arange(2 ** n)[:, None] >> np.arange(n)) & 1).astype(
-            np.float64)
-
-    def bern_cond_logp(S, T, W, b):
-        pre = T @ W.T + b[None, :]
-        return (S @ (-np.logaddexp(0.0, -pre)).T
-                + (1.0 - S) @ (-np.logaddexp(0.0, pre)).T)
+    states, bern_cond_logp = _enum_states, _bern_cond_logp
 
     # G[n, s] = log p(v_n | top code state s): fold directed layers top-down
     M = None
@@ -992,15 +988,7 @@ def exact_mdbn_log_likelihood(towers, joint, modalities, gen=None) -> float:
     if gen is not None and set(gen) != set(names):
         raise ValueError("gen must cover exactly the tower names")
 
-    def states(n):
-        return ((np.arange(2 ** n)[:, None] >> np.arange(n)) & 1).astype(
-            np.float64)
-
-    def bern_cond_logp(S, T, W, b):
-        pre = T @ W.T + b[None, :]
-        log_p = -np.logaddexp(0.0, -pre)
-        log_q = -np.logaddexp(0.0, pre)
-        return S @ log_p.T + (1.0 - S) @ log_q.T
+    states, bern_cond_logp = _enum_states, _bern_cond_logp
 
     widths = [towers[n][-1][0].W.shape[1] for n in names]
     total = int(sum(widths))
@@ -1116,16 +1104,7 @@ def exact_labeled_mdbn_log_likelihood(towers, joint, label_top, modalities,
         if labels.min() < 0 or labels.max() >= n_classes:
             raise ValueError(f"labels out of range for n_classes={n_classes}")
 
-    def states(n):
-        if n > 14:
-            raise ValueError(f"exact enumeration needs widths <= 14 (got {n})")
-        return ((np.arange(2 ** n)[:, None] >> np.arange(n)) & 1).astype(
-            np.float64)
-
-    def bern_cond_logp(S, T, W, b):
-        pre = T @ W.T + b[None, :]
-        return (S @ (-np.logaddexp(0.0, -pre)).T
-                + (1.0 - S) @ (-np.logaddexp(0.0, pre)).T)
+    states, bern_cond_logp = _enum_states, _bern_cond_logp
 
     U = states(n_code)                                   # joint code states
     # per-tower: branch message G_m[n, t_m], then fold against the directed

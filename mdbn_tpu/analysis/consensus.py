@@ -129,11 +129,13 @@ def select_n_clusters_consensus(
         raise ValueError(f"cohort of {n} samples is too small for "
                          f"k_min={k_min}")
     scores: Dict[int, float] = {}
-    mats: Dict[int, np.ndarray] = {}
     for k in range(k_min, k_max + 1):
         M = consensus_matrix(codes, k, n_resamples, subsample, seed, n_iters)
         scores[k] = pac_score(M)
-        mats[k] = M
     floor = min(scores.values()) + pac_tol
     best = max(k for k, s in scores.items() if s <= floor)
-    return best, scores, _cut_consensus(mats[best], best)
+    # recompute only the winner's matrix (deterministic in seed) instead of
+    # holding every k's [N, N] matrix alive through the sweep
+    M_best = consensus_matrix(codes, best, n_resamples, subsample, seed,
+                              n_iters)
+    return best, scores, _cut_consensus(M_best, best)

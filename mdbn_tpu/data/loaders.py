@@ -112,19 +112,38 @@ def _read_csv_rows(path: str) -> List[List[str]]:
     return rows
 
 
-def _parse_matrix_csv(path: str) -> Tuple[np.ndarray, Optional[List[str]],
-                                          Optional[List[str]]]:
+_ID_HEADER_NAMES = {"", "id", "ids", "patient", "patient_id", "patientid",
+                    "sample", "sample_id", "sampleid", "case", "case_id",
+                    "barcode", "name", "gene", "gene_id", "feature",
+                    "features", "symbol", "probe", "probe_id"}
+
+
+def _detect_header(rows: List[List[str]], data_start_col: int,
+                   has_ids: bool) -> bool:
+    """A header row usually announces itself with non-numeric feature names;
+    when they are ALL numeric-looking (e.g. Entrez gene IDs), recognize it by
+    a conventional ID-column title instead — otherwise an all-numeric header
+    would be silently ingested as a bogus patient row."""
+    if any(not _is_numeric(c) for c in rows[0][data_start_col:]):
+        return True
+    return has_ids and rows[0][0].strip().lower() in _ID_HEADER_NAMES
+
+
+def _parse_matrix_csv(path: str, header="auto") -> Tuple[
+        np.ndarray, Optional[List[str]], Optional[List[str]]]:
     """Parse a (patients x features) CSV with auto-detected header row and
     row-ID column. Returns (matrix-with-NaNs, row_ids or None,
-    feature_names or None)."""
+    feature_names or None). ``header``: "auto" | True | False overrides
+    detection for files the heuristic cannot disambiguate (an all-numeric
+    header row whose ID column has an unconventional title)."""
     rows = _read_csv_rows(path)
     body = rows[1] if len(rows) > 1 else rows[0]
     # ID column: the first cell of a DATA row is non-numeric. Detected on a
     # non-header row so gene/patient labels in a header can't fool it.
     has_ids = not _is_numeric(body[0])
     data_start_col = 1 if has_ids else 0
-    # header row: any non-numeric cell among the first row's data columns
-    has_header = any(not _is_numeric(c) for c in rows[0][data_start_col:])
+    has_header = (_detect_header(rows, data_start_col, has_ids)
+                  if header == "auto" else bool(header))
     feature_names = (
         [c.strip() for c in rows[0][data_start_col:]] if has_header else None)
     data_rows = rows[1:] if has_header else rows
@@ -182,7 +201,7 @@ def _apply_nan_policy(mat: np.ndarray, nan_policy: str, name: str) -> np.ndarray
 
 def load_omics_csv(paths: Dict[str, str], zscore_features: bool = True,
                    nan_policy: str = "error", align: str = "strict",
-                   return_ids: bool = False):
+                   return_ids: bool = False, header="auto"):
     """Load {modality: csv_path} matrices (patients x features), z-scoring
     continuous features as the reference does (BASELINE.json config 2).
 
@@ -204,7 +223,7 @@ def load_omics_csv(paths: Dict[str, str], zscore_features: bool = True,
             raise FileNotFoundError(
                 f"omics file not found: {path}. Use "
                 "mdbn_tpu.data.synthetic.tcga_like for a local stand-in.")
-        mat, row_ids, _ = _parse_matrix_csv(path)
+        mat, row_ids, _ = _parse_matrix_csv(path, header=header)
         mats[name] = _apply_nan_policy(mat, nan_policy, name)
         ids[name] = row_ids
 
@@ -288,7 +307,7 @@ def load_clinical_csv(path: str, patient_ids: Optional[Sequence[str]] = None
     body = rows[1] if len(rows) > 1 else rows[0]
     has_ids = not _is_numeric(body[0])
     data_start = 1 if has_ids else 0
-    has_header = any(not _is_numeric(c) for c in rows[0][data_start:])
+    has_header = _detect_header(rows, data_start, has_ids)
     t_col, e_col = data_start, data_start + 1
     if has_header:
         header = [c.strip().lower() for c in rows[0]]

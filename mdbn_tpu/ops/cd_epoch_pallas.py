@@ -267,9 +267,12 @@ def needs_w_chunking(cfg: RBMConfig, ndev: int = 1,
     the XLA engine), V a multiple of 32 (fori chunk loops need a constant
     divisor chunk size), mean-field negative phase (no per-visible sampling
     draws to chunk — the wide-omics regime IS the Gaussian mean-field one),
-    and mse/xent monitors. Everything else falls back to the XLA engine."""
+    and mse/xent monitors. Everything else falls back to the XLA engine.
+    Batch <= 32: the transposed v0/vs phase factors pack into the lane
+    groups of one (V, 128) scratch (_build_wblocked_call asserts this)."""
     if (ndev != 1 or cfg.n_visible % 32 != 0
             or cfg.resolved_sample_visible
+            or cfg.batch_size > 32
             or cfg.error_metric not in ("mse", "xent")):
         return False
     if estimate_vmem_bytes(cfg, unroll=1, ndev=ndev, hbm_state=True,

@@ -23,6 +23,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import RBMConfig
@@ -44,6 +45,12 @@ def train_rbm_shard_map(
                          "shard_map DP path (the per-step kernels monitor "
                          "mse/xent); use the DP mega-kernel (engine='pallas' "
                          "via train_rbm) or engine='xla' without a mesh")
+    if cfg.pt_temps > 1:
+        # same rule train_rbm enforces: the rung-stacked chain state
+        # [M*batch, H] does not shard as batch rows, and replica swaps need
+        # the whole ladder on one device
+        raise ValueError("pt_temps > 1 (parallel tempering) is "
+                         "single-device; train without a mesh")
     if cfg.gradient == "enhanced":
         raise ValueError("gradient='enhanced' is not supported on the "
                          "shard_map DP path: the recombination is nonlinear "
@@ -222,8 +229,24 @@ def dp_put_finetune(mesh: Mesh, params, batches):
     sharding-invariant), no per-driver rewrites.
 
     Returns (params, batches) committed to the mesh.
+
+    ``jax.device_put`` needs the row dim divisible by the mesh axis; when it
+    is not (e.g. the default batch_size 20 on 8 devices), a 1-D mesh
+    degrades to its first g devices where g is the largest divisor of the
+    row count — same math (GSPMD semantics are sharding-invariant), fewer
+    shards, no crash. Multi-axis meshes get a clear error instead.
     """
     axis = mesh.axis_names[0]
+    rows = jax.tree.leaves(batches)[0].shape[1]
+    ndev = mesh.shape[axis]
+    if rows % ndev != 0:
+        if len(mesh.axis_names) > 1:
+            raise ValueError(
+                f"fine-tuning batch rows ({rows}) not divisible by mesh axis "
+                f"'{axis}' ({ndev}); pick a batch_size divisible by the mesh "
+                "or a 1-D mesh (which degrades to a compatible device subset)")
+        g = max(d for d in range(1, min(rows, ndev) + 1) if rows % d == 0)
+        mesh = Mesh(np.asarray(mesh.devices).flatten()[:g], (axis,))
     repl = NamedSharding(mesh, P())
     bsh = NamedSharding(mesh, P(None, axis))
     return (jax.device_put(params, repl),

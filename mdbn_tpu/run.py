@@ -72,7 +72,8 @@ def build_data(spec: dict):
         mats, ids = load_omics_csv(
             kw["paths"], zscore_features=kw.get("zscore", True),
             nan_policy=kw.get("nan_policy", "error"),
-            align=kw.get("align", "strict"), return_ids=True)
+            align=kw.get("align", "strict"), return_ids=True,
+            header=kw.get("header", "auto"))
         return mats, None, ids
     raise ValueError(f"unknown data kind {kind!r}")
 
@@ -283,7 +284,9 @@ def main(argv=None):
             truth = np.asarray(labels)[: len(pred)]
             lab = np.asarray(labels_used)[: len(pred)] >= 0
             accs = {"train_accuracy": float((pred[lab] == truth[lab]).mean())}
-            if hidden_rows is not None:
+            if hidden_rows is not None and hidden_rows[: len(pred)].any():
+                # label_fraction=1.0 (or a lucky seed) hides zero rows; an
+                # empty mean would write NaN into the metrics JSONL
                 hid = hidden_rows[: len(pred)]
                 accs["accuracy_unlabeled"] = float(
                     (pred[hid] == truth[hid]).mean())

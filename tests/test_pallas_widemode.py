@@ -300,3 +300,9 @@ def test_w_chunked_mode_selection():
     assert not needs_w_chunking(bf.replace(sample_visible=True))
     assert not needs_w_chunking(bf.replace(visible="bernoulli",
                                            error_metric="pseudo"))
+    # batch > 32 can't pack the transposed phase factors into the one
+    # (V, 128) scratch the tier uses — must degrade to XLA, not assert
+    # inside the kernel builder
+    big_b = bf.replace(batch_size=64)
+    assert not needs_w_chunking(big_b)
+    assert pallas_state_mode(big_b) is None

@@ -254,6 +254,35 @@ def test_cli_label_fraction_semi_supervised(tmp_path):
     assert ft[0]["train_accuracy"] > 0.8, ft[0]
 
 
+def test_cli_label_fraction_one_no_nan_in_metrics(tmp_path):
+    """label_fraction=1.0 is allowed but hides zero rows: the metrics record
+    must simply omit accuracy_unlabeled, never write NaN (which would break
+    strict-JSON consumers of the metrics file)."""
+    import json
+
+    from mdbn_tpu.config import save_config
+    from mdbn_tpu.run import main
+
+    save_config({
+        "model": DBNConfig(layer_sizes=[16], epochs=2, batch_size=20,
+                           engine="xla", seed=0),
+        "data": {"kind": "mnist_like", "n_samples": 100, "n_prototypes": 3,
+                 "seed": 3},
+        "finetune": {"mode": "label_top", "label_fraction": 1.0,
+                     "epochs": 3, "n_hidden": 16, "lr": 0.2},
+        "analysis": {},
+    }, str(tmp_path / "exp.json"))
+    assert main(["--config", str(tmp_path / "exp.json"),
+                 "--metrics", str(tmp_path / "m.jsonl")]) == 0
+    # strict JSON parse of every line (json.loads would accept NaN)
+    recs = [json.loads(l, parse_constant=lambda s: (_ for _ in ()).throw(
+        ValueError(f"non-strict JSON constant {s}")))
+        for l in open(tmp_path / "m.jsonl")]
+    ft = [r for r in recs if r["kind"] == "finetune"][0]
+    assert "accuracy_unlabeled" not in ft
+    assert np.isfinite(ft["train_accuracy"])
+
+
 def test_cli_label_fraction_validation(tmp_path):
     from mdbn_tpu.config import save_config
     from mdbn_tpu.run import main
