@@ -1,3 +1,7 @@
+"""TPU smoke verification of the round-3 imputation + AIS-anneal
+features: run on the real chip (python scripts/verify_impute_ais_tpu.py).
+The equivalent CPU-mesh coverage lives in tests/test_sampling.py and
+tests/test_ais.py; this script is the on-hardware leg."""
 import jax
 print("backend:", jax.default_backend())
 assert jax.default_backend() == "tpu"
