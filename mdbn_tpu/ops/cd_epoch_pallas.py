@@ -62,7 +62,7 @@ from jax.experimental.pallas import tpu as pltpu
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import RBMConfig
-from ..core.rbm_math import RBMParams
+from ..core.rbm_math import RBMParams, pt_betas
 from ..core.state import TrainState
 
 # Conservative budget for params+velocities+activations; v5e VMEM ~128 MiB.
@@ -166,6 +166,22 @@ def estimate_vmem_bytes(cfg: RBMConfig, unroll: int = _MAX_UNROLL,
     # (`Wv = W[:]`) and the full [V, H] f32 gradient are both live) ----
     ring = ndev > 1 and dp_reduce == "ring"
     transients = 0
+    if cfg.gradient == "enhanced":
+        # the in-kernel recombination (gW_e = gW - outer - outer, then two
+        # matvec passes over gW_e) keeps a second W-sized f32 value live
+        transients += we * f
+    if cfg.pt_temps > 1:
+        # tempering ladder: the negative phase runs M*B chain rows, so the
+        # [·, V]/[·, H] activations (pre_v/vmean/vs, pre_h/hmean/h, plus the
+        # swap-round pre/logp buffers) scale by M; the chain master does too
+        M = cfg.pt_temps
+        transients += 8 * M * cfg.batch_size * (cfg.n_visible + cfg.n_hidden) * f
+        transients += (M - 1) * cfg.batch_size * cfg.n_hidden * f  # chain delta
+        rng += cfg.k * unroll * (M - 1) * cfg.batch_size * cfg.n_hidden * f
+        if cfg.resolved_sample_visible:
+            mult = 1 if cfg.visible == "bernoulli" else 3
+            rng += mult * cfg.k * unroll * (M - 1) * cfg.batch_size * cfg.n_visible * f
+        rng += 2 * unroll * (M - 1) * cfg.batch_size * 128 * f  # swap draws
     if w_chunked:
         # fully W-blocked kernel (fori_loop chunking, packed V-major factor
         # scratch): ONE (V, 128) scratch holds [v0T | vsT] packed into lane
@@ -250,6 +266,10 @@ def needs_chunk_update(cfg: RBMConfig, ndev: int = 1,
     chip only."""
     if ndev != 1 or cfg.n_hidden % 128 != 0:
         return False
+    if cfg.gradient == "enhanced" or cfg.pt_temps > 1:
+        # both estimators need the whole [V, H] gradient (enhanced: two
+        # matvec passes over gW_e; tempering runs in the full-W tiers only)
+        return False
     if estimate_vmem_bytes(cfg, unroll=1, ndev=ndev, hbm_state=True,
                            dp_reduce=dp_reduce) <= _hbm_budget(ndev):
         return False  # the plain full-gradient HBM-state tier suffices
@@ -273,7 +293,11 @@ def needs_w_chunking(cfg: RBMConfig, ndev: int = 1,
     if (ndev != 1 or cfg.n_visible % 32 != 0
             or cfg.resolved_sample_visible
             or cfg.batch_size > 32
-            or cfg.error_metric not in ("mse", "xent")):
+            or cfg.error_metric not in ("mse", "xent")
+            or cfg.gradient == "enhanced" or cfg.pt_temps > 1):
+        # enhanced needs the whole [V, H] gradient for its recombination;
+        # tempering runs M*B chain rows through full-W Gibbs passes — both
+        # live in the full-W tiers only (XLA engine beyond)
         return False
     if estimate_vmem_bytes(cfg, unroll=1, ndev=ndev, hbm_state=True,
                            dp_reduce=dp_reduce) <= _hbm_budget(ndev):
@@ -305,15 +329,22 @@ def pallas_state_mode(cfg: RBMConfig, ndev: int = 1,
     return None
 
 
-def _check_kernel_supports(cfg: RBMConfig) -> None:
-    """The fused kernels compute the plain CD/PCD statistics; estimator
-    variants that recombine them live in the XLA engine — fail loudly rather
-    than silently train a different update rule (pt_temps > 1 already fails
-    on the [M*B, H] chain shape)."""
+def _check_grads_kernel_supports(cfg: RBMConfig) -> None:
+    """The per-step grads kernel returns plain CD/PCD statistics for a
+    pmean OUTSIDE the kernel; the enhanced recombination is nonlinear in the
+    batch means, so per-shard enhanced grads cannot be pmean'd — fail loudly
+    rather than silently train a different update rule. (The mega-kernel
+    DOES fuse the enhanced gradient: it recombines after its in-kernel
+    reduce, on global statistics. Tempering likewise fails here on the
+    [M*B, H] chain shape; the mega-kernel runs it single-chip.)"""
     if cfg.gradient == "enhanced":
-        raise ValueError("gradient='enhanced' is not implemented in the "
-                         "Pallas kernels; use the XLA engine (engine='xla' "
-                         "or 'auto' routes there automatically)")
+        raise ValueError("gradient='enhanced' is not supported by the "
+                         "per-step grads kernel (the recombination must see "
+                         "global-batch means); use the DP mega-kernel "
+                         "(engine='pallas' via train_rbm) or engine='xla'")
+    if cfg.pt_temps > 1:
+        raise ValueError("pt_temps > 1 is not supported by the per-step "
+                         "grads kernel; use the mega-kernel or engine='xla'")
 
 
 def _uniform_from_bits(shape) -> jax.Array:
@@ -337,19 +368,53 @@ def _normal_from_bits(shape) -> jax.Array:
     return r * jnp.cos((2.0 * jnp.pi) * u2)
 
 
+def _resolve_cd(cfg: RBMConfig):
+    """The kernels' matmul compute spec, a (dtype, precision) pair passed as
+    ``cd`` to the ``_dot_*`` helpers. bf16 compute -> the native one-pass
+    MXU. f32 compute follows ``cfg.matmul_precision``: "auto"/"fast" -> the
+    one-pass MXU (bf16-grade multiplies, f32 accumulation — the TF32-like
+    regime; the kernels' measured-optimal default, 3.4x the update rate at
+    the graded shape, distributional parity per PARITY.md); "highest" ->
+    TRUE f32 (Mosaic lowers Precision.HIGHEST as multi-pass MXU, measured
+    1.8e-7 max rel err vs 2.2e-3 one-pass) — replayable against the XLA
+    engine to accumulation-order noise, which the hardware inject-parity
+    tests rely on."""
+    if cfg.compute_dtype == "bfloat16":
+        return (jnp.bfloat16, None)
+    return (jnp.float32, jax.lax.Precision.HIGHEST
+            if cfg.matmul_precision == "highest" else None)
+
+
+def _split_cd(cd):
+    """``cd`` is either a (dtype, precision) pair from _resolve_cd or a raw
+    dtype; a raw jnp.float32 means EXACT f32 (the convention for the small
+    fixed-precision dots: the enhanced recombination's outer products — whose
+    bitwise-equal-to-jnp.outer guarantee needs exact multiplies — and the
+    pseudo-likelihood matvec)."""
+    if isinstance(cd, tuple):
+        return cd
+    return cd, (jax.lax.Precision.HIGHEST if cd == jnp.float32 else None)
+
+
 def _dot_nt(a, b, cd=jnp.float32):  # a @ b, f32 accumulation
-    return jax.lax.dot_general(a.astype(cd), b.astype(cd), (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+    dt, prec = _split_cd(cd)
+    return jax.lax.dot_general(a.astype(dt), b.astype(dt), (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=prec)
 
 
 def _dot_tt(a, b, cd=jnp.float32):  # a @ b.T without materializing the transpose
-    return jax.lax.dot_general(a.astype(cd), b.astype(cd), (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+    dt, prec = _split_cd(cd)
+    return jax.lax.dot_general(a.astype(dt), b.astype(dt), (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=prec)
 
 
 def _dot_tn(a, b, cd=jnp.float32):  # a.T @ b without materializing the transpose
-    return jax.lax.dot_general(a.astype(cd), b.astype(cd), (((0,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+    dt, prec = _split_cd(cd)
+    return jax.lax.dot_general(a.astype(dt), b.astype(dt), (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=prec)
 
 
 def _pseudo_likelihood_err(W, b, pre_h, v0, bit_idx, n_visible: int,
@@ -406,14 +471,23 @@ def _cd_train_kernel(
     chunk_update: bool = False,  # middle tier: gW applied in ~2MB row chunks
 ):
     use_momentum = _uses_momentum(cfg)
+    pt = cfg.pt_temps > 1  # parallel tempering (single chip: ndev == 1)
+    M = cfg.pt_temps
+    CR = cfg.batch_size * M if pt else cfg.batch_size  # chain rows
     pos = 0
     batch_ref = refs[pos]; pos += 1  # VMEM (1, U, B, V)
-    u_h0_ref = u_h_ref = u_v_ref = None
+    u_h0_ref = u_h_ref = u_v_ref = u_swap_ref = beta_ref = None
     if inject:
         u_h0_ref = refs[pos]; pos += 1  # (1, 1, U*B, H)
-        u_h_ref = refs[pos]; pos += 1   # (1, 1, k*U*B, H)
+        u_h_ref = refs[pos]; pos += 1   # (1, 1, k*U*CR, H)
         if cfg.resolved_sample_visible:
-            u_v_ref = refs[pos]; pos += 1  # (1, 1, k*U*B, V)
+            u_v_ref = refs[pos]; pos += 1  # (1, 1, k*U*CR, V)
+        if pt:
+            u_swap_ref = refs[pos]; pos += 1  # (1, 1, 2*U*(M-1)*B, 1)
+    if pt:
+        # per-row inverse temperatures [CR, 1] (host-computed from
+        # pt_betas so the ladder is bit-identical to the XLA engine's)
+        beta_ref = refs[pos]; pos += 1
     W_in, b_in, c_in, vW_in, vb_in, vc_in, chain_in = refs[pos:pos + 7]; pos += 7
     W, b, c, vW, vb, vc, chain, err_ref = refs[pos:pos + 8]; pos += 8
     if ndev > 1 and dp_reduce == "factor":
@@ -506,7 +580,7 @@ def _cd_train_kernel(
         my_rows = seed_ref[3] * B
         row_mask = ((jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0) + my_rows)
                     < gB).astype(jnp.float32)
-    cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    cd = _resolve_cd(cfg)  # (dtype, precision) matmul compute spec
     lr = jnp.float32(cfg.lr)
     is_last_step = jnp.logical_and(e == pl.num_programs(0) - 1, i == nsteps - 1)
     if cfg.initial_momentum is not None:
@@ -517,10 +591,13 @@ def _cd_train_kernel(
     else:
         m = jnp.float32(cfg.momentum)
 
-    # Pre-generate every random draw for all `unroll` updates in <=3 PRNG
+    # Pre-generate every random draw for all `unroll` updates in <=4 PRNG
     # calls: each prng_random_bits call costs ~0.3us of fixed latency on v5e,
-    # so per-sample calls would dominate the tiny per-update compute.
+    # so per-sample calls would dominate the tiny per-update compute. Under
+    # tempering the chain draws cover all M*B rung rows (rung-major, matching
+    # the [M*B, H] chain stacking).
     V, H = cfg.n_visible, cfg.n_hidden
+    u_swap = None
     if inject:
         u_h0 = u_h0_ref[0, 0]
         u_h = u_h_ref[0, 0]
@@ -530,16 +607,22 @@ def _cd_train_kernel(
                 u_v = u_v_ref[0, 0]
             else:
                 n_v = u_v_ref[0, 0]
+        if pt:
+            u_swap = u_swap_ref[0, 0]  # [2*U*(M-1)*B, 1]
     else:
         u_h0 = _uniform_from_bits((unroll * B, H))
-        u_h = _uniform_from_bits((cfg.k * unroll * B, H))
+        u_h = _uniform_from_bits((cfg.k * unroll * CR, H))
         u_v = None
         n_v = None
         if cfg.resolved_sample_visible:
             if cfg.visible == "bernoulli":
-                u_v = _uniform_from_bits((cfg.k * unroll * B, V))
+                u_v = _uniform_from_bits((cfg.k * unroll * CR, V))
             else:
-                n_v = _normal_from_bits((cfg.k * unroll * B, V))
+                n_v = _normal_from_bits((cfg.k * unroll * CR, V))
+        if pt:
+            # swap draws at full lane width (the PRNG emits >=128 lanes
+            # efficiently); lane 0 is extracted at the use site
+            u_swap = _uniform_from_bits((2 * unroll * (M - 1) * B, 128))
 
     if ndev > 1:
         my = seed_ref[3]
@@ -594,38 +677,138 @@ def _cd_train_kernel(
         v0 = batch_ref[0, u]  # [B, V] in storage dtype
         v0f = v0 if v0.dtype == jnp.float32 else v0.astype(jnp.float32)
         Wv = W[:]
-        Wc = Wv.astype(cd)
+        Wc = Wv.astype(cd[0])
 
         # positive phase
         pre_h0 = _dot_nt(v0, Wc, cd) + c[0]  # [B, H]
         h0p = jax.nn.sigmoid(pre_h0)
         h0s = (u_h0[u * B:(u + 1) * B] < h0p).astype(jnp.float32)
 
-        h = chain[:] if cfg.persistent else h0s
-        vs = v0f
-        hmean = h0p
-        v1mean_cd = None
-        for t in range(cfg.k):
-            r = (u * cfg.k + t) * B  # row offset into the pre-drawn blocks
-            pre_v = _dot_tt(h, Wc, cd) + b[0]  # [B, V]
-            vmean = jax.nn.sigmoid(pre_v) if cfg.visible == "bernoulli" else pre_v
-            if t == 0:
-                v1mean_cd = vmean
-            if cfg.visible == "bernoulli":
-                vs = ((u_v[r:r + B] < vmean).astype(jnp.float32)
-                      if cfg.resolved_sample_visible else vmean)
-            else:
-                vs = (vmean + n_v[r:r + B]
-                      if cfg.resolved_sample_visible else vmean)
-            hmean = jax.nn.sigmoid(_dot_nt(vs, Wc, cd) + c[0])
-            h = (u_h[r:r + B] < hmean).astype(jnp.float32)
+        if pt:
+            # ---- parallel-tempering negative phase (Desjardins et al.
+            # 2010), fused: all M rungs' collapsed Gibbs sweeps run as ONE
+            # [M*B, ·] matmul batch per half-step (the rungs batch below MXU
+            # saturation, so the ladder is nearly free — the measured PT.md
+            # result, now at fused-kernel update rates), followed by the two
+            # Metropolis replica-swap rounds on the exact visible-marginal
+            # log p*_beta(h) (core.rbm_math.pt_step_stats, same op order).
+            beta_col = beta_ref[:]  # [MB, 1]
+            MB = CR
+            h_all = chain[:].astype(jnp.float32)  # [MB, H], rung-major
+            vs_all = hmean_all = None
+            for t in range(cfg.k):
+                r = (u * cfg.k + t) * MB
+                pre_v = _dot_tt(h_all, Wc, cd) + b[0]  # [MB, V]
+                if cfg.visible == "bernoulli":
+                    vmean_all = jax.nn.sigmoid(beta_col * pre_v)
+                    vs_all = ((u_v[r:r + MB] < vmean_all).astype(jnp.float32)
+                              if cfg.resolved_sample_visible else vmean_all)
+                else:
+                    # tempered Gaussian conditional: mean unchanged,
+                    # variance 1/beta (noise scaled by rsqrt(beta))
+                    vmean_all = pre_v
+                    vs_all = (vmean_all + n_v[r:r + MB] / jnp.sqrt(beta_col)
+                              if cfg.resolved_sample_visible else vmean_all)
+                hmean_all = jax.nn.sigmoid(
+                    beta_col * (_dot_nt(vs_all, Wc, cd) + c[0]))
+                h_all = (u_h[r:r + MB] < hmean_all).astype(jnp.float32)
 
-        if cfg.persistent:
-            chain[:] = h.astype(sdt)
+            # per-row log p*_beta(h) summaries — they depend on h only, so
+            # swap rounds PERMUTE them alongside h instead of re-running the
+            # [MB, V] matmuls (row permutation of a matmul's inputs permutes
+            # its rows exactly)
+            hc = _dot_tt(h_all, c[:], cd)            # [MB, 1]
+            pre_lp = _dot_tt(h_all, Wc, cd) + b[0]   # [MB, V]
+            s_lp = None
+            if cfg.visible != "bernoulli":
+                wh = pre_lp - b[0]
+                s_lp = hc + (_dot_tt(wh, b[:], cd)
+                             + 0.5 * jnp.sum(wh * wh, axis=1, keepdims=True))
+
+            def lp_at(q, pre_r, hc_r, s_r):
+                """log p*_q(h_row) per row, q broadcast [MB, 1]."""
+                if cfg.visible == "bernoulli":
+                    return q * hc_r + jnp.sum(jax.nn.softplus(q * pre_r),
+                                              axis=1, keepdims=True)
+                return q * s_r
+
+            def shift_up(x, fill=0.0):   # x'[r] = x[r + B] (rung below)
+                return jnp.pad(x[B:], ((0, B), (0, 0)), constant_values=fill)
+
+            def shift_dn(x, fill=0.0):   # x'[r] = x[r - B] (rung above)
+                return jnp.pad(x[:MB - B], ((B, 0), (0, 0)),
+                               constant_values=fill)
+
+            ridx = jax.lax.broadcasted_iota(jnp.int32, (MB, 1), 0) // B
+            beta_up = shift_dn(beta_col, 1.0)  # beta of the rung above
+            beta_dn = shift_up(beta_col, 1.0)  # beta of the rung below
+            for p in (0, 1):  # even then odd adjacent-pair rounds
+                A = lp_at(beta_col, pre_lp, hc, s_lp)   # h_r at its own beta
+                D = lp_at(beta_dn, pre_lp, hc, s_lp)    # h_m at beta_{m+1}
+                Up = lp_at(beta_up, pre_lp, hc, s_lp)   # h_m at beta_{m-1}
+                # pair (m, m+1)'s log-accept, placed at rung-m rows
+                log_a = shift_up(Up) + D - A - shift_up(A)
+                off = (u * 2 + p) * (M - 1) * B
+                if inject:
+                    u_p = u_swap[off:off + (M - 1) * B]  # [(M-1)B, 1]
+                else:
+                    blk = u_swap[off:off + (M - 1) * B]  # [(M-1)B, 128]
+                    lane0 = (jax.lax.broadcasted_iota(
+                        jnp.int32, (1, 128), 1) == 0).astype(jnp.float32)
+                    u_p = jnp.sum(blk * lane0, axis=1, keepdims=True)
+                u_rows = jnp.pad(u_p, ((0, B), (0, 0)), constant_values=1.0)
+                pair = jnp.logical_and(jax.lax.rem(ridx, 2) == p,
+                                       ridx < M - 1)
+                acc = jnp.log(jnp.maximum(u_rows, 1e-38)) < log_a
+                sw = jnp.logical_and(acc, pair).astype(jnp.float32)  # rung m
+                sw_dn = shift_dn(sw)                                 # rung m+1
+
+                def permute(x, _sw=sw, _sd=sw_dn):
+                    return jnp.where(_sw > 0, shift_up(x),
+                                     jnp.where(_sd > 0, shift_dn(x), x))
+
+                h_all = permute(h_all)
+                if cfg.visible == "bernoulli":
+                    pre_lp = permute(pre_lp)
+                    hc = permute(hc)
+                else:
+                    s_lp = permute(s_lp)
+
+            chain[:] = h_all.astype(sdt)
+            # gradient statistics come from rung 0 (beta = 1 exactly),
+            # PRE-swap, mirroring pt_step_stats; the monitor reconstructs
+            # the DATA chain (one step from h0s), PCD-style
+            vs = vs_all[0:B]
+            hmean = hmean_all[0:B]
             pre_vd = _dot_tt(h0s, Wc, cd) + b[0]
-            v1mean = jax.nn.sigmoid(pre_vd) if cfg.visible == "bernoulli" else pre_vd
+            v1mean = (jax.nn.sigmoid(pre_vd) if cfg.visible == "bernoulli"
+                      else pre_vd)
         else:
-            v1mean = v1mean_cd
+            h = chain[:] if cfg.persistent else h0s
+            vs = v0f
+            hmean = h0p
+            v1mean_cd = None
+            for t in range(cfg.k):
+                r = (u * cfg.k + t) * B  # row offset into the pre-drawn blocks
+                pre_v = _dot_tt(h, Wc, cd) + b[0]  # [B, V]
+                vmean = jax.nn.sigmoid(pre_v) if cfg.visible == "bernoulli" else pre_v
+                if t == 0:
+                    v1mean_cd = vmean
+                if cfg.visible == "bernoulli":
+                    vs = ((u_v[r:r + B] < vmean).astype(jnp.float32)
+                          if cfg.resolved_sample_visible else vmean)
+                else:
+                    vs = (vmean + n_v[r:r + B]
+                          if cfg.resolved_sample_visible else vmean)
+                hmean = jax.nn.sigmoid(_dot_nt(vs, Wc, cd) + c[0])
+                h = (u_h[r:r + B] < hmean).astype(jnp.float32)
+
+            if cfg.persistent:
+                chain[:] = h.astype(sdt)
+                pre_vd = _dot_tt(h0s, Wc, cd) + b[0]
+                v1mean = jax.nn.sigmoid(pre_vd) if cfg.visible == "bernoulli" else pre_vd
+            else:
+                v1mean = v1mean_cd
 
         if ndev > 1 and dp_reduce == "factor":
             # ---- factor-exchange DP allreduce over ICI: the CD gradient is
@@ -676,8 +859,17 @@ def _cd_train_kernel(
             # the h block already carries the negative phase negated, so the
             # plain row sum is sum(h0p) - sum(hmean)
             gc = jnp.sum(h_cat, axis=0, keepdims=True) * inv_b  # [1, H]
-            if cfg.sparsity_target is not None and cfg.sparsity_cost:
-                pos = (srow < B).astype(jnp.float32)
+            pos = (srow < B).astype(jnp.float32)
+            if cfg.gradient == "enhanced":
+                # GLOBAL mean offsets for the recombination — every shard
+                # already holds every shard's factors, so these are exact and
+                # bit-identical across shards. The sparsity term is deferred
+                # to after the recombination (matching cd_step_stats' order).
+                mu = 0.5 * jnp.sum(v_cat, axis=0, keepdims=True) * inv_b
+                lam = 0.5 * jnp.sum(h_cat * sign, axis=0,
+                                    keepdims=True) * inv_b
+                h0_mean = jnp.sum(h_cat * pos, axis=0, keepdims=True) * inv_b
+            elif cfg.sparsity_target is not None and cfg.sparsity_cost:
                 gc = gc + jnp.float32(cfg.sparsity_cost) * (
                     jnp.float32(cfg.sparsity_target)
                     - jnp.sum(h_cat * pos, axis=0, keepdims=True) * inv_b)
@@ -694,7 +886,17 @@ def _cd_train_kernel(
             gb = jnp.sum(v_pos - v_neg, axis=0, keepdims=True) * inv_b  # [1, V]
             hd = (h0p - hmean) * row_mask if uneven else (h0p - hmean)
             gc = jnp.sum(hd, axis=0, keepdims=True) * inv_b  # [1, H]
-            if cfg.sparsity_target is not None and cfg.sparsity_cost:
+            if cfg.gradient == "enhanced":
+                # local 1/gB-scaled sum contributions to the mean offsets
+                # (plain-summed over shards by the ring below; single chip:
+                # already the batch means). Sparsity deferred to after the
+                # recombination, matching cd_step_stats' order.
+                hs = (h0p + hmean) * row_mask if uneven else h0p + hmean
+                h0m = h0p * row_mask if uneven else h0p
+                mu = 0.5 * jnp.sum(v_cat, axis=0, keepdims=True) * inv_b
+                lam = 0.5 * jnp.sum(hs, axis=0, keepdims=True) * inv_b
+                h0_mean = jnp.sum(h0m, axis=0, keepdims=True) * inv_b
+            elif cfg.sparsity_target is not None and cfg.sparsity_cost:
                 h0m = h0p * row_mask if uneven else h0p
                 # target/ndev per shard: the plain-sum reduce restores the
                 # full target term exactly once
@@ -748,6 +950,13 @@ def _cd_train_kernel(
             # sum in device-id order (deterministic across shards)
             bc_all[my, 0, pl.ds(0, V)] = gb[0]
             bc_all[my, 1, pl.ds(0, H)] = gc[0]
+            if cfg.gradient == "enhanced":
+                # the recombination needs GLOBAL mean offsets: ride the same
+                # ring in the bias buffer's spare sublane rows (2=mu, 3=lam,
+                # 4=data-phase h mean for the deferred sparsity term)
+                bc_all[my, 2, pl.ds(0, V)] = mu[0]
+                bc_all[my, 3, pl.ds(0, H)] = lam[0]
+                bc_all[my, 4, pl.ds(0, H)] = h0_mean[0]
 
             def bc_body(s, _):
                 fwd = jax.lax.rem(my - s + 2 * ndev, ndev)
@@ -763,6 +972,29 @@ def _cd_train_kernel(
                 bc_sum = bc_sum + bc_all[d]
             gb = bc_sum[0:1, 0:V]
             gc = bc_sum[1:2, 0:H]
+            if cfg.gradient == "enhanced":
+                mu = bc_sum[2:3, 0:V]
+                lam = bc_sum[3:4, 0:H]
+                h0_mean = bc_sum[4:5, 0:H]
+
+        if cfg.gradient == "enhanced":
+            # ---- enhanced gradient (Cho-Raiko-Ilin 2011), fused: recombine
+            # the PLAIN global statistics around the data/model mean offsets
+            # (core.rbm_math.enhance_grads, same op order). The dots follow
+            # the kernel's matmul compute spec: at "highest" the K=1 outer
+            # products are bitwise equal to jnp.outer (one exact multiply per
+            # element — the hardware replay-parity mode); at the fast default
+            # they are one-pass like every other dot in the step. DP replica
+            # consistency needs only determinism on identical inputs, which
+            # holds at any precision: every shard recombines the identical
+            # global stats with the identical op, so replicas cannot drift.
+            gW = (gW - _dot_tn(mu, gc, cd)
+                  - _dot_tn(gb, lam, cd))
+            gb = gb - _dot_tt(lam, gW, cd)   # gb - (gW_e @ lam)^T
+            gc = gc - _dot_nt(mu, gW, cd)    # gc - (gW_e^T @ mu)^T
+            if cfg.sparsity_target is not None and cfg.sparsity_cost:
+                gc = gc + jnp.float32(cfg.sparsity_cost) * (
+                    jnp.float32(cfg.sparsity_target) - h0_mean)
 
         # error monitor (the graded parity metric) — BEFORE the update: the
         # monitor is defined on the parameters the batch was seen with
@@ -927,6 +1159,8 @@ def _build_pallas_call(cfg: RBMConfig, n_epochs: int, nb: int, unroll: int,
         # math on CPU; races in the DP rings are checked by the interpreter)
         interpret = pltpu.InterpretParams(detect_races=(ndev > 1))
     V, H, B = cfg.n_visible, cfg.n_hidden, cfg.batch_size
+    pt = cfg.pt_temps > 1  # tempering: M persistent chains, single chip
+    CR = B * cfg.pt_temps if pt else B  # chain rows (rung-major)
     f32 = jnp.float32
     nsteps = nb // unroll
 
@@ -950,13 +1184,22 @@ def _build_pallas_call(cfg: RBMConfig, n_epochs: int, nb: int, unroll: int,
         step_index = lambda e, i, seed, perm: (e, i, 0, 0)
         in_specs.append(pl.BlockSpec((1, 1, unroll * B, H), step_index,
                                      memory_space=pltpu.VMEM))  # u_h0
-        in_specs.append(pl.BlockSpec((1, 1, cfg.k * unroll * B, H), step_index,
+        in_specs.append(pl.BlockSpec((1, 1, cfg.k * unroll * CR, H), step_index,
                                      memory_space=pltpu.VMEM))  # u_h
         n_inject = 2
         if cfg.resolved_sample_visible:
-            in_specs.append(pl.BlockSpec((1, 1, cfg.k * unroll * B, V), step_index,
+            in_specs.append(pl.BlockSpec((1, 1, cfg.k * unroll * CR, V), step_index,
                                          memory_space=pltpu.VMEM))  # u_v / noise
             n_inject = 3
+        if pt:
+            in_specs.append(pl.BlockSpec(
+                (1, 1, 2 * unroll * (cfg.pt_temps - 1) * B, 1), step_index,
+                memory_space=pltpu.VMEM))  # u_swap
+            n_inject += 1
+    n_extra = 0
+    if pt:
+        in_specs.append(const((CR, 1)))  # per-row beta ladder
+        n_extra = 1
     if hbm_state:
         anyspec = pl.BlockSpec(memory_space=pl.ANY)
         state_in_specs = [anyspec] * 7
@@ -965,12 +1208,12 @@ def _build_pallas_call(cfg: RBMConfig, n_epochs: int, nb: int, unroll: int,
         state_in_specs = [
             const((V, H)), const((1, V)), const((1, H)),  # W, b, c
             const((V, H)), const((1, V)), const((1, H)),  # velocities
-            const((B, H)),  # chain
+            const((CR, H)),  # chain (all tempering rungs, rung-major)
         ]
         state_out_specs = [
             const((V, H)), const((1, V)), const((1, H)),
             const((V, H)), const((1, V)), const((1, H)),
-            const((B, H)),
+            const((CR, H)),
         ]
     in_specs += state_in_specs
 
@@ -1010,7 +1253,7 @@ def _build_pallas_call(cfg: RBMConfig, n_epochs: int, nb: int, unroll: int,
             scratch_shapes += [pltpu.VMEM((V, H), pdt)]  # vW master
         scratch_shapes += [pltpu.VMEM((1, V), pdt),   # vb
                            pltpu.VMEM((1, H), pdt),   # vc
-                           pltpu.VMEM((B, H), pdt),   # chain
+                           pltpu.VMEM((CR, H), pdt),  # chain
                            pltpu.SemaphoreType.DMA((7,))]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1028,11 +1271,13 @@ def _build_pallas_call(cfg: RBMConfig, n_epochs: int, nb: int, unroll: int,
         jax.ShapeDtypeStruct((1, H), pdt),
         jax.ShapeDtypeStruct((V, H), pdt), jax.ShapeDtypeStruct((1, V), pdt),
         jax.ShapeDtypeStruct((1, H), pdt),
-        jax.ShapeDtypeStruct((B, H), pdt),
+        jax.ShapeDtypeStruct((CR, H), pdt),
         jax.ShapeDtypeStruct((n_epochs, 1), f32),
     ]
     steps = n_epochs * nb
-    flops_step = 2 * B * V * H * (2 + 2 * cfg.k)
+    # tempering: the negative phase runs CR = M*B chain rows, plus two swap
+    # evaluation passes over [CR, V]
+    flops_step = 2 * V * H * (B + (1 + 2 * cfg.k) * CR + (2 if pt else 0) * CR)
     return pl.pallas_call(
         functools.partial(_cd_train_kernel, cfg=cfg, unroll=unroll, nb=nb,
                           ndev=ndev, inject=inject, hbm_state=hbm_state,
@@ -1042,9 +1287,10 @@ def _build_pallas_call(cfg: RBMConfig, n_epochs: int, nb: int, unroll: int,
         grid_spec=grid_spec,
         out_shape=out_shape,
         # params/velocities/chain update in place: operands are
-        # 0=seed 1=perm 2=batches [3..: injected uniforms] then 7 state
-        # tensors -> outputs 0..6
-        input_output_aliases={i + 3 + n_inject: i for i in range(7)},
+        # 0=seed 1=perm 2=batches [3..: injected uniforms] [beta ladder]
+        # then 7 state tensors -> outputs 0..6
+        input_output_aliases={i + 3 + n_inject + n_extra: i
+                              for i in range(7)},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),  # strictly sequential SGD
             collective_id=0 if ndev > 1 else None,
@@ -1120,7 +1366,7 @@ def _cd_train_kernel_wb(
     V, Hp, B = cfg.n_visible, cfg.n_hidden, cfg.batch_size
     NC = V // rows
     sdt = W.dtype
-    cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    cd = _resolve_cd(cfg)  # (dtype, precision) matmul compute spec
     f32 = jnp.float32
     lr = jnp.float32(cfg.lr)
     inv_b = jnp.float32(1.0 / B)
@@ -1171,7 +1417,7 @@ def _cd_train_kernel_wb(
         vs @ W — both mean-field passes in one chunked sweep."""
         def body(ci, acc):
             sl = pl.ds(ci * rows, rows)
-            return acc + _dot_tn(SFX[sl, :].astype(cd), W[sl, :].astype(cd), cd)
+            return acc + _dot_tn(SFX[sl, :].astype(cd[0]), W[sl, :].astype(cd[0]), cd)
         return jax.lax.fori_loop(0, NC, body,
                                  jnp.zeros((128, Hp), f32))
 
@@ -1221,7 +1467,7 @@ def _cd_train_kernel_wb(
 
             def gibbs(ci, err_l):
                 sl = pl.ds(ci * rows, rows)
-                pre = _dot_tt(W[sl, :].astype(cd), h128.astype(cd), cd)
+                pre = _dot_tt(W[sl, :].astype(cd[0]), h128.astype(cd[0]), cd)
                 mm_ = pre + bB[sl, :].astype(f32)
                 vm = jax.nn.sigmoid(mm_) if cfg.visible == "bernoulli" else mm_
                 old = SFX[sl, :].astype(f32)
@@ -1244,7 +1490,7 @@ def _cd_train_kernel_wb(
 
             def verr_pcd(ci, err_l):
                 sl = pl.ds(ci * rows, rows)
-                pre = _dot_tt(W[sl, :].astype(cd), h128d.astype(cd), cd)
+                pre = _dot_tt(W[sl, :].astype(cd[0]), h128d.astype(cd[0]), cd)
                 mm_ = pre + bB[sl, :].astype(f32)
                 vm = jax.nn.sigmoid(mm_) if cfg.visible == "bernoulli" else mm_
                 return err_l + _verr(SFX[sl, :].astype(f32), vm)
@@ -1278,7 +1524,7 @@ def _cd_train_kernel_wb(
         def upd(ci, _):
             sl = pl.ds(ci * rows, rows)
             chunk = SFX[sl, :].astype(f32)
-            gWc = _dot_nt(chunk.astype(cd), H128g.astype(cd), cd) * inv_b
+            gWc = _dot_nt(chunk.astype(cd[0]), H128g.astype(cd[0]), cd) * inv_b
             gbc = jnp.sum(chunk * sign, axis=1, keepdims=True) * inv_b
             if cfg.grad_clip is not None:
                 gWc = jnp.clip(gWc, -clip, clip)
@@ -1466,7 +1712,6 @@ def make_pallas_train_fn(cfg: RBMConfig, n_epochs: int,
     wrappers per model instance would re-trace/lower every kernel (measured
     ~5 s/layer).
     """
-    _check_kernel_supports(cfg)
     mode = pallas_state_mode(cfg)
     if mode is None:
         return None  # even the HBM-state unroll=1 footprint doesn't fit
@@ -1478,15 +1723,19 @@ def make_pallas_train_fn(cfg: RBMConfig, n_epochs: int,
 def _flatten_uniforms(cfg: RBMConfig, uniforms: Dict[str, jax.Array],
                       n_epochs: int, nsteps: int, unroll: int):
     """[E, nb(,k), B, D] per-minibatch draws -> the kernel's row-major
-    per-grid-step blocks (nb = nsteps * unroll; identical memory layout)."""
-    B = uniforms["h0"].shape[-2]
-    args = [uniforms["h0"].reshape(n_epochs, nsteps, unroll * B, cfg.n_hidden),
-            uniforms["h"].reshape(n_epochs, nsteps, cfg.k * unroll * B,
-                                  cfg.n_hidden)]
+    per-grid-step blocks (nb = nsteps * unroll; identical memory layout).
+
+    Tempering layouts: the chain draws carry M*B rung-major rows per step
+    (h [E, nb, k, M*B, H], v/noise [E, nb, k, M*B, V] — a reshape of the
+    oracle's [k, M, B, ·] layout) plus swap [E, nb, 2, (M-1)*B] (round-major,
+    then rung-major, matching draw_pt_uniforms' [2, M-1, B])."""
+    args = [uniforms["h0"].reshape(n_epochs, nsteps, -1, cfg.n_hidden),
+            uniforms["h"].reshape(n_epochs, nsteps, -1, cfg.n_hidden)]
     if cfg.resolved_sample_visible:
         kv = "v" if cfg.visible == "bernoulli" else "noise"
-        args.append(uniforms[kv].reshape(n_epochs, nsteps, cfg.k * unroll * B,
-                                         cfg.n_visible))
+        args.append(uniforms[kv].reshape(n_epochs, nsteps, -1, cfg.n_visible))
+    if cfg.pt_temps > 1:
+        args.append(uniforms["swap"].reshape(n_epochs, nsteps, -1, 1))
     return args
 
 
@@ -1536,6 +1785,11 @@ def _cached_train_fn(cfg: RBMConfig, n_epochs: int, interpret: bool,
         p, vel = state.params, state.velocity
         extra = (_flatten_uniforms(kcfg, uniforms, n_epochs, nsteps, unroll)
                  if inject else [])
+        if cfg.pt_temps > 1:
+            # per-row beta ladder [M*B, 1], host-computed so the linspace is
+            # bit-identical to the XLA engine's pt_betas
+            extra = list(extra) + [
+                jnp.repeat(pt_betas(cfg), cfg.batch_size)[:, None]]
 
         if w_chunked:
             call = _build_wblocked_call(kcfg, n_epochs, nb, unroll,
@@ -1655,12 +1909,14 @@ def make_pallas_dp_train_fn(cfg: RBMConfig, mesh: Mesh, n_epochs: int,
     everywhere, never silent degeneration. ``_skip_allreduce`` disables the
     ring collectives (test-only: proves the parity tests actually exercise
     them)."""
-    _check_kernel_supports(cfg)
     if dp_reduce not in ("auto", "factor", "ring"):
         raise ValueError(f"dp_reduce must be 'auto', 'factor', or 'ring', "
                          f"got {dp_reduce!r}")
     axis = mesh.axis_names[0]
     ndev = mesh.devices.size
+    if cfg.pt_temps > 1 and ndev > 1:
+        raise ValueError("pt_temps > 1 (parallel tempering) is "
+                         "single-device; train without a mesh")
     if ndev == 1:
         # resolve inject exactly like the multi-device path: None -> True on
         # CPU (the interpreter's PRNG is stubbed to zeros — silent
@@ -1688,18 +1944,25 @@ def make_pallas_dp_train_fn(cfg: RBMConfig, mesh: Mesh, n_epochs: int,
 def draw_uniform_blocks(cfg: RBMConfig, key: jax.Array, n_epochs: int,
                         nb: int) -> Dict[str, jax.Array]:
     """Host-side (threefry) draw of every uniform a training run consumes, in
-    the inject-mode layout ([E, nb(,k), B, D] per minibatch)."""
+    the inject-mode layout ([E, nb(,k), B, D] per minibatch; under tempering
+    the chain draws cover M*B rung-major rows and ``swap`` adds the
+    [E, nb, 2, (M-1)*B] Metropolis draws)."""
     B, V, H = cfg.batch_size, cfg.n_visible, cfg.n_hidden
-    kh0, kh, kv = jax.random.split(key, 3)
+    CR = B * cfg.pt_temps if cfg.pt_temps > 1 else B
+    kh0, kh, kv, ks = jax.random.split(key, 4)
     u = {"h0": jax.random.uniform(kh0, (n_epochs, nb, B, H), jnp.float32),
-         "h": jax.random.uniform(kh, (n_epochs, nb, cfg.k, B, H), jnp.float32)}
+         "h": jax.random.uniform(kh, (n_epochs, nb, cfg.k, CR, H),
+                                 jnp.float32)}
     if cfg.resolved_sample_visible:
         if cfg.visible == "bernoulli":
-            u["v"] = jax.random.uniform(kv, (n_epochs, nb, cfg.k, B, V),
+            u["v"] = jax.random.uniform(kv, (n_epochs, nb, cfg.k, CR, V),
                                         jnp.float32)
         else:
-            u["noise"] = jax.random.normal(kv, (n_epochs, nb, cfg.k, B, V),
+            u["noise"] = jax.random.normal(kv, (n_epochs, nb, cfg.k, CR, V),
                                            jnp.float32)
+    if cfg.pt_temps > 1:
+        u["swap"] = jax.random.uniform(
+            ks, (n_epochs, nb, 2, (cfg.pt_temps - 1) * B), jnp.float32)
     return u
 
 
@@ -1855,11 +2118,11 @@ def _cd_grads_kernel(seed_ref, *refs, cfg: RBMConfig, inject: bool = False,
     # scaled this way pmean to the exact global-batch mean even when the
     # batch doesn't divide the mesh)
     inv_b = jnp.float32(1.0 / (norm if norm is not None else B))
-    cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    cd = _resolve_cd(cfg)  # (dtype, precision) matmul compute spec
     V, H = cfg.n_visible, cfg.n_hidden
 
     v0 = batch_ref[:]
-    Wc = W_in[:].astype(cd)
+    Wc = W_in[:].astype(cd[0])
     h0p = jax.nn.sigmoid(_dot_nt(v0, Wc, cd) + c_in[0])
     h0s = ((u_h0_ref[:] if inject else _uniform_from_bits(h0p.shape))
            < h0p).astype(jnp.float32)
@@ -1936,7 +2199,7 @@ def make_pallas_grads_fn(cfg: RBMConfig, interpret: Optional[bool] = None,
     ``norm``/``with_mask`` support uneven DP sharding: stats become masked
     sums scaled by 1/norm (pass mask=[B,1] of 0/1 to the returned fn), whose
     pmean over shards is the exact global-batch mean."""
-    _check_kernel_supports(cfg)
+    _check_grads_kernel_supports(cfg)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if interpret is True:

@@ -124,6 +124,12 @@ def _check_dp_fallback_supports(cfg: RBMConfig) -> None:
             "error_metric='pseudo' is only computed by the DP mega-kernel, "
             "which doesn't fit this config; use error_metric='mse'/'xent' or "
             "engine='xla'")
+    if cfg.gradient == "enhanced":
+        raise ValueError(
+            "gradient='enhanced' under DP is only fused by the DP "
+            "mega-kernel, which doesn't fit this config (the per-step "
+            "fallback pmean's per-shard stats, and the recombination is "
+            "nonlinear in the batch means); use engine='xla'")
 
 
 def _pallas_available(cfg: RBMConfig) -> bool:
@@ -139,20 +145,6 @@ def _use_pallas(cfg: RBMConfig, mesh: Optional[Mesh]) -> bool:
     per-chip inner loop); under a dp mesh the XLA engine carries the
     collectives."""
     if cfg.engine == "xla":
-        return False
-    if cfg.pt_temps > 1:
-        # tempered chains + replica swaps live in the XLA engine only
-        if cfg.engine == "pallas":
-            raise ValueError("pt_temps > 1 (parallel tempering) runs on the "
-                             "XLA engine; use engine='xla' or 'auto'")
-        return False
-    if cfg.gradient == "enhanced":
-        # the enhanced-gradient recombination lives in the XLA engine only
-        # (single chip, or a GSPMD dp mesh where the global-batch means are
-        # exact by construction)
-        if cfg.engine == "pallas":
-            raise ValueError("gradient='enhanced' runs on the XLA engine; "
-                             "use engine='xla' or 'auto'")
         return False
     if mesh is not None and len(mesh.devices.flatten()) > 1:
         # engine='pallas' on a dp mesh runs the fused-step shard_map path
@@ -238,9 +230,6 @@ def train_rbm(
     pallas_dp = (mesh is not None and len(mesh.devices.flatten()) > 1
                  and cfg.engine == "pallas")
     if pallas_dp:
-        if cfg.gradient == "enhanced":
-            raise ValueError("gradient='enhanced' runs on the XLA engine "
-                             "(GSPMD handles dp); use engine='xla'")
         if "tp" in mesh.axis_names:
             raise ValueError("engine='pallas' supports dp meshes only; "
                              "use engine='xla' for dp x tp")

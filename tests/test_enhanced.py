@@ -136,7 +136,9 @@ def test_enhanced_trains():
     cfg = RBMConfig(n_visible=16, n_hidden=16, gradient="enhanced", lr=0.2,
                     epochs=12, batch_size=16, engine="auto")
     state, metrics = train_rbm(data, cfg)
-    assert metrics.engine == "xla"  # auto must route off the Pallas kernel
+    # CPU backend: auto routes to xla (the fused enhanced kernel is
+    # TPU-only); on hardware auto picks the Pallas engine (test_pallas_tpu)
+    assert metrics.engine == "xla"
     assert metrics.errors[-1] < metrics.errors[0] * 0.8
     assert np.isfinite(metrics.errors).all()
 
@@ -170,12 +172,17 @@ def test_enhanced_pt_parity():
 
 
 def test_enhanced_engine_gating():
-    """enhanced must never silently run a kernel that computes plain CD."""
+    """enhanced must never silently run a kernel that computes plain CD.
+
+    Round-3 update: the mega-kernel now FUSES the enhanced recombination
+    (exact-parity tests in test_pallas_dp.py), so only the paths that
+    mathematically cannot support it still raise — the per-step grads kernel
+    and the shard_map+pmean fallback, where per-shard enhanced grads would be
+    pmean'd (nonlinear in the batch means => wrong update)."""
     import jax
 
     from mdbn_tpu.data.synthetic import mnist_like
     from mdbn_tpu.ops.cd_epoch_pallas import (
-        make_pallas_dp_train_fn,
         make_pallas_grads_fn,
         make_pallas_train_fn,
     )
@@ -187,17 +194,16 @@ def test_enhanced_engine_gating():
     cfg = RBMConfig(n_visible=16, n_hidden=8, gradient="enhanced",
                     batch_size=8, epochs=1, engine="pallas")
     data = mnist_like(32, n_features=16, seed=0)
-    with pytest.raises(ValueError, match="enhanced"):
-        train_rbm(data, cfg)
-    with pytest.raises(ValueError, match="enhanced"):
-        make_pallas_train_fn(cfg, 1)
+    # the fused paths now accept enhanced (build without error)
+    assert make_pallas_train_fn(cfg, 1, interpret=True) is not None
+    # the per-step grads kernel cannot (recombination needs global means)
     with pytest.raises(ValueError, match="enhanced"):
         make_pallas_grads_fn(cfg)
     mesh = make_mesh(8)
-    with pytest.raises(ValueError, match="enhanced"):
-        make_pallas_dp_train_fn(cfg, mesh, 1)
-    with pytest.raises(ValueError, match="enhanced"):
-        train_rbm(data, cfg, mesh=mesh)  # pallas_dp path
     st = init_train_state(cfg)
     with pytest.raises(ValueError, match="enhanced"):
         train_rbm_shard_map(st, jax.numpy.asarray(data), cfg, mesh, 1)
+    # engine='pallas' on the CPU backend still refuses to silently run the
+    # zero-bits interpreter (same rule as plain CD)
+    with pytest.raises(ValueError, match="interpreter"):
+        train_rbm(data, cfg)

@@ -344,6 +344,86 @@ def test_shard_map_dp_uneven_batch20_exact():
     assert st.chain_h.shape == (20, 16)
 
 
+# ---------------------------------------------------------------------------
+# Round 3 (cont.): the enhanced gradient fused into the mega-kernel — the
+# recombination runs on GLOBAL statistics inside the kernel (factor mode
+# computes them from the gathered factors; ring mode rides mu/lam/h0-mean on
+# the bias ring's spare sublane rows), so the XLA-engine host replay must
+# match exactly in every reduce mode.
+
+
+ENH_KCFG = RBMConfig(n_visible=144, n_hidden=32, k=1, lr=0.1, epochs=E,
+                     batch_size=32, seed=0, momentum=0.5, l2=1e-4,
+                     gradient="enhanced", sparsity_target=0.1,
+                     sparsity_cost=0.05, engine="pallas")
+
+
+def test_enhanced_single_device_inject_exact():
+    """The fused enhanced recombination (single-chip kernel) matches the
+    cd_step_stats replay — incl. the deferred sparsity term's ordering."""
+    nb = DATA.shape[0] // ENH_KCFG.batch_size
+    uniforms = _draw(ENH_KCFG, nb, E)
+    fn = make_pallas_train_fn(ENH_KCFG, E, interpret=True, inject=True)
+    state0 = init_train_state(ENH_KCFG)
+    state, errs = fn(state0, jnp.asarray(DATA), uniforms)
+    params, _, _, exp_errs = _host_replay(ENH_KCFG, state0, DATA, uniforms, E)
+    np.testing.assert_allclose(np.asarray(errs), exp_errs, rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(state.params.W), np.asarray(params.W),
+                               rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(state.params.b), np.asarray(params.b),
+                               rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(state.params.c), np.asarray(params.c),
+                               rtol=2e-4, atol=2e-6)
+
+
+@pytest.mark.parametrize("dp_reduce", ["factor", "ring"])
+def test_enhanced_dp_exact_parity(dp_reduce):
+    """Enhanced under the DP mega-kernel, both reduce schemes: the global
+    mean offsets must come out exact (factor: from the gathered factors;
+    ring: summed in device-id order on the bias ring's spare rows)."""
+    cfg = ENH_KCFG.replace(persistent=True)
+    nb = DATA.shape[0] // cfg.batch_size
+    uniforms = _draw(cfg, nb, E)
+    fn = make_pallas_dp_train_fn(cfg, make_mesh(8), E, inject=True,
+                                 dp_reduce=dp_reduce)
+    assert fn is not None
+    state0 = init_train_state(cfg)
+    state, errs = fn(state0, jnp.asarray(DATA), uniforms)
+    params, vel, chain, exp_errs = _host_replay(cfg, state0, DATA, uniforms, E)
+    np.testing.assert_allclose(np.asarray(errs), exp_errs, rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(state.params.W), np.asarray(params.W),
+                               rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(state.params.b), np.asarray(params.b),
+                               rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(state.params.c), np.asarray(params.c),
+                               rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(state.velocity.W), np.asarray(vel.W),
+                               rtol=2e-4, atol=2e-6)
+
+
+@pytest.mark.parametrize("dp_reduce", ["factor", "ring"])
+def test_enhanced_dp_uneven_batch20_exact(dp_reduce):
+    """Enhanced at the graded batch 20 on 8 devices: the mean offsets are
+    masked sums too, so pad rows must stay out of mu/lam exactly."""
+    cfg = UNEVEN_CFG.replace(gradient="enhanced")
+    nb = UNEVEN_DATA.shape[0] // cfg.batch_size
+    uniforms = _draw(cfg, nb, E)
+    fn = make_pallas_dp_train_fn(cfg, make_mesh(8), E, inject=True,
+                                 dp_reduce=dp_reduce)
+    assert fn is not None
+    state0 = init_train_state(cfg)
+    state, errs = fn(state0, jnp.asarray(UNEVEN_DATA), uniforms)
+    params, vel, chain, exp_errs = _host_replay(cfg, state0, UNEVEN_DATA,
+                                                uniforms, E)
+    np.testing.assert_allclose(np.asarray(errs), exp_errs, rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(state.params.W), np.asarray(params.W),
+                               rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(state.params.b), np.asarray(params.b),
+                               rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(state.params.c), np.asarray(params.c),
+                               rtol=2e-4, atol=2e-6)
+
+
 def test_grads_kernel_masked_exact():
     """The per-step Pallas grads kernel's mask/norm path (the pallas_step
     fallback under uneven DP) matches the masked cd_step_stats exactly."""

@@ -616,3 +616,153 @@ def test_ais_graded_scale_cross_seed_stable():
     # likelihood must be finite and better than the independent-pixel bound's
     # scale (sanity against sign/normalization bugs)
     assert np.isfinite([o["mean_log_likelihood"] for o in outs]).all()
+
+
+# ---------------------------------------------------------------------------
+# Round 3 (cont.): enhanced gradient + parallel tempering FUSED into the
+# mega-kernel. CPU inject-parity lives in test_pallas_dp.py/test_pallas_pt.py;
+# these legs prove the Mosaic lowering on the real chip — exact inject-mode
+# replays (catches any mis-lowered slice/pad/permute decisively) plus the
+# auto-engine routing and a convergence run per feature.
+#
+# All inject-parity-vs-XLA-replay tests run matmul_precision="highest": both
+# engines then do TRUE f32 matmuls and agree to accumulation-order noise
+# (~1e-7/op). At the production default ("auto") the kernel's one-pass-MXU
+# dots drift ~1e-3/matmul from the XLA engine's HIGHEST — enough to flip
+# sampled bits and make exact replay impossible by design (the convergence
+# tests below cover that path distributionally).
+
+
+def test_plain_cd_fused_inject_parity_on_hardware():
+    """Plain PCD through the fused kernel at matmul_precision='highest',
+    REAL Mosaic lowering vs the XLA-engine host replay — the baseline the
+    enhanced/PT parity legs build on (and the first hardware proof that the
+    kernel and the XLA engine implement the SAME update rule end-to-end)."""
+    from mdbn_tpu.core.rbm_math import apply_update, cd_step_stats
+    from mdbn_tpu.ops.cd_epoch_pallas import draw_uniform_blocks
+
+    cfg = RBMConfig(n_visible=144, n_hidden=64, k=1, lr=0.1, epochs=2,
+                    batch_size=16, seed=0, momentum=0.5, l2=1e-4,
+                    persistent=True, matmul_precision="highest",
+                    engine="pallas")
+    data = mnist_like(64, n_features=144, seed=3)
+    nb = data.shape[0] // cfg.batch_size
+    uniforms = draw_uniform_blocks(cfg, jax.random.PRNGKey(9), 2, nb)
+    fn = make_pallas_train_fn(cfg, 2, interpret=False, inject=True)
+    st0 = init_train_state(cfg)
+    st, errs = fn(st0, jnp.asarray(data), uniforms)
+
+    params, vel = st0.params, st0.velocity
+    chain = st0.chain_h
+    batches = jnp.asarray(data).reshape(nb, cfg.batch_size, -1)
+    for e in range(2):
+        for i in range(nb):
+            u = {k: uniforms[k][e, i] for k in uniforms}
+            grads, chain, _ = cd_step_stats(params, batches[i], chain, u, cfg)
+            params, vel = apply_update(params, vel, grads, cfg, epoch=e)
+    np.testing.assert_allclose(np.asarray(st.params.W), np.asarray(params.W),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st.params.c), np.asarray(params.c),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st.chain_h), np.asarray(chain),
+                               atol=1e-6)  # 0/1 bits: any flip fails loudly
+
+
+def test_enhanced_fused_inject_parity_on_hardware():
+    """Fused enhanced recombination, REAL Mosaic lowering: inject-mode run
+    vs the XLA-engine host replay (cd_step_stats + apply_update)."""
+    from mdbn_tpu.core.rbm_math import apply_update, cd_step_stats
+    from mdbn_tpu.ops.cd_epoch_pallas import draw_uniform_blocks
+
+    cfg = RBMConfig(n_visible=144, n_hidden=64, k=1, lr=0.1, epochs=2,
+                    batch_size=16, seed=0, momentum=0.5, l2=1e-4,
+                    gradient="enhanced", sparsity_target=0.1,
+                    sparsity_cost=0.05, matmul_precision="highest",
+                    engine="pallas")
+    data = mnist_like(64, n_features=144, seed=3)
+    nb = data.shape[0] // cfg.batch_size
+    uniforms = draw_uniform_blocks(cfg, jax.random.PRNGKey(9), 2, nb)
+    fn = make_pallas_train_fn(cfg, 2, interpret=False, inject=True)
+    st0 = init_train_state(cfg)
+    st, errs = fn(st0, jnp.asarray(data), uniforms)
+
+    params, vel = st0.params, st0.velocity
+    batches = jnp.asarray(data).reshape(nb, cfg.batch_size, -1)
+    for e in range(2):
+        for i in range(nb):
+            u = {k: uniforms[k][e, i] for k in uniforms}
+            grads, _, _ = cd_step_stats(params, batches[i], None, u, cfg)
+            params, vel = apply_update(params, vel, grads, cfg, epoch=e)
+    np.testing.assert_allclose(np.asarray(st.params.W), np.asarray(params.W),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st.params.c), np.asarray(params.c),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_enhanced_auto_routes_to_pallas_and_converges():
+    """auto engine now picks the fused kernel for enhanced on hardware, and
+    training lands near the oracle (distributional, like plain CD)."""
+    from mdbn_tpu.train.trainer import train_rbm
+
+    data = bars_and_stripes(320, side=4, seed=5)
+    cfg = RBMConfig(n_visible=16, n_hidden=16, gradient="enhanced", lr=0.2,
+                    epochs=12, batch_size=16, seed=1, engine="auto")
+    state, metrics = train_rbm(data, cfg)
+    assert metrics.engine == "pallas"
+    assert metrics.errors[-1] < metrics.errors[0] * 0.8
+    oracle = OracleRBM(cfg).train(data)
+    np.testing.assert_allclose(metrics.errors[-1], oracle.history[-1],
+                               rtol=0.35, atol=0.02)
+
+
+def test_pt_fused_inject_parity_on_hardware():
+    """Fused parallel tempering, REAL Mosaic lowering: inject-mode run vs
+    the pt_step_stats host replay — Gibbs ladder, Metropolis swap rounds,
+    and the full [M*B, H] chain state."""
+    from mdbn_tpu.core.rbm_math import apply_update, pt_step_stats
+    from mdbn_tpu.ops.cd_epoch_pallas import draw_uniform_blocks
+
+    M = 4
+    cfg = RBMConfig(n_visible=144, n_hidden=64, k=2, lr=0.1, epochs=2,
+                    batch_size=16, seed=0, momentum=0.5, persistent=True,
+                    pt_temps=M, pt_beta_min=0.2,
+                    matmul_precision="highest", engine="pallas")
+    data = mnist_like(64, n_features=144, seed=3)
+    nb = data.shape[0] // cfg.batch_size
+    uniforms = draw_uniform_blocks(cfg, jax.random.PRNGKey(9), 2, nb)
+    fn = make_pallas_train_fn(cfg, 2, interpret=False, inject=True)
+    st0 = init_train_state(cfg)
+    st, errs = fn(st0, jnp.asarray(data), uniforms)
+
+    B, H, V = cfg.batch_size, cfg.n_hidden, cfg.n_visible
+    params, vel = st0.params, st0.velocity
+    chains = st0.chain_h.reshape(M, B, H)
+    batches = jnp.asarray(data).reshape(nb, B, -1)
+    for e in range(2):
+        for i in range(nb):
+            u = {"h0": uniforms["h0"][e, i],
+                 "h": uniforms["h"][e, i].reshape(cfg.k, M, B, H),
+                 "v": uniforms["v"][e, i].reshape(cfg.k, M, B, V),
+                 "swap": uniforms["swap"][e, i].reshape(2, M - 1, B)}
+            grads, chains, _ = pt_step_stats(params, batches[i], chains, u, cfg)
+            params, vel = apply_update(params, vel, grads, cfg, epoch=e)
+    np.testing.assert_allclose(np.asarray(st.params.W), np.asarray(params.W),
+                               rtol=1e-4, atol=1e-5)
+    # chain values are 0/1 bits: a mis-lowered permute or a flipped swap
+    # decision would leave whole rows differing by 1.0 — fails loudly
+    np.testing.assert_allclose(np.asarray(st.chain_h),
+                               np.asarray(chains.reshape(M * B, H)),
+                               atol=1e-6)
+
+
+def test_pt_auto_routes_to_pallas_and_converges():
+    from mdbn_tpu.train.trainer import train_rbm
+
+    data = bars_and_stripes(320, side=4, seed=5)
+    cfg = RBMConfig(n_visible=16, n_hidden=16, lr=0.1, epochs=12,
+                    batch_size=16, seed=1, persistent=True, pt_temps=5,
+                    pt_beta_min=0.0, engine="auto")
+    state, metrics = train_rbm(data, cfg)
+    assert metrics.engine == "pallas"
+    assert state.chain_h.shape == (5 * 16, 16)
+    assert metrics.errors[-1] < metrics.errors[0]

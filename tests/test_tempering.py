@@ -217,7 +217,10 @@ def test_pt_config_and_engine_guards():
                   pt_beta_min=1.5)
     with pytest.raises(ValueError, match="pt_temps"):
         RBMConfig(n_visible=4, n_hidden=2, pt_temps=0)
-    with pytest.raises(ValueError, match="XLA engine"):
+    # engine='pallas' + PT is now a real fused path (test_pallas_pt.py); on
+    # the CPU backend it still refuses the zero-bits interpreter like every
+    # pallas config
+    with pytest.raises(ValueError, match="interpreter"):
         RBM(RBMConfig(n_visible=16, n_hidden=4, persistent=True, pt_temps=3,
                       engine="pallas", batch_size=8, epochs=1)).train(
             bars_and_stripes(32, side=4, seed=0))
