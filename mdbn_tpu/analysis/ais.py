@@ -31,7 +31,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import RBMConfig
-from ..core.rbm_math import RBMParams, free_energy
+from ..core.rbm_math import (RBMParams, check_fixed_variance_layers,
+                             free_energy)
 
 
 def base_rate_biases(data: jax.Array, eps: float = 1e-2) -> jax.Array:
@@ -213,7 +214,8 @@ def exact_log_z(params: RBMParams) -> float:
 
 
 def _gaussian_anneal_kernel(params: RBMParams, b_base: jax.Array):
-    """(log_p_star, gibbs_sweep) closures for the Gaussian (sigma=1) path.
+    """(log_p_star, gibbs_sweep) closures for the Gaussian path
+    (per-unit sigma^2 = exp(params.z) when the variance is learned; 1 else).
 
     Interpolation: p_beta(v) ∝ exp(-(1-beta)/2 ||v-b_A||^2 - beta/2 ||v-b_B||^2)
                               * prod_j (1 + exp(beta (W.v + c)_j)).
@@ -224,28 +226,46 @@ def _gaussian_anneal_kernel(params: RBMParams, b_base: jax.Array):
     Gibbs transitions throughout the anneal.
     """
     b_B, c = params.b, params.c
-    d2 = jnp.sum((b_base - b_B) ** 2)
+    # learned per-unit variance (s = e^{-z}; sigma = 1 when z is None): the
+    # quadratic coefficient s/2 is beta-INDEPENDENT, so the Gaussian
+    # normalizer prod sqrt(2 pi sigma_i^2) lives once in log Z_A, the
+    # cross-term d2 and the hidden pre-activation pick up s weights, and the
+    # visible conditional at every beta is N(m_beta + beta W h, sigma^2) —
+    # still exact Gibbs transitions throughout the anneal
+    s = None if params.z is None else jnp.exp(-params.z)
+    sigma = None if params.z is None else jnp.exp(0.5 * params.z)
+    d = (b_base - b_B) ** 2
+    d2 = jnp.sum(d if s is None else d * s)
 
     def log_p_star(v, beta):
         m = (1.0 - beta) * b_base + beta * b_B
-        quad = -0.5 * jnp.sum((v - m) ** 2, axis=1) - 0.5 * beta * (1.0 - beta) * d2
-        hid = jnp.sum(jax.nn.softplus(beta * (v @ params.W + c)), axis=1)
+        q = (v - m) ** 2
+        quad = (-0.5 * jnp.sum(q if s is None else q * s, axis=1)
+                - 0.5 * beta * (1.0 - beta) * d2)
+        vin = v if s is None else v * s
+        hid = jnp.sum(jax.nn.softplus(beta * (vin @ params.W + c)), axis=1)
         return quad + hid
 
     def sweep(k, v, beta):
         kh, kv = jax.random.split(k)
-        hp = jax.nn.sigmoid(beta * (v @ params.W + c))
+        vin = v if s is None else v * s
+        hp = jax.nn.sigmoid(beta * (vin @ params.W + c))
         h = (jax.random.uniform(kh, hp.shape) < hp).astype(v.dtype)
         m = (1.0 - beta) * b_base + beta * b_B + beta * (h @ params.W.T)
-        return m + jax.random.normal(kv, m.shape, v.dtype)
+        noise = jax.random.normal(kv, m.shape, v.dtype)
+        return m + (noise if sigma is None else noise * sigma)
 
     return log_p_star, sweep
 
 
 def _gaussian_log_z_a(params: RBMParams) -> jax.Array:
-    # log Z_A = (V/2) log(2 pi) + H log 2 (free Gaussian + H unwired hiddens)
+    # log Z_A = sum_i (1/2) log(2 pi sigma_i^2) + H log 2
+    # (free Gaussian at the model's own sigma + H unwired hiddens)
     V, H = params.W.shape
-    return 0.5 * V * jnp.log(2.0 * jnp.pi) + H * jnp.log(2.0)
+    lz = 0.5 * V * jnp.log(2.0 * jnp.pi) + H * jnp.log(2.0)
+    if params.z is not None:
+        lz = lz + 0.5 * jnp.sum(params.z)
+    return lz
 
 
 @partial(jax.jit, static_argnums=(3, 4, 5, 6))
@@ -305,9 +325,11 @@ def reverse_ais_log_z_gaussian(
 
 
 def exact_log_z_gaussian(params: RBMParams) -> float:
-    """Brute-force log Z for a sigma=1 GRBM (H <= ~16 only).
+    """Brute-force log Z for a GRBM (H <= ~16 only).
 
-    Z = (2 pi)^{V/2} sum_h exp(c.h + b.(W h) + ||W h||^2 / 2).
+    Z = prod_i sqrt(2 pi sigma_i^2)
+        * sum_h exp(c.h + sum_i [b_i (Wh)_i + (Wh)_i^2 / 2] / sigma_i^2)
+    (sigma = 1 when the variance isn't learned).
     """
     import numpy as np
     from scipy.special import logsumexp
@@ -320,8 +342,15 @@ def exact_log_z_gaussian(params: RBMParams) -> float:
         raise ValueError("exact enumeration needs n_hidden <= 16")
     hs = ((np.arange(2 ** H)[:, None] >> np.arange(H)) & 1).astype(np.float64)
     wh = hs @ W.T  # [2^H, V]
-    expo = hs @ c + wh @ b + 0.5 * np.sum(wh * wh, axis=1)
-    return float(0.5 * V * np.log(2.0 * np.pi) + logsumexp(expo))
+    const = 0.5 * V * np.log(2.0 * np.pi)
+    if params.z is not None:
+        z = np.asarray(params.z, np.float64)
+        s = np.exp(-z)
+        const += 0.5 * float(z.sum())
+        expo = hs @ c + wh @ (b * s) + 0.5 * np.sum(wh * wh * s, axis=1)
+    else:
+        expo = hs @ c + wh @ b + 0.5 * np.sum(wh * wh, axis=1)
+    return float(const + logsumexp(expo))
 
 
 def exact_sample(params: RBMParams, n: int, seed: int = 0,
@@ -346,6 +375,9 @@ def exact_sample(params: RBMParams, n: int, seed: int = 0,
     wh = hs @ W.T  # [2^H, V]
     if visible == "bernoulli":
         logp = hs @ c + np.logaddexp(0.0, b[None, :] + wh).sum(axis=1)
+    elif params.z is not None:
+        s = np.exp(-np.asarray(params.z, np.float64))
+        logp = hs @ c + wh @ (b * s) + 0.5 * np.sum(wh * wh * s, axis=1)
     else:
         logp = hs @ c + wh @ b + 0.5 * np.sum(wh * wh, axis=1)
     p = np.exp(logp - _lse(logp))
@@ -355,7 +387,10 @@ def exact_sample(params: RBMParams, n: int, seed: int = 0,
     if visible == "bernoulli":
         v = (rng.random((n, V)) < 1.0 / (1.0 + np.exp(-mean)))
     else:
-        v = mean + rng.standard_normal((n, V))
+        noise = rng.standard_normal((n, V))
+        if params.z is not None:
+            noise = noise * np.exp(0.5 * np.asarray(params.z, np.float64))
+        v = mean + noise
     return v.astype(np.float32)
 
 
@@ -540,8 +575,8 @@ def dbn_log_likelihood_bound(
     # at the aggregate posterior's marginals (mean-field codes of the data)
     reps = data
     for p, cfg in layers[:-1]:
-        pre = reps @ p.W + p.c
-        reps = jax.nn.sigmoid(pre)
+        vin = reps if p.z is None else reps * jnp.exp(-p.z)
+        reps = jax.nn.sigmoid(vin @ p.W + p.c)
     a_base = base_rate_biases(reps)
     log_z_top, logw = ais_log_z(top_params, a_base, kais, n_chains, n_betas,
                                 n_sweeps, schedule)
@@ -553,7 +588,8 @@ def dbn_log_likelihood_bound(
         total = jnp.zeros(v.shape[0], jnp.float32)
         for li, (p, cfg) in enumerate(layers[:-1]):
             k, kl = jax.random.split(k)
-            q = jnp.clip(jax.nn.sigmoid(h @ p.W + p.c), eps, 1.0 - eps)
+            hin = h if p.z is None else h * jnp.exp(-p.z)
+            q = jnp.clip(jax.nn.sigmoid(hin @ p.W + p.c), eps, 1.0 - eps)
             hs = (jax.random.uniform(kl, q.shape) < q).astype(v.dtype)
             # -log Q(h^l | h^{l-1})
             total -= jnp.sum(hs * jnp.log(q) + (1 - hs) * jnp.log1p(-q), axis=1)
@@ -563,8 +599,13 @@ def dbn_log_likelihood_bound(
             mean_down = hs @ Wg.T + bg
             if cfg.visible == "gaussian":
                 d = h - mean_down
-                total += -0.5 * jnp.sum(d * d, axis=1) \
-                    - 0.5 * h.shape[1] * jnp.log(2.0 * jnp.pi)
+                if p.z is None:
+                    total += -0.5 * jnp.sum(d * d, axis=1) \
+                        - 0.5 * h.shape[1] * jnp.log(2.0 * jnp.pi)
+                else:
+                    # N(mean_down, sigma^2) with learned per-unit sigma
+                    total += -0.5 * jnp.sum(d * d * jnp.exp(-p.z), axis=1) \
+                        - 0.5 * jnp.sum(jnp.log(2.0 * jnp.pi) + p.z)
             else:
                 pd = jnp.clip(jax.nn.sigmoid(mean_down), eps, 1.0 - eps)
                 total += jnp.sum(h * jnp.log(pd) + (1 - h) * jnp.log1p(-pd),
@@ -730,7 +771,8 @@ def labeled_dbn_log_likelihood_bound(
     # base is uniform (labels are unobserved at evaluation time)
     reps = data
     for p, cfg in layers:
-        reps = jax.nn.sigmoid(reps @ p.W + p.c)
+        vin = reps if p.z is None else reps * jnp.exp(-p.z)
+        reps = jax.nn.sigmoid(vin @ p.W + p.c)
     a_base = jnp.concatenate([base_rate_biases(reps),
                               jnp.zeros((n_classes,), jnp.float32)])
     log_z_top, logw = ais_log_z_labeled(label_top, a_base, n_code, kais,
@@ -748,15 +790,20 @@ def labeled_dbn_log_likelihood_bound(
         total = jnp.zeros(v.shape[0], jnp.float32)
         for li, (p, cfg) in enumerate(layers):
             k, kl = jax.random.split(k)
-            q = jnp.clip(jax.nn.sigmoid(h @ p.W + p.c), eps, 1.0 - eps)
+            hin = h if p.z is None else h * jnp.exp(-p.z)
+            q = jnp.clip(jax.nn.sigmoid(hin @ p.W + p.c), eps, 1.0 - eps)
             hs = (jax.random.uniform(kl, q.shape) < q).astype(v.dtype)
             total -= jnp.sum(hs * jnp.log(q) + (1 - hs) * jnp.log1p(-q), axis=1)
             Wg, bg = gen[li] if gen is not None else (p.W, p.b)
             mean_down = hs @ Wg.T + bg
             if cfg.visible == "gaussian":
                 d = h - mean_down
-                total += -0.5 * jnp.sum(d * d, axis=1) \
-                    - 0.5 * h.shape[1] * jnp.log(2.0 * jnp.pi)
+                if p.z is None:
+                    total += -0.5 * jnp.sum(d * d, axis=1) \
+                        - 0.5 * h.shape[1] * jnp.log(2.0 * jnp.pi)
+                else:
+                    total += -0.5 * jnp.sum(d * d * jnp.exp(-p.z), axis=1) \
+                        - 0.5 * jnp.sum(jnp.log(2.0 * jnp.pi) + p.z)
             else:
                 pd = jnp.clip(jax.nn.sigmoid(mean_down), eps, 1.0 - eps)
                 total += jnp.sum(h * jnp.log(pd) + (1 - h) * jnp.log1p(-pd),
@@ -818,6 +865,7 @@ def exact_dbn_log_likelihood(layers, data, gen=None) -> float:
     import numpy as np
     from scipy.special import logsumexp
 
+    check_fixed_variance_layers(layers, "exact DBN likelihood enumeration")
     top_params, top_cfg = layers[-1]
     if top_cfg.visible != "bernoulli":
         raise ValueError("DBN top RBM must be Bernoulli-visible (its visible "
@@ -890,6 +938,8 @@ def exact_labeled_dbn_log_likelihood(layers, label_top, data, labels,
     import numpy as np
     from scipy.special import logsumexp
 
+    check_fixed_variance_layers(layers,
+                                "exact labeled-DBN likelihood enumeration")
     X = np.asarray(data, np.float64)
     if labels is not None:
         labels = np.asarray(labels, int)
@@ -985,6 +1035,9 @@ def exact_mdbn_log_likelihood(towers, joint, modalities, gen=None) -> float:
     if set(names) != set(modalities):
         raise ValueError(f"towers {sorted(names)} and modalities "
                          f"{sorted(modalities)} disagree")
+    for _tn in names:
+        check_fixed_variance_layers(
+            towers[_tn], f"exact MDBN likelihood enumeration (tower {_tn!r})")
     if gen is not None and set(gen) != set(names):
         raise ValueError("gen must cover exactly the tower names")
 
@@ -1086,6 +1139,9 @@ def exact_labeled_mdbn_log_likelihood(towers, joint, label_top, modalities,
     if set(names) != set(modalities):
         raise ValueError(f"towers {sorted(names)} and modalities "
                          f"{sorted(modalities)} disagree")
+    for _tn in names:
+        check_fixed_variance_layers(
+            towers[_tn], f"exact MDBN likelihood enumeration (tower {_tn!r})")
     if gen is not None and set(gen) != set(names):
         raise ValueError("gen must cover exactly the tower names")
     n_code = joint_params.W.shape[1]

@@ -22,9 +22,13 @@ from .core.state import TrainState
 
 
 def _state_to_pytree(state: TrainState) -> dict:
+    # drop absent optional leaves (the learned-variance z when not learned)
+    # so checkpoints of fixed-variance models keep their round-1 structure
     return {
-        "params": dict(state.params._asdict()),
-        "velocity": dict(state.velocity._asdict()),
+        "params": {k: v for k, v in state.params._asdict().items()
+                   if v is not None},
+        "velocity": {k: v for k, v in state.velocity._asdict().items()
+                     if v is not None},
         "chain_h": state.chain_h,
         "key": state.key,
         "epoch": state.epoch,
@@ -34,9 +38,13 @@ def _state_to_pytree(state: TrainState) -> dict:
 def _state_from_pytree(tree: dict) -> TrainState:
     import jax.numpy as jnp
 
+    def params(d: dict) -> RBMParams:
+        return RBMParams(**{k: jnp.asarray(v) for k, v in d.items()
+                            if v is not None})
+
     return TrainState(
-        params=RBMParams(**{k: jnp.asarray(v) for k, v in tree["params"].items()}),
-        velocity=RBMParams(**{k: jnp.asarray(v) for k, v in tree["velocity"].items()}),
+        params=params(tree["params"]),
+        velocity=params(tree["velocity"]),
         chain_h=jnp.asarray(tree["chain_h"]),
         key=jnp.asarray(tree["key"]),
         epoch=jnp.asarray(tree["epoch"]),

@@ -40,6 +40,20 @@ class RBMConfig:
     n_visible: int
     n_hidden: int
     visible: str = "bernoulli"
+    # --- learned per-unit visible variance (Gaussian visible only) ---
+    # The Cho/Krizhevsky GRBM parameterization with z_i = log sigma_i^2
+    # learned by CD alongside W/b/c (Cho, Ilin & Raiko, ICANN 2011):
+    #   E(v,h) = sum_i (v_i-b_i)^2/(2 sigma_i^2)
+    #            - sum_ij (v_i/sigma_i^2) W_ij h_j - c.h
+    #   P(h|v) = sigmoid((v/sigma^2) @ W + c);  v|h ~ N(b + h @ W.T, sigma^2)
+    # z is stored as RBMParams.z ([n_visible]); with learn_variance=False the
+    # sigma=1 path is unchanged (z is absent from the pytree, so existing
+    # checkpoints keep their structure). Removes the hard requirement that
+    # continuous data be exactly unit-variance z-scored.
+    learn_variance: bool = False
+    # lr for z only (None -> cfg.lr). Variance gradients are stiff early in
+    # training (Cho et al. recommend a smaller rate).
+    lr_variance: Optional[float] = None
     # --- CD/PCD ---
     k: int = 1
     persistent: bool = False
@@ -85,7 +99,12 @@ class RBMConfig:
     # --- sampling choices ---
     # None -> True for bernoulli (tutorial samples visibles in the chain),
     # False for gaussian (mean-field negative phase; standard stability
-    # practice for sigma=1 GRBMs on z-scored data).
+    # practice for sigma=1 GRBMs on z-scored data), EXCEPT True when
+    # learn_variance: sampled visibles carry the variance signal directly
+    # (measured to recover planted sigma more accurately than the
+    # mean-field path's Rao-Blackwellized correction; both are unbiased
+    # in the (v-b)^2 term, mean-field residually couples W to small-sigma
+    # noise).
     sample_visible: Optional[bool] = None
     # --- monitoring ---
     # Reconstruction-error formula is ambiguous in the reference
@@ -136,6 +155,19 @@ class RBMConfig:
         if self.error_metric == "pseudo" and self.visible != "bernoulli":
             raise ValueError("error_metric='pseudo' (free-energy bit flips) is "
                              "only defined for bernoulli visible units")
+        if self.learn_variance:
+            if self.visible != "gaussian":
+                raise ValueError("learn_variance=True requires "
+                                 "visible='gaussian' (it learns the Gaussian "
+                                 "units' per-unit variance)")
+            if self.gradient == "enhanced":
+                raise ValueError("gradient='enhanced' with learn_variance is "
+                                 "not supported: the Cho-Raiko-Ilin "
+                                 "recombination is derived for the W/b/c "
+                                 "statistics of the fixed-variance energy")
+        if self.lr_variance is not None and not self.learn_variance:
+            raise ValueError("lr_variance set but learn_variance is False — "
+                             "the knob would be a silent no-op")
         if self.init not in INIT_SCHEMES:
             raise ValueError(f"init must be one of {INIT_SCHEMES}, got {self.init!r}")
         if self.gradient not in GRADIENTS:
@@ -157,6 +189,8 @@ class RBMConfig:
     def resolved_sample_visible(self) -> bool:
         if self.sample_visible is not None:
             return self.sample_visible
+        if self.learn_variance:
+            return True  # sampled visibles carry the variance signal
         return self.visible == "bernoulli"
 
     def replace(self, **kw) -> "RBMConfig":

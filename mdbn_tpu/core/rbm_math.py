@@ -26,6 +26,12 @@ class RBMParams(NamedTuple):
     W: jax.Array  # [n_visible, n_hidden]
     b: jax.Array  # [n_visible] visible bias
     c: jax.Array  # [n_hidden] hidden bias
+    # [n_visible] log sigma^2 of the Gaussian visible units, present ONLY when
+    # cfg.learn_variance (Cho/Krizhevsky GRBM parameterization). None for
+    # every fixed-variance model: jax treats a None field as an empty pytree
+    # node, so the 3-leaf structure — and every existing checkpoint — is
+    # unchanged unless the variance is actually learned.
+    z: Optional[jax.Array] = None
 
 
 def init_params(cfg: RBMConfig, key: jax.Array) -> RBMParams:
@@ -37,11 +43,33 @@ def init_params(cfg: RBMConfig, key: jax.Array) -> RBMParams:
         W = jax.random.uniform(key, shape, dtype, -bound, bound)
     else:
         W = cfg.init_scale * jax.random.normal(key, shape, dtype)
-    return RBMParams(W=W, b=jnp.zeros(cfg.n_visible, dtype), c=jnp.zeros(cfg.n_hidden, dtype))
+    # learned variance starts at sigma^2 = 1 (z = 0): the fixed-variance model
+    z = jnp.zeros(cfg.n_visible, dtype) if cfg.learn_variance else None
+    return RBMParams(W=W, b=jnp.zeros(cfg.n_visible, dtype),
+                     c=jnp.zeros(cfg.n_hidden, dtype), z=z)
 
 
 def zero_velocity(params: RBMParams) -> RBMParams:
-    return RBMParams(*(jnp.zeros_like(p) for p in params))
+    return RBMParams(*(None if p is None else jnp.zeros_like(p) for p in params))
+
+
+def inv_sigma2(params: RBMParams) -> Optional[jax.Array]:
+    """[V] precision of the Gaussian visible units (None = sigma^2 = 1)."""
+    return None if params.z is None else jnp.exp(-params.z.astype(jnp.float32))
+
+
+def check_fixed_variance_layers(layers, what: str) -> None:
+    """Phase-2 algorithms that unroll raw (W, b, c) weights reject
+    learned-variance layers loudly rather than silently dropping the
+    sigma^2 scaling from the recognition pass. ``layers``: iterable of
+    (RBMParams, RBMConfig)."""
+    for p, cfg in layers:
+        if p.z is not None or cfg.learn_variance:
+            raise ValueError(
+                f"{what} does not support learn_variance layers (its "
+                "unrolled weight stack would silently drop the learned "
+                "sigma^2 scaling); pretrain this stack with "
+                "learn_variance=False to use it")
 
 
 def _dot(a: jax.Array, w: jax.Array, compute_dtype,
@@ -64,21 +92,28 @@ def _dot(a: jax.Array, w: jax.Array, compute_dtype,
 
 
 def hidden_mean(params: RBMParams, v: jax.Array, cfg: RBMConfig) -> jax.Array:
-    return jax.nn.sigmoid(_dot(v, params.W, cfg.compute_dtype, cfg.matmul_precision) + params.c)
+    s = inv_sigma2(params)
+    vin = v if s is None else v * s
+    return jax.nn.sigmoid(_dot(vin, params.W, cfg.compute_dtype, cfg.matmul_precision) + params.c)
 
 
 def visible_mean(params: RBMParams, h: jax.Array, cfg: RBMConfig) -> jax.Array:
+    # learned variance leaves the mean untouched (Cho parameterization:
+    # v|h ~ N(b + h W^T, sigma^2) — sigma enters only the noise scale)
     pre = _dot(h, params.W.T, cfg.compute_dtype, cfg.matmul_precision) + params.b
     return jax.nn.sigmoid(pre) if cfg.visible == "bernoulli" else pre
 
 
 def free_energy(params: RBMParams, v: jax.Array, cfg: RBMConfig) -> jax.Array:
-    pre = _dot(v, params.W, cfg.compute_dtype, cfg.matmul_precision) + params.c
+    s = inv_sigma2(params)
+    vin = v if s is None else v * s
+    pre = _dot(vin, params.W, cfg.compute_dtype, cfg.matmul_precision) + params.c
     softplus = jax.nn.softplus(pre).sum(axis=1)
     if cfg.visible == "bernoulli":
         return -_dot(v, params.b[:, None], cfg.compute_dtype, cfg.matmul_precision)[:, 0] - softplus
     diff = v - params.b
-    return 0.5 * (diff * diff).sum(axis=1) - softplus
+    quad = diff * diff if s is None else diff * diff * s
+    return 0.5 * quad.sum(axis=1) - softplus
 
 
 def recon_error(v0: jax.Array, v1mean: jax.Array, metric: str,
@@ -143,8 +178,14 @@ def cd_step_stats(
             v1mean = vmean
         if cfg.visible == "bernoulli":
             vs = (uniforms["v"][t] < vmean).astype(dtype) if cfg.resolved_sample_visible else vmean
+        elif cfg.resolved_sample_visible:
+            noise = uniforms["noise"][t]
+            if params.z is not None:
+                noise = noise * jnp.exp(0.5 * params.z)  # N(mean, sigma^2)
+            vs = vmean + noise
         else:
-            vs = vmean + uniforms["noise"][t] if cfg.resolved_sample_visible else vmean
+            vs = vmean
+
         hmean = hidden_mean(params, vs, cfg)
         h = (uniforms["h"][t] < hmean).astype(dtype)
 
@@ -155,10 +196,38 @@ def cd_step_stats(
     v_neg = vs * row_mask if row_mask is not None else vs
     h_pos = h0p * row_mask if row_mask is not None else h0p
     h_neg = hmean * row_mask if row_mask is not None else hmean
-    gW = (_dot(v_pos.T, h0p, cfg.compute_dtype, cfg.matmul_precision)
-          - _dot(v_neg.T, hmean, cfg.compute_dtype, cfg.matmul_precision)) * inv_b
-    gb = jnp.sum(v_pos - v_neg, axis=0) * inv_b
+    s = inv_sigma2(params)
+    # learned variance: the interaction term couples W to v/sigma^2, so the
+    # W/b statistics see precision-scaled visibles (b's own term cancels:
+    # <(v-b)/s2>_d - <(vs-b)/s2>_m = (<v> - <vs>)/s2)
+    vp = v_pos if s is None else v_pos * s
+    vn = v_neg if s is None else v_neg * s
+    gW = (_dot(vp.T, h0p, cfg.compute_dtype, cfg.matmul_precision)
+          - _dot(vn.T, hmean, cfg.compute_dtype, cfg.matmul_precision)) * inv_b
+    gb = jnp.sum(vp - vn, axis=0) * inv_b
     gc = jnp.sum(h_pos - h_neg, axis=0) * inv_b
+    gz = None
+    if s is not None:
+        # d log p / d z_i = e^{-z_i} (<A_i>_data - <A_i>_model),
+        # A_i(v, h) = (v_i - b_i)^2 / 2 - v_i (W h)_i  (h Rao-Blackwellized
+        # to its conditional mean, like every other statistic here)
+        wh_d = _dot(h0p, params.W.T, cfg.compute_dtype, cfg.matmul_precision)
+        wh_m = _dot(hmean, params.W.T, cfg.compute_dtype, cfg.matmul_precision)
+        A_d = 0.5 * (v0 - params.b) ** 2 - v0 * wh_d
+        A_m = 0.5 * (vs - params.b) ** 2 - vs * wh_m
+        dA = A_d - A_m
+        if row_mask is not None:
+            dA = dA * row_mask
+        gz = s * jnp.sum(dA, axis=0) * inv_b
+        if not cfg.resolved_sample_visible:
+            # mean-field negative phase: vs is E[v|h], so (vs-b)^2 misses the
+            # conditional's own variance term — E[(v-b)^2] = (mean-b)^2 +
+            # sigma^2. Rao-Blackwellize it analytically (s * sigma^2/2 = 1/2
+            # per unit, times the effective row fraction under masking);
+            # without this the z gradient carries a constant +1/2 bias that
+            # inflates sigma without bound.
+            frac = (jnp.sum(row_mask) * inv_b if row_mask is not None else 1.0)
+            gz = gz - 0.5 * frac
     if cfg.gradient == "enhanced":
         mu = 0.5 * (jnp.sum(v_pos, axis=0) + jnp.sum(v_neg, axis=0)) * inv_b
         lam = 0.5 * (jnp.sum(h_pos, axis=0) + jnp.sum(h_neg, axis=0)) * inv_b
@@ -166,7 +235,7 @@ def cd_step_stats(
     if cfg.sparsity_target is not None and cfg.sparsity_cost:
         gc = gc + cfg.sparsity_cost * (
             sparsity_scale * cfg.sparsity_target - jnp.sum(h_pos, axis=0) * inv_b)
-    grads = RBMParams(W=gW, b=gb, c=gc)
+    grads = RBMParams(W=gW, b=gb, c=gc, z=gz)
     if cfg.persistent and chain_h is not None:
         v1mean_data = visible_mean(params, h0s, cfg)
     else:
@@ -228,9 +297,15 @@ def tempered_log_p_h(params: RBMParams, h: jax.Array, beta,
     pre = _dot(h, params.W.T, cfg.compute_dtype, cfg.matmul_precision) + params.b
     if cfg.visible == "bernoulli":
         return beta * hc + jax.nn.softplus(beta[..., None] * pre).sum(-1)
+    # gaussian: integrating the tempered v-Gaussian gives per-unit terms
+    # (b_i (Wh)_i + (Wh)_i^2 / 2) / sigma_i^2 (sigma = 1 when z is None); the
+    # beta-only normalizer is h-independent and cancels in swap ratios
+    s = inv_sigma2(params)
     wh = pre - params.b
-    quad = (_dot(wh, params.b[:, None], cfg.compute_dtype, cfg.matmul_precision)[..., 0]
-            + 0.5 * jnp.sum(wh * wh, axis=-1))
+    bw = params.b if s is None else params.b * s
+    sq = wh * wh if s is None else wh * wh * s
+    quad = (_dot(wh, bw[:, None], cfg.compute_dtype, cfg.matmul_precision)[..., 0]
+            + 0.5 * jnp.sum(sq, axis=-1))
     return beta * (hc + quad)
 
 
@@ -280,6 +355,8 @@ def pt_step_stats(
     h0p = hidden_mean(params, v0, cfg)   # positive phase, beta=1
     h0s = (uniforms["h0"] < h0p).astype(dtype)
 
+    s = inv_sigma2(params)
+    sigma = None if params.z is None else jnp.exp(0.5 * params.z)
     h = chains_h
     vs = None
     hmean = None
@@ -289,10 +366,16 @@ def pt_step_stats(
             vmean = jax.nn.sigmoid(bM * pre_v)
             vs = (uniforms["v"][t] < vmean).astype(dtype) if cfg.resolved_sample_visible else vmean
         else:
+            # tempered gaussian conditional: mean unchanged, variance
+            # sigma^2 / beta (sigma = 1 when the variance isn't learned)
             vmean = pre_v
-            vs = (vmean + uniforms["noise"][t] / jnp.sqrt(bM)
-                  if cfg.resolved_sample_visible else vmean)
-        pre_h = _dot(vs, params.W, cfg.compute_dtype, cfg.matmul_precision) + params.c
+            if cfg.resolved_sample_visible:
+                noise = uniforms["noise"][t] / jnp.sqrt(bM)
+                vs = vmean + (noise if sigma is None else noise * sigma)
+            else:
+                vs = vmean
+        vin = vs if s is None else vs * s
+        pre_h = _dot(vin, params.W, cfg.compute_dtype, cfg.matmul_precision) + params.c
         hmean = jax.nn.sigmoid(bM * pre_h)
         h = (uniforms["h"][t] < hmean).astype(dtype)
 
@@ -300,10 +383,24 @@ def pt_step_stats(
     h = _pt_swap_round(params, h, betas, uniforms["swap"][1], 1, cfg)
 
     inv_b = 1.0 / jnp.float32(v0.shape[0])
-    gW = (_dot(v0.T, h0p, cfg.compute_dtype, cfg.matmul_precision)
-          - _dot(vs[0].T, hmean[0], cfg.compute_dtype, cfg.matmul_precision)) * inv_b
-    gb = jnp.sum(v0 - vs[0], axis=0) * inv_b
+    vp = v0 if s is None else v0 * s
+    vn = vs[0] if s is None else vs[0] * s
+    gW = (_dot(vp.T, h0p, cfg.compute_dtype, cfg.matmul_precision)
+          - _dot(vn.T, hmean[0], cfg.compute_dtype, cfg.matmul_precision)) * inv_b
+    gb = jnp.sum(vp - vn, axis=0) * inv_b
     gc = jnp.sum(h0p - hmean[0], axis=0) * inv_b
+    gz = None
+    if s is not None:
+        # same z statistic as cd_step_stats, from rung 0 (beta = 1 exactly)
+        wh_d = _dot(h0p, params.W.T, cfg.compute_dtype, cfg.matmul_precision)
+        wh_m = _dot(hmean[0], params.W.T, cfg.compute_dtype, cfg.matmul_precision)
+        A_d = 0.5 * (v0 - params.b) ** 2 - v0 * wh_d
+        A_m = 0.5 * (vs[0] - params.b) ** 2 - vs[0] * wh_m
+        gz = s * jnp.sum(A_d - A_m, axis=0) * inv_b
+        if not cfg.resolved_sample_visible:
+            # Rao-Blackwellized mean-field correction (see cd_step_stats);
+            # rung 0 runs at beta = 1, so the term is exactly 1/2
+            gz = gz - 0.5
     if cfg.gradient == "enhanced":
         mu = 0.5 * (jnp.sum(v0, axis=0) + jnp.sum(vs[0], axis=0)) * inv_b
         lam = 0.5 * (jnp.sum(h0p, axis=0) + jnp.sum(hmean[0], axis=0)) * inv_b
@@ -311,7 +408,7 @@ def pt_step_stats(
     if cfg.sparsity_target is not None and cfg.sparsity_cost:
         gc = gc + cfg.sparsity_cost * (
             cfg.sparsity_target - jnp.sum(h0p, axis=0) * inv_b)
-    grads = RBMParams(W=gW, b=gb, c=gc)
+    grads = RBMParams(W=gW, b=gb, c=gc, z=gz)
     # same monitor convention as the PCD branch of cd_step_stats: the error
     # reconstructs the DATA chain (one step from h0s), not the fantasy chain
     v1mean_data = visible_mean(params, h0s, cfg)
@@ -346,22 +443,34 @@ def apply_update(
     params: RBMParams, velocity: RBMParams, grads: RBMParams, cfg: RBMConfig,
     epoch=0,
 ) -> Tuple[RBMParams, RBMParams]:
-    """vel = m*vel + lr*(grad - l2*W) (decay on W only); param += vel."""
+    """vel = m*vel + lr*(grad - l2*W) (decay on W only); param += vel.
+
+    The learned-variance parameter z (when present) follows the same momentum
+    rule at ``cfg.lr_variance`` (default: cfg.lr) with no weight decay."""
     if cfg.grad_clip is not None:
         clip = cfg.grad_clip
-        grads = RBMParams(*(jnp.clip(g, -clip, clip) for g in grads))
+        grads = RBMParams(*(None if g is None else jnp.clip(g, -clip, clip)
+                            for g in grads))
     gW = grads.W - cfg.l2 * params.W if cfg.l2 else grads.W
     m = resolve_momentum(cfg, epoch)
     # velocities stay in the storage dtype (f32 grads are accumulated in f32
     # first, then rounded once — matters for param_dtype="bfloat16" storage)
+    vz = pz = None
+    if grads.z is not None:
+        lr_z = cfg.lr if cfg.lr_variance is None else cfg.lr_variance
+        vz = (m * velocity.z.astype(jnp.float32)
+              + lr_z * grads.z).astype(velocity.z.dtype)
+        pz = params.z + vz.astype(params.z.dtype)
     new_vel = RBMParams(
         W=(m * velocity.W.astype(jnp.float32) + cfg.lr * gW).astype(velocity.W.dtype),
         b=(m * velocity.b.astype(jnp.float32) + cfg.lr * grads.b).astype(velocity.b.dtype),
         c=(m * velocity.c.astype(jnp.float32) + cfg.lr * grads.c).astype(velocity.c.dtype),
+        z=vz,
     )
     new_params = RBMParams(
         W=params.W + new_vel.W.astype(params.W.dtype),
         b=params.b + new_vel.b.astype(params.b.dtype),
         c=params.c + new_vel.c.astype(params.c.dtype),
+        z=pz,
     )
     return new_params, new_vel

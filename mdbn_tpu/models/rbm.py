@@ -89,8 +89,17 @@ class RBM:
     def _dtype(self):
         return jnp.dtype(self.cfg.param_dtype)
 
+    @property
+    def sigma(self) -> Optional[jax.Array]:
+        """[n_visible] learned visible std-devs (exp(z/2)); None unless
+        cfg.learn_variance."""
+        z = self.state.params.z
+        return None if z is None else jnp.exp(0.5 * z)
+
     def params_numpy(self) -> dict:
-        return {k: np.asarray(v) for k, v in self.state.params._asdict().items()}
+        return {k: np.asarray(v)
+                for k, v in self.state.params._asdict().items()
+                if v is not None}
 
     # -- persistence ---------------------------------------------------------
 

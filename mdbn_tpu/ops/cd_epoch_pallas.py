@@ -345,6 +345,17 @@ def _check_grads_kernel_supports(cfg: RBMConfig) -> None:
     if cfg.pt_temps > 1:
         raise ValueError("pt_temps > 1 is not supported by the per-step "
                          "grads kernel; use the mega-kernel or engine='xla'")
+    _check_fixed_variance(cfg)
+
+
+def _check_fixed_variance(cfg: RBMConfig) -> None:
+    """Every fused kernel carries fixed-variance (W, b, c) state tensors;
+    the learned-sigma GRBM (cfg.learn_variance) lives in the XLA engine —
+    fail loudly rather than silently train the sigma=1 model."""
+    if cfg.learn_variance:
+        raise ValueError("learn_variance=True is not supported by the fused "
+                         "Pallas kernels; use engine='xla' (or 'auto', which "
+                         "routes there automatically)")
 
 
 def _uniform_from_bits(shape) -> jax.Array:
@@ -1712,6 +1723,7 @@ def make_pallas_train_fn(cfg: RBMConfig, n_epochs: int,
     wrappers per model instance would re-trace/lower every kernel (measured
     ~5 s/layer).
     """
+    _check_fixed_variance(cfg)
     mode = pallas_state_mode(cfg)
     if mode is None:
         return None  # even the HBM-state unroll=1 footprint doesn't fit
@@ -1909,6 +1921,7 @@ def make_pallas_dp_train_fn(cfg: RBMConfig, mesh: Mesh, n_epochs: int,
     everywhere, never silent degeneration. ``_skip_allreduce`` disables the
     ring collectives (test-only: proves the parity tests actually exercise
     them)."""
+    _check_fixed_variance(cfg)
     if dp_reduce not in ("auto", "factor", "ring"):
         raise ValueError(f"dp_reduce must be 'auto', 'factor', or 'ring', "
                          f"got {dp_reduce!r}")

@@ -39,6 +39,9 @@ def gibbs_sample(
     # would otherwise mismatch the scan carry's dtype
     v_init = jnp.asarray(v_init, jnp.float32)
 
+    sigma = (None if params.z is None
+             else jnp.exp(0.5 * params.z.astype(jnp.float32)))
+
     def step(carry, k):
         v, _ = carry
         kh, kv = jax.random.split(k)
@@ -48,7 +51,8 @@ def gibbs_sample(
         if cfg.visible == "bernoulli":
             v = (jax.random.uniform(kv, vmean.shape) < vmean).astype(jnp.float32)
         else:
-            v = vmean + jax.random.normal(kv, vmean.shape, jnp.float32)
+            noise = jax.random.normal(kv, vmean.shape, jnp.float32)
+            v = vmean + (noise if sigma is None else noise * sigma)
         return (v, vmean), None  # carry the mean; no per-step stacking
 
     (v, vmean), _ = jax.lax.scan(step, (v_init, v_init),
@@ -92,6 +96,9 @@ def gibbs_sample_clamped(
     B = v_init.shape[0]
     v0 = jnp.tile(v_init, (n_chains, 1))  # [C*B, V]
 
+    sigma = (None if params.z is None
+             else jnp.exp(0.5 * params.z.astype(jnp.float32)))
+
     def step(carry, xs):
         v, acc = carry
         k, i = xs
@@ -102,7 +109,8 @@ def gibbs_sample_clamped(
         if cfg.visible == "bernoulli":
             vs = (jax.random.uniform(kv, vmean.shape) < vmean).astype(jnp.float32)
         else:
-            vs = vmean + jax.random.normal(kv, vmean.shape, jnp.float32)
+            noise = jax.random.normal(kv, vmean.shape, jnp.float32)
+            vs = vmean + (noise if sigma is None else noise * sigma)
         v = clamp_mask * v0 + (1.0 - clamp_mask) * vs
         acc = acc + jnp.where(i >= n_burnin, 1.0, 0.0) * vmean
         return (v, acc), None

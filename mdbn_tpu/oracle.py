@@ -49,15 +49,26 @@ def init_params(cfg: RBMConfig, rng: np.random.Generator) -> Dict[str, np.ndarra
         W = (rng.standard_normal((cfg.n_visible, cfg.n_hidden)) * cfg.init_scale).astype(dtype)
     b = np.zeros(cfg.n_visible, dtype)  # visible bias
     c = np.zeros(cfg.n_hidden, dtype)  # hidden bias
-    return {"W": W, "b": b, "c": c}
+    p = {"W": W, "b": b, "c": c}
+    if cfg.learn_variance:
+        # Cho/Krizhevsky GRBM: z = log sigma^2 per visible unit, init sigma=1
+        p["z"] = np.zeros(cfg.n_visible, dtype)
+    return p
 
 
 def zero_velocity(params: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     return {k: np.zeros_like(v) for k, v in params.items()}
 
 
+def _inv_s2(params) -> Optional[np.ndarray]:
+    """[V] visible precision e^{-z}; None when sigma^2 = 1 (no learned z)."""
+    return np.exp(-params["z"]) if "z" in params else None
+
+
 def hidden_mean(params, v: np.ndarray) -> np.ndarray:
-    return sigmoid(v @ params["W"] + params["c"])
+    s = _inv_s2(params)
+    vin = v if s is None else v * s
+    return sigmoid(vin @ params["W"] + params["c"])
 
 
 def visible_mean(params, h: np.ndarray, visible: str) -> np.ndarray:
@@ -66,14 +77,18 @@ def visible_mean(params, h: np.ndarray, visible: str) -> np.ndarray:
 
 
 def free_energy(params, v: np.ndarray, visible: str) -> np.ndarray:
-    """F(v); Bernoulli: -v.b - sum softplus(vW+c); Gaussian (sigma=1):
-    0.5||v-b||^2 - sum softplus(vW+c)."""
-    pre = v @ params["W"] + params["c"]
+    """F(v); Bernoulli: -v.b - sum softplus(vW+c); Gaussian:
+    0.5 sum (v-b)^2/sigma^2 - sum softplus((v/sigma^2)W+c) (sigma=1 unless
+    the variance is learned)."""
+    s = _inv_s2(params)
+    vin = v if s is None else v * s
+    pre = vin @ params["W"] + params["c"]
     softplus = np.logaddexp(0.0, pre).sum(axis=1)
     if visible == "bernoulli":
         return -(v @ params["b"]) - softplus
     diff = v - params["b"]
-    return 0.5 * (diff * diff).sum(axis=1) - softplus
+    quad = diff * diff if s is None else diff * diff * s
+    return 0.5 * quad.sum(axis=1) - softplus
 
 
 def recon_error(v0: np.ndarray, v1mean: np.ndarray, metric: str) -> float:
@@ -124,17 +139,34 @@ def cd_step_stats(
             v1mean = vmean
         if cfg.visible == "bernoulli":
             vs = (uniforms["v"][t] < vmean).astype(v0.dtype) if cfg.resolved_sample_visible else vmean
+        elif cfg.resolved_sample_visible:
+            noise = uniforms["noise"][t]
+            if "z" in params:
+                noise = noise * np.exp(0.5 * params["z"])  # N(mean, sigma^2)
+            vs = vmean + noise
         else:
-            vs = vmean + uniforms["noise"][t] if cfg.resolved_sample_visible else vmean
+            vs = vmean
         hmean = hidden_mean(params, vs)
         hs = (uniforms["h"][t] < hmean).astype(v0.dtype)
         h = hs
 
+    s = _inv_s2(params)
+    vp = v0 if s is None else v0 * s
+    vn = vs if s is None else vs * s
     grads = {
-        "W": (v0.T @ h0p - vs.T @ hmean) / B,
-        "b": (v0 - vs).mean(axis=0),
+        "W": (vp.T @ h0p - vn.T @ hmean) / B,
+        "b": (vp - vn).mean(axis=0),
         "c": (h0p - hmean).mean(axis=0),
     }
+    if s is not None:
+        # d log p / d z = e^{-z} (<A>_d - <A>_m), A = (v-b)^2/2 - v (W h)
+        A_d = 0.5 * (v0 - params["b"]) ** 2 - v0 * (h0p @ params["W"].T)
+        A_m = 0.5 * (vs - params["b"]) ** 2 - vs * (hmean @ params["W"].T)
+        grads["z"] = s * (A_d - A_m).mean(axis=0)
+        if not cfg.resolved_sample_visible:
+            # Rao-Blackwellized mean-field correction: E[(v-b)^2] over the
+            # conditional = (mean-b)^2 + sigma^2 (mirrors core.rbm_math)
+            grads["z"] = grads["z"] - 0.5
     if cfg.gradient == "enhanced":
         mu = 0.5 * (v0.mean(axis=0) + vs.mean(axis=0))
         lam = 0.5 * (h0p.mean(axis=0) + hmean.mean(axis=0))
@@ -167,8 +199,11 @@ def tempered_log_p_h(params, h: np.ndarray, beta, visible: str) -> np.ndarray:
     pre = h @ params["W"].T + params["b"]
     if visible == "bernoulli":
         return beta * hc + np.logaddexp(0.0, beta[..., None] * pre).sum(-1)
+    s = _inv_s2(params)
     wh = pre - params["b"]
-    quad = wh @ params["b"] + 0.5 * np.sum(wh * wh, axis=-1)
+    bw = params["b"] if s is None else params["b"] * s
+    sq = wh * wh if s is None else wh * wh * s
+    quad = wh @ bw + 0.5 * np.sum(sq, axis=-1)
     return beta * (hc + quad)
 
 
@@ -191,6 +226,8 @@ def pt_step_stats(
     h0p = hidden_mean(params, v0)
     h0s = (uniforms["h0"] < h0p).astype(v0.dtype)
 
+    s = _inv_s2(params)
+    sigma = None if s is None else np.exp(0.5 * params["z"])
     h = chains_h
     vs = hmean = None
     for t in range(cfg.k):
@@ -200,9 +237,13 @@ def pt_step_stats(
             vs = (uniforms["v"][t] < vmean).astype(v0.dtype) if cfg.resolved_sample_visible else vmean
         else:
             vmean = pre_v
-            vs = (vmean + uniforms["noise"][t] / np.sqrt(bM)
-                  if cfg.resolved_sample_visible else vmean)
-        hmean = sigmoid(bM * (vs @ params["W"] + params["c"]))
+            if cfg.resolved_sample_visible:
+                noise = uniforms["noise"][t] / np.sqrt(bM)
+                vs = vmean + (noise if sigma is None else noise * sigma)
+            else:
+                vs = vmean
+        vin = vs if s is None else vs * s
+        hmean = sigmoid(bM * (vin @ params["W"] + params["c"]))
         h = (uniforms["h"][t] < hmean).astype(v0.dtype)
 
     for parity in (0, 1):
@@ -218,11 +259,20 @@ def pt_step_stats(
             h[m] = np.where(a, hm1, hm)
             h[m + 1] = np.where(a, hm, hm1)
 
+    vp = v0 if s is None else v0 * s
+    vn = vs[0] if s is None else vs[0] * s
     grads = {
-        "W": (v0.T @ h0p - vs[0].T @ hmean[0]) / B,
-        "b": (v0 - vs[0]).mean(axis=0),
+        "W": (vp.T @ h0p - vn.T @ hmean[0]) / B,
+        "b": (vp - vn).mean(axis=0),
         "c": (h0p - hmean[0]).mean(axis=0),
     }
+    if s is not None:
+        A_d = 0.5 * (v0 - params["b"]) ** 2 - v0 * (h0p @ params["W"].T)
+        A_m = (0.5 * (vs[0] - params["b"]) ** 2
+               - vs[0] * (hmean[0] @ params["W"].T))
+        grads["z"] = s * (A_d - A_m).mean(axis=0)
+        if not cfg.resolved_sample_visible:
+            grads["z"] = grads["z"] - 0.5  # mean-field correction, rung 0
     if cfg.gradient == "enhanced":
         mu = 0.5 * (v0.mean(axis=0) + vs[0].mean(axis=0))
         lam = 0.5 * (h0p.mean(axis=0) + hmean[0].mean(axis=0))
@@ -250,15 +300,20 @@ def apply_update(
     cfg: RBMConfig,
     epoch: int = 0,
 ) -> None:
-    """In-place momentum + L2 update (decay on W only): SURVEY.md §2.1."""
+    """In-place momentum + L2 update (decay on W only): SURVEY.md §2.1.
+    The learned-variance z (when present) uses lr_variance (default lr),
+    no decay."""
     m = resolve_momentum(cfg, epoch)
-    for name in ("W", "b", "c"):
+    for name in params:
         g = grads[name]
         if cfg.grad_clip is not None:
             g = np.clip(g, -cfg.grad_clip, cfg.grad_clip)
         if name == "W" and cfg.l2:
             g = g - cfg.l2 * params["W"]
-        velocity[name] = m * velocity[name] + cfg.lr * g
+        lr = cfg.lr
+        if name == "z" and cfg.lr_variance is not None:
+            lr = cfg.lr_variance
+        velocity[name] = m * velocity[name] + lr * g
         params[name] += velocity[name].astype(params[name].dtype)
 
 

@@ -62,6 +62,11 @@ def train_rbm_shard_map(
         raise ValueError("pallas_step=True requires param_dtype='float32' "
                          "(the grads kernel's refs are f32); use the XLA "
                          "step for bfloat16 storage")
+    if pallas_step and cfg.learn_variance:
+        raise ValueError("learn_variance=True is not supported by the "
+                         "per-step grads kernel (fixed-variance state "
+                         "tensors); use pallas_step=False or the GSPMD "
+                         "path (train_rbm with a mesh)")
     usable = (data.shape[0] // cfg.batch_size) * cfg.batch_size
     if usable == 0:
         raise ValueError(f"dataset has {data.shape[0]} samples — fewer than "
@@ -87,14 +92,16 @@ def train_rbm_shard_map(
     if pad:
         chain = jnp.pad(chain, ((0, pad), (0, 0)))
     state = state._replace(chain_h=chain)
+    repl = NamedSharding(mesh, P())
+    z_sh = repl if cfg.learn_variance else None
     state = jax.device_put(
         state,
         TrainState(
-            params=RBMParams(*(NamedSharding(mesh, P()),) * 3),
-            velocity=RBMParams(*(NamedSharding(mesh, P()),) * 3),
+            params=RBMParams(W=repl, b=repl, c=repl, z=z_sh),
+            velocity=RBMParams(W=repl, b=repl, c=repl, z=z_sh),
             chain_h=NamedSharding(mesh, P(axis)),
-            key=NamedSharding(mesh, P()),
-            epoch=NamedSharding(mesh, P()),
+            key=repl,
+            epoch=repl,
         ),
     )
     batches = jax.device_put(batches, NamedSharding(mesh, P(None, axis)))
@@ -137,9 +144,10 @@ def _build_shard_map_train(cfg: RBMConfig, mesh: Mesh, n_epochs: int,
     nb = n // cfg.batch_size
     V = n_features
 
+    z_spec = P() if cfg.learn_variance else None
     state_specs = TrainState(
-        params=RBMParams(P(), P(), P()),
-        velocity=RBMParams(P(), P(), P()),
+        params=RBMParams(W=P(), b=P(), c=P(), z=z_spec),
+        velocity=RBMParams(W=P(), b=P(), c=P(), z=z_spec),
         chain_h=P(axis),  # PCD chains live with their batch shard
         key=P(),
         epoch=P(),

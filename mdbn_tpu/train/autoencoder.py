@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import optax
 
 from ..config import RBMConfig
-from ..core.rbm_math import RBMParams
+from ..core.rbm_math import RBMParams, check_fixed_variance_layers
 from .finetune import _batched
 
 
@@ -110,6 +110,7 @@ def finetune_autoencoder_stack(
     plain up-pass; reconstruction uses them). Pass the previous call's
     ``decoder`` to RESUME fine-tuning instead of re-initializing the decoder
     from the current encoder's W^T."""
+    check_fixed_variance_layers(layers, "autoencoder fine-tuning")
     visible = layers[0][1].visible
     data = jnp.asarray(data, jnp.float32)
     n, nb = _batched(batch_size, data.shape[0])
@@ -160,6 +161,9 @@ def finetune_autoencoder_mdbn(
     (tuned towers, tuned joint params, decoder dict, history). Pass the
     previous call's ``decoder`` dict to RESUME fine-tuning.
     ``mesh``: GSPMD data-parallel epochs."""
+    for tname, tl in towers.items():
+        check_fixed_variance_layers(
+            tl, f"autoencoder fine-tuning (tower {tname!r})")
     names = list(towers)
     widths = {m: towers[m][-1][1].n_hidden for m in names}
     visibles = {m: towers[m][0][1].visible for m in names}

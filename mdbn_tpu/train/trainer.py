@@ -97,7 +97,7 @@ def _jitted_epoch_xla(cfg: RBMConfig, mesh: Optional[Mesh], axis: str,
     epoch = partial(_epoch_xla, cfg=cfg)
     if mesh is None:
         return jax.jit(epoch)
-    sh = _state_shardings(mesh, axis)
+    sh = _state_shardings(mesh, axis, has_z=cfg.learn_variance)
     dspec = P(axis) if rows_sharded else P()
     return jax.jit(epoch, in_shardings=(sh, NamedSharding(mesh, dspec)),
                    out_shardings=(sh, NamedSharding(mesh, P())))
@@ -109,7 +109,7 @@ def _jitted_train_xla_fused(cfg: RBMConfig, n_epochs: int, mesh: Optional[Mesh],
     fused = partial(_train_xla_fused, cfg=cfg, n_epochs=n_epochs)
     if mesh is None:
         return jax.jit(fused)
-    sh = _state_shardings(mesh, axis)
+    sh = _state_shardings(mesh, axis, has_z=cfg.learn_variance)
     dspec = P(axis) if rows_sharded else P()
     return jax.jit(fused, in_shardings=(sh, NamedSharding(mesh, dspec)),
                    out_shardings=(sh, NamedSharding(mesh, P())))
@@ -146,6 +146,13 @@ def _use_pallas(cfg: RBMConfig, mesh: Optional[Mesh]) -> bool:
     collectives."""
     if cfg.engine == "xla":
         return False
+    if cfg.learn_variance:
+        # the fused kernels carry fixed-variance (W, b, c) state tensors;
+        # learned sigma lives in the XLA engine (single chip or GSPMD mesh)
+        if cfg.engine == "pallas":
+            raise ValueError("learn_variance=True runs on the XLA engine; "
+                             "use engine='xla' or 'auto'")
+        return False
     if mesh is not None and len(mesh.devices.flatten()) > 1:
         # engine='pallas' on a dp mesh runs the fused-step shard_map path
         # (handled in train_rbm); auto falls back to GSPMD xla
@@ -167,18 +174,20 @@ def _use_pallas(cfg: RBMConfig, mesh: Optional[Mesh]) -> bool:
     return jax.default_backend() == "tpu" and _pallas_available(cfg)
 
 
-def _state_shardings(mesh: Mesh, axis: str) -> TrainState:
+def _state_shardings(mesh: Mesh, axis: str, has_z: bool = False) -> TrainState:
     """dp: batch sharded, params replicated. If the mesh also has a 'tp' axis,
     W/c/velocities shard over the hidden dim (tensor parallel for very wide
-    layers); GSPMD adds the tp-psum for the h @ W.T contraction."""
+    layers); GSPMD adds the tp-psum for the h @ W.T contraction. ``has_z``
+    adds the learned-variance leaf (visible-dim, so replicated under tp)."""
     repl = NamedSharding(mesh, P())
     tp = "tp" if "tp" in mesh.axis_names and axis != "tp" else None
     w_sh = NamedSharding(mesh, P(None, tp)) if tp else repl
     c_sh = NamedSharding(mesh, P(tp)) if tp else repl
+    z_sh = repl if has_z else None
     chain_sh = NamedSharding(mesh, P(axis, tp)) if tp else NamedSharding(mesh, P(axis))
     return TrainState(
-        params=RBMParams(W=w_sh, b=repl, c=c_sh),
-        velocity=RBMParams(W=w_sh, b=repl, c=c_sh),
+        params=RBMParams(W=w_sh, b=repl, c=c_sh, z=z_sh),
+        velocity=RBMParams(W=w_sh, b=repl, c=c_sh, z=z_sh),
         chain_h=chain_sh,
         key=repl,
         epoch=repl,
@@ -230,6 +239,9 @@ def train_rbm(
     pallas_dp = (mesh is not None and len(mesh.devices.flatten()) > 1
                  and cfg.engine == "pallas")
     if pallas_dp:
+        if cfg.learn_variance:
+            raise ValueError("learn_variance=True runs on the XLA engine "
+                             "(GSPMD handles dp); use engine='xla'")
         if "tp" in mesh.axis_names:
             raise ValueError("engine='pallas' supports dp meshes only; "
                              "use engine='xla' for dp x tp")
@@ -263,7 +275,8 @@ def train_rbm(
         rows_sharded = data.shape[0] % n_mesh == 0
         data = jax.device_put(
             data, NamedSharding(mesh, P(axis) if rows_sharded else P()))
-        state = jax.device_put(state, _state_shardings(mesh, axis))
+        state = jax.device_put(
+            state, _state_shardings(mesh, axis, has_z=cfg.learn_variance))
     per_epoch = epoch_callback is not None or runtime.checkpoint_every_epochs > 0
     metrics = EpochMetrics(engine_name)
 

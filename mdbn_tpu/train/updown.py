@@ -37,7 +37,8 @@ import jax
 import jax.numpy as jnp
 
 from ..config import RBMConfig
-from ..core.rbm_math import RBMParams, hidden_mean, visible_mean
+from ..core.rbm_math import (RBMParams, check_fixed_variance_layers,
+                             hidden_mean, visible_mean)
 from .labeled import _softmax_sample
 
 
@@ -161,6 +162,7 @@ def finetune_updown_stack(
         raise ValueError("up-down fine-tuning needs >= 2 layers (directed "
                          "layers below an undirected top RBM); a single RBM "
                          "has nothing to untie")
+    check_fixed_variance_layers(layers, "up-down fine-tuning")
     *directed, (top_params, top_cfg) = layers
     cfgs = tuple(cfg for _, cfg in directed)
     rec = [p for p, _ in directed]
@@ -340,6 +342,7 @@ def finetune_updown_labeled(
     if not layers:
         raise ValueError("labeled up-down needs >= 1 stack layer below the "
                          "label top")
+    check_fixed_variance_layers(layers, "labeled up-down fine-tuning")
     labels, semi = _validate_partial_labels(labels, n_classes)
     n_code = layers[-1][0].W.shape[1]
     if label_top.W.shape[0] != n_code + n_classes:
@@ -520,6 +523,8 @@ def finetune_updown_mdbn(
     if set(towers) != set(modalities):
         raise ValueError(f"towers {sorted(towers)} and modalities "
                          f"{sorted(modalities)} disagree")
+    for tname, tl in towers.items():
+        check_fixed_variance_layers(tl, f"up-down fine-tuning (tower {tname!r})")
     joint_params, joint_cfg = joint
     names = list(towers)
     rows = {n: int(jnp.shape(modalities[n])[0]) for n in names}
@@ -750,6 +755,9 @@ def finetune_updown_mdbn_labeled(
         raise ValueError(f"label top has visible {label_top.W.shape[0]}, "
                          f"expected joint code {n_code} + {n_classes} classes")
     labels, semi = _validate_partial_labels(labels, n_classes)
+    for tname, tl in towers.items():
+        check_fixed_variance_layers(
+            tl, f"labeled up-down fine-tuning (tower {tname!r})")
     names = list(towers)
     rows = {n: int(jnp.shape(modalities[n])[0]) for n in names}
     if len(set(rows.values())) != 1:

@@ -239,7 +239,7 @@ def test_dbn_bound_is_lower_bound_on_enumerable_model():
     from mdbn_tpu.analysis.ais import exact_log_z
     from scipy.special import logsumexp
 
-    W1, b1, cc1 = (np.asarray(a, np.float64) for a in p1)
+    W1, b1, cc1 = (np.asarray(a, np.float64) for a in (p1.W, p1.b, p1.c))
     h1s = ((np.arange(2 ** 10)[:, None] >> np.arange(10)) & 1).astype(np.float64)
     log_z_top = exact_log_z(p2)
     # log p_top(h1) = -F_top(h1) - log Z_top
