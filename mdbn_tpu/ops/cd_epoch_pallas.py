@@ -170,6 +170,13 @@ def estimate_vmem_bytes(cfg: RBMConfig, unroll: int = _MAX_UNROLL,
         # the in-kernel recombination (gW_e = gW - outer - outer, then two
         # matvec passes over gW_e) keeps a second W-sized f32 value live
         transients += we * f
+    if cfg.learn_variance:
+        # learned sigma^2: precision-scaled copies of v0/vs and the
+        # wh/quad [2B, V] buffers for the z statistic, plus s/sigma rows;
+        # factor mode evaluates wh over the gathered ndev*rows_p rows
+        zrows = 2 * ndev if (ndev > 1 and dp_reduce == "factor") else 2
+        transients += (2 + 2 * zrows) * cfg.batch_size * cfg.n_visible * f
+        transients += 4 * cfg.n_visible * f  # s, sigma, gz, quad-sum rows
     if cfg.pt_temps > 1:
         # tempering ladder: the negative phase runs M*B chain rows, so the
         # [·, V]/[·, H] activations (pre_v/vmean/vs, pre_h/hmean/h, plus the
@@ -266,9 +273,10 @@ def needs_chunk_update(cfg: RBMConfig, ndev: int = 1,
     chip only."""
     if ndev != 1 or cfg.n_hidden % 128 != 0:
         return False
-    if cfg.gradient == "enhanced" or cfg.pt_temps > 1:
-        # both estimators need the whole [V, H] gradient (enhanced: two
-        # matvec passes over gW_e; tempering runs in the full-W tiers only)
+    if cfg.gradient == "enhanced" or cfg.pt_temps > 1 or cfg.learn_variance:
+        # enhanced/learn_variance need the whole [V, H] gradient (matvec
+        # passes over gW_e / row scaling + the wh z-statistic); tempering
+        # runs in the full-W tiers only
         return False
     if estimate_vmem_bytes(cfg, unroll=1, ndev=ndev, hbm_state=True,
                            dp_reduce=dp_reduce) <= _hbm_budget(ndev):
@@ -294,10 +302,12 @@ def needs_w_chunking(cfg: RBMConfig, ndev: int = 1,
             or cfg.resolved_sample_visible
             or cfg.batch_size > 32
             or cfg.error_metric not in ("mse", "xent")
-            or cfg.gradient == "enhanced" or cfg.pt_temps > 1):
+            or cfg.gradient == "enhanced" or cfg.pt_temps > 1
+            or cfg.learn_variance):
         # enhanced needs the whole [V, H] gradient for its recombination;
-        # tempering runs M*B chain rows through full-W Gibbs passes — both
-        # live in the full-W tiers only (XLA engine beyond)
+        # tempering runs M*B chain rows through full-W Gibbs passes;
+        # learned variance needs full-W wh passes for the z statistic —
+        # all live in the full-W tiers only (XLA engine beyond)
         return False
     if estimate_vmem_bytes(cfg, unroll=1, ndev=ndev, hbm_state=True,
                            dp_reduce=dp_reduce) <= _hbm_budget(ndev):
@@ -345,17 +355,21 @@ def _check_grads_kernel_supports(cfg: RBMConfig) -> None:
     if cfg.pt_temps > 1:
         raise ValueError("pt_temps > 1 is not supported by the per-step "
                          "grads kernel; use the mega-kernel or engine='xla'")
-    _check_fixed_variance(cfg)
-
-
-def _check_fixed_variance(cfg: RBMConfig) -> None:
-    """Every fused kernel carries fixed-variance (W, b, c) state tensors;
-    the learned-sigma GRBM (cfg.learn_variance) lives in the XLA engine —
-    fail loudly rather than silently train the sigma=1 model."""
     if cfg.learn_variance:
-        raise ValueError("learn_variance=True is not supported by the fused "
-                         "Pallas kernels; use engine='xla' (or 'auto', which "
-                         "routes there automatically)")
+        raise ValueError("learn_variance=True is not supported by the "
+                         "per-step grads kernel (its refs carry fixed-"
+                         "variance state); use the mega-kernel (engine="
+                         "'pallas' via train_rbm) or engine='xla'")
+
+
+def _check_pt_lv(cfg: RBMConfig) -> None:
+    """Parallel tempering and the learned-variance GRBM are each fused in
+    the mega-kernel, but their COMBINATION is not (the tempered ladder's
+    swap marginals would need sigma-weighted quadratics per rung) — that
+    pairing runs on the XLA engine, which supports it exactly."""
+    if cfg.learn_variance and cfg.pt_temps > 1:
+        raise ValueError("pt_temps > 1 with learn_variance=True runs on the "
+                         "XLA engine; use engine='xla' or 'auto'")
 
 
 def _uniform_from_bits(shape) -> jax.Array:
@@ -499,8 +513,16 @@ def _cd_train_kernel(
         # per-row inverse temperatures [CR, 1] (host-computed from
         # pt_betas so the ladder is bit-identical to the XLA engine's)
         beta_ref = refs[pos]; pos += 1
+    lv = cfg.learn_variance  # z/vz ride as two extra (1, V) state tensors
     W_in, b_in, c_in, vW_in, vb_in, vc_in, chain_in = refs[pos:pos + 7]; pos += 7
-    W, b, c, vW, vb, vc, chain, err_ref = refs[pos:pos + 8]; pos += 8
+    z_in = vz_in = None
+    if lv:
+        z_in, vz_in = refs[pos:pos + 2]; pos += 2
+    W, b, c, vW, vb, vc, chain = refs[pos:pos + 7]; pos += 7
+    z = vz = None
+    if lv:
+        z, vz = refs[pos:pos + 2]; pos += 2
+    err_ref = refs[pos]; pos += 1
     if ndev > 1 and dp_reduce == "factor":
         fx_all, comm_fx, send_fx, recv_fx = refs[pos:pos + 4]; pos += 4
     elif ndev > 1:
@@ -516,15 +538,18 @@ def _cd_train_kernel(
         # what lets wide-omics shapes (e.g. 20000x400, 32 MB of weights)
         # train VMEM-resident instead of falling back to the HBM-bound XLA
         # engine.
-        state_out = (W, b, c, vW, vb, vc, chain)  # HBM refs
-        n_scr = 6 + (1 if use_momentum else 0)
+        state_out = ((W, b, c, vW, vb, vc, chain, z, vz) if lv
+                     else (W, b, c, vW, vb, vc, chain))  # HBM refs
+        n_scr = 6 + (1 if use_momentum else 0) + (2 if lv else 0)
         scr = refs[pos:pos + n_scr]; pos += n_scr
-        ssem = refs[pos]; pos += 1  # DMA semaphores (7,)
+        ssem = refs[pos]; pos += 1  # DMA semaphores (9 if lv else 7,)
         if use_momentum:
-            W, b, c, vW, vb, vc, chain = scr
+            W, b, c, vW, vb, vc, chain = scr[:7]
         else:
-            W, b, c, vb, vc, chain = scr
+            W, b, c, vb, vc, chain = scr[:6]
             vW = None
+        if lv:
+            z, vz = scr[-2:]
 
     e = pl.program_id(0)
     i = pl.program_id(1)
@@ -537,6 +562,10 @@ def _cd_train_kernel(
                      (chain_in, chain, 3)]
             if use_momentum:
                 loads += [(vW_in, vW, 4), (vb_in, vb, 5), (vc_in, vc, 6)]
+            if lv:
+                loads += [(z_in, z, 7)]
+                if use_momentum:
+                    loads += [(vz_in, vz, 8)]
             # (momentum-free: velocities are write-only — set at the final
             # update from the last gradient, never read — so skip their DMA)
             dmas = [pltpu.make_async_copy(src, dst, ssem.at[s])
@@ -553,6 +582,9 @@ def _cd_train_kernel(
             vb[:] = vb_in[:]
             vc[:] = vc_in[:]
             chain[:] = chain_in[:]
+            if lv:
+                z[:] = z_in[:]
+                vz[:] = vz_in[:]
         if ndev > 1 and dp_reduce == "factor":
             # zero once: factor writes only ever touch rows [:2B] and the
             # [:V]/[:H] lane blocks of each slot, RDMA hops copy whole slots,
@@ -689,9 +721,16 @@ def _cd_train_kernel(
         v0f = v0 if v0.dtype == jnp.float32 else v0.astype(jnp.float32)
         Wv = W[:]
         Wc = Wv.astype(cd[0])
+        s_lv = sig_lv = None
+        if lv:
+            # learned per-unit variance (Cho/Krizhevsky GRBM): precision and
+            # std-dev rows from the CURRENT z (it updates every iteration)
+            zrow = z[:].astype(jnp.float32)  # [1, V]
+            s_lv = jnp.exp(-zrow)
+            sig_lv = jnp.exp(0.5 * zrow)
 
-        # positive phase
-        pre_h0 = _dot_nt(v0, Wc, cd) + c[0]  # [B, H]
+        # positive phase (learned variance: hidden units see v / sigma^2)
+        pre_h0 = _dot_nt(v0f * s_lv if lv else v0, Wc, cd) + c[0]  # [B, H]
         h0p = jax.nn.sigmoid(pre_h0)
         h0s = (u_h0[u * B:(u + 1) * B] < h0p).astype(jnp.float32)
 
@@ -808,10 +847,14 @@ def _cd_train_kernel(
                 if cfg.visible == "bernoulli":
                     vs = ((u_v[r:r + B] < vmean).astype(jnp.float32)
                           if cfg.resolved_sample_visible else vmean)
+                elif cfg.resolved_sample_visible:
+                    # learned variance: v|h ~ N(mean, sigma^2)
+                    noise = n_v[r:r + B]
+                    vs = vmean + (noise * sig_lv if lv else noise)
                 else:
-                    vs = (vmean + n_v[r:r + B]
-                          if cfg.resolved_sample_visible else vmean)
-                hmean = jax.nn.sigmoid(_dot_nt(vs, Wc, cd) + c[0])
+                    vs = vmean
+                hmean = jax.nn.sigmoid(
+                    _dot_nt(vs * s_lv if lv else vs, Wc, cd) + c[0])
                 h = (u_h[r:r + B] < hmean).astype(jnp.float32)
 
             if cfg.persistent:
@@ -871,6 +914,19 @@ def _cd_train_kernel(
             # plain row sum is sum(h0p) - sum(hmean)
             gc = jnp.sum(h_cat, axis=0, keepdims=True) * inv_b  # [1, H]
             pos = (srow < B).astype(jnp.float32)
+            gz_stat = None
+            if lv:
+                # z statistic over the GATHERED global rows (identical on
+                # every shard -> bit-identical replicas, like gW below):
+                # A = (v-b)^2/2 - v (W h); the h block's negation makes
+                # sum(v_cat * wh_cat) the data-minus-model v.Wh term, and
+                # `sign` (0 on pad rows) signs the quadratic term
+                wh_cat = _dot_tt(h_cat, Wc, cd)  # [rows, V]
+                quad = 0.5 * (v_cat - b[0]) ** 2
+                gz_stat = (jnp.sum(quad * sign, axis=0, keepdims=True)
+                           - jnp.sum(v_cat * wh_cat, axis=0,
+                                     keepdims=True)) * inv_b
+                gb = gb * s_lv  # precision-scaled visible-bias statistic
             if cfg.gradient == "enhanced":
                 # GLOBAL mean offsets for the recombination — every shard
                 # already holds every shard's factors, so these are exact and
@@ -897,6 +953,22 @@ def _cd_train_kernel(
             gb = jnp.sum(v_pos - v_neg, axis=0, keepdims=True) * inv_b  # [1, V]
             hd = (h0p - hmean) * row_mask if uneven else (h0p - hmean)
             gc = jnp.sum(hd, axis=0, keepdims=True) * inv_b  # [1, H]
+            gz_stat = None
+            if lv:
+                # local z statistic (1/gB-scaled sum; the ring's plain sum
+                # restores the exact global mean): A = (v-b)^2/2 - v (W h)
+                wh_cat = _dot_tt(h_cat, Wc, cd)  # [2B, V]: W h0p ; -W hmean
+                quad = 0.5 * (v_cat - b[0]) ** 2
+                if uneven:
+                    sgn = jnp.concatenate([row_mask, -row_mask], axis=0)
+                else:
+                    sgn = jnp.concatenate(
+                        [jnp.ones((B, 1), jnp.float32),
+                         -jnp.ones((B, 1), jnp.float32)], axis=0)
+                gz_stat = (jnp.sum(quad * sgn, axis=0, keepdims=True)
+                           - jnp.sum(v_cat * wh_cat, axis=0,
+                                     keepdims=True)) * inv_b
+                gb = gb * s_lv  # precision-scaled visible-bias statistic
             if cfg.gradient == "enhanced":
                 # local 1/gB-scaled sum contributions to the mean offsets
                 # (plain-summed over shards by the ring below; single chip:
@@ -919,8 +991,12 @@ def _cd_train_kernel(
         # chunk-update middle tier the full [V, H] gradient never
         # materializes — the update loop below computes and applies it to
         # the master per ~2 MB row chunk straight from the phase factors.
+        # Learned variance: the W statistic couples to v / sigma^2 — scaling
+        # the v rows BEFORE the matmul keeps the broadcast lane-aligned
+        # ([rows, V] * [1, V]) instead of a [V, 1] sublane broadcast.
         gW = (None if chunk_update
-              else _dot_tn(v_cat, h_cat, cd) * inv_b)  # [V, H]
+              else _dot_tn(v_cat * s_lv if lv else v_cat, h_cat, cd)
+              * inv_b)  # [V, H]
 
         if ndev > 1 and dp_reduce == "ring":
             # ---- dW ring allreduce over ICI (plain sum of the 1/gB-scaled
@@ -968,6 +1044,10 @@ def _cd_train_kernel(
                 bc_all[my, 2, pl.ds(0, V)] = mu[0]
                 bc_all[my, 3, pl.ds(0, H)] = lam[0]
                 bc_all[my, 4, pl.ds(0, H)] = h0_mean[0]
+            if lv:
+                # the z statistic rides sublane row 2 (free: enhanced and
+                # learn_variance are mutually exclusive by config)
+                bc_all[my, 2, pl.ds(0, V)] = gz_stat[0]
 
             def bc_body(s, _):
                 fwd = jax.lax.rem(my - s + 2 * ndev, ndev)
@@ -987,6 +1067,8 @@ def _cd_train_kernel(
                 mu = bc_sum[2:3, 0:V]
                 lam = bc_sum[3:4, 0:H]
                 h0_mean = bc_sum[4:5, 0:H]
+            if lv:
+                gz_stat = bc_sum[2:3, 0:V]
 
         if cfg.gradient == "enhanced":
             # ---- enhanced gradient (Cho-Raiko-Ilin 2011), fused: recombine
@@ -1006,6 +1088,16 @@ def _cd_train_kernel(
             if cfg.sparsity_target is not None and cfg.sparsity_cost:
                 gc = gc + jnp.float32(cfg.sparsity_cost) * (
                     jnp.float32(cfg.sparsity_target) - h0_mean)
+
+        gz = None
+        if lv:
+            # finalize the z gradient on the REDUCED statistic (identical on
+            # every shard): scale by the precision, then the Rao-Blackwell
+            # mean-field correction (core/rbm_math.py — the conditional's
+            # own variance term, exactly 1/2 once per global update)
+            gz = s_lv * gz_stat
+            if not cfg.resolved_sample_visible:
+                gz = gz - 0.5
 
         # error monitor (the graded parity metric) — BEFORE the update: the
         # monitor is defined on the parameters the batch was seen with
@@ -1038,6 +1130,10 @@ def _cd_train_kernel(
             clip = jnp.float32(cfg.grad_clip)
             gb = jnp.clip(gb, -clip, clip)
             gc = jnp.clip(gc, -clip, clip)
+            if lv:
+                gz = jnp.clip(gz, -clip, clip)
+        lr_z = (jnp.float32(cfg.lr if cfg.lr_variance is None
+                            else cfg.lr_variance) if lv else None)
         if use_momentum:
             nvb = (m * vb[:].astype(jnp.float32) + lr * gb).astype(sdt)
             nvc = (m * vc[:].astype(jnp.float32) + lr * gc).astype(sdt)
@@ -1045,14 +1141,22 @@ def _cd_train_kernel(
             vc[:] = nvc
             b[:] = b[:] + nvb
             c[:] = c[:] + nvc
+            if lv:
+                nvz = (m * vz[:].astype(jnp.float32) + lr_z * gz).astype(sdt)
+                vz[:] = nvz
+                z[:] = z[:] + nvz
         else:
             b[:] = b[:] + (lr * gb).astype(sdt)
             c[:] = c[:] + (lr * gc).astype(sdt)
+            if lv:
+                z[:] = z[:] + (lr_z * gz).astype(sdt)
             if u == unroll - 1 and not hbm_state:
                 @pl.when(is_last_step)
                 def _final_vel_bc():
                     vb[:] = (lr * gb).astype(sdt)
                     vc[:] = (lr * gc).astype(sdt)
+                    if lv:
+                        vz[:] = (lr_z * gz).astype(sdt)
 
         if chunk_update:
             # chunk-update middle tier (hbm_state, single chip): per ~2 MB
@@ -1132,11 +1236,16 @@ def _cd_train_kernel(
                         W[:] = (lr * gW).astype(sdt)
                     vb[:] = (lr * gb).astype(sdt)
                     vc[:] = (lr * gc).astype(sdt)
+                    if lv:
+                        vz[:] = (lr_z * gz).astype(sdt)
                 vel_w_src = W if not use_momentum else vW
                 stores = [(b, 1), (c, 2), (chain, 3), (vel_w_src, 4),
                           (vb, 5), (vc, 6)]
                 outs = [state_out[1], state_out[2], state_out[6],
                         state_out[3], state_out[4], state_out[5]]
+                if lv:
+                    stores += [(z, 7), (vz, 8)]
+                    outs += [state_out[7], state_out[8]]
                 dmas = [pltpu.make_async_copy(src, dst, ssem.at[s])
                         for (src, s), dst in zip(stores, outs)]
                 for d in dmas:
@@ -1211,21 +1320,21 @@ def _build_pallas_call(cfg: RBMConfig, n_epochs: int, nb: int, unroll: int,
     if pt:
         in_specs.append(const((CR, 1)))  # per-row beta ladder
         n_extra = 1
+    lv = cfg.learn_variance
+    n_state = 9 if lv else 7  # +z/+vz (learned-variance) rows
     if hbm_state:
         anyspec = pl.BlockSpec(memory_space=pl.ANY)
-        state_in_specs = [anyspec] * 7
-        state_out_specs = [anyspec] * 7
+        state_in_specs = [anyspec] * n_state
+        state_out_specs = [anyspec] * n_state
     else:
         state_in_specs = [
             const((V, H)), const((1, V)), const((1, H)),  # W, b, c
             const((V, H)), const((1, V)), const((1, H)),  # velocities
             const((CR, H)),  # chain (all tempering rungs, rung-major)
         ]
-        state_out_specs = [
-            const((V, H)), const((1, V)), const((1, H)),
-            const((V, H)), const((1, V)), const((1, H)),
-            const((CR, H)),
-        ]
+        if lv:
+            state_in_specs += [const((1, V)), const((1, V))]  # z, vz
+        state_out_specs = list(state_in_specs)
     in_specs += state_in_specs
 
     scratch_shapes = []
@@ -1264,8 +1373,11 @@ def _build_pallas_call(cfg: RBMConfig, n_epochs: int, nb: int, unroll: int,
             scratch_shapes += [pltpu.VMEM((V, H), pdt)]  # vW master
         scratch_shapes += [pltpu.VMEM((1, V), pdt),   # vb
                            pltpu.VMEM((1, H), pdt),   # vc
-                           pltpu.VMEM((CR, H), pdt),  # chain
-                           pltpu.SemaphoreType.DMA((7,))]
+                           pltpu.VMEM((CR, H), pdt)]  # chain
+        if lv:
+            scratch_shapes += [pltpu.VMEM((1, V), pdt),   # z master
+                               pltpu.VMEM((1, V), pdt)]   # vz master
+        scratch_shapes += [pltpu.SemaphoreType.DMA((9 if lv else 7,))]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # seed, perm
@@ -1283,8 +1395,11 @@ def _build_pallas_call(cfg: RBMConfig, n_epochs: int, nb: int, unroll: int,
         jax.ShapeDtypeStruct((V, H), pdt), jax.ShapeDtypeStruct((1, V), pdt),
         jax.ShapeDtypeStruct((1, H), pdt),
         jax.ShapeDtypeStruct((CR, H), pdt),
-        jax.ShapeDtypeStruct((n_epochs, 1), f32),
     ]
+    if lv:
+        out_shape += [jax.ShapeDtypeStruct((1, V), pdt),
+                      jax.ShapeDtypeStruct((1, V), pdt)]  # z, vz
+    out_shape += [jax.ShapeDtypeStruct((n_epochs, 1), f32)]
     steps = n_epochs * nb
     # tempering: the negative phase runs CR = M*B chain rows, plus two swap
     # evaluation passes over [CR, V]
@@ -1297,11 +1412,11 @@ def _build_pallas_call(cfg: RBMConfig, n_epochs: int, nb: int, unroll: int,
                           chunk_update=chunk_update),
         grid_spec=grid_spec,
         out_shape=out_shape,
-        # params/velocities/chain update in place: operands are
+        # params/velocities/chain (+ z/vz) update in place: operands are
         # 0=seed 1=perm 2=batches [3..: injected uniforms] [beta ladder]
-        # then 7 state tensors -> outputs 0..6
+        # then the state tensors -> outputs 0..n_state-1
         input_output_aliases={i + 3 + n_inject + n_extra: i
-                              for i in range(7)},
+                              for i in range(n_state)},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),  # strictly sequential SGD
             collective_id=0 if ndev > 1 else None,
@@ -1723,7 +1838,7 @@ def make_pallas_train_fn(cfg: RBMConfig, n_epochs: int,
     wrappers per model instance would re-trace/lower every kernel (measured
     ~5 s/layer).
     """
-    _check_fixed_variance(cfg)
+    _check_pt_lv(cfg)
     mode = pallas_state_mode(cfg)
     if mode is None:
         return None  # even the HBM-state unroll=1 footprint doesn't fit
@@ -1827,15 +1942,22 @@ def _cached_train_fn(cfg: RBMConfig, n_epochs: int, interpret: bool,
         call = _build_pallas_call(cfg, n_epochs, nb, unroll, cfg.shuffle,
                                   interpret, inject=inject,
                                   hbm_state=hbm_state)
-        W, bb, cc, vW, vb, vc, chain, errs = call(
-            seed, perm, batches, *extra,
-            p.W, p.b.reshape(1, -1), p.c.reshape(1, -1),
-            vel.W, vel.b.reshape(1, -1), vel.c.reshape(1, -1),
-            state.chain_h,
-        )
+        operands = [p.W, p.b.reshape(1, -1), p.c.reshape(1, -1),
+                    vel.W, vel.b.reshape(1, -1), vel.c.reshape(1, -1),
+                    state.chain_h]
+        if cfg.learn_variance:
+            operands += [p.z.reshape(1, -1), vel.z.reshape(1, -1)]
+        W, bb, cc, vW, vb, vc, chain, *rest = call(
+            seed, perm, batches, *extra, *operands)
+        if cfg.learn_variance:
+            zz, vzz, errs = rest
+            zout, vzout = zz[0], vzz[0]
+        else:
+            (errs,) = rest
+            zout = vzout = None
         new_state = TrainState(
-            params=RBMParams(W=W, b=bb[0], c=cc[0]),
-            velocity=RBMParams(W=vW, b=vb[0], c=vc[0]),
+            params=RBMParams(W=W, b=bb[0], c=cc[0], z=zout),
+            velocity=RBMParams(W=vW, b=vb[0], c=vc[0], z=vzout),
             chain_h=chain,
             key=key,
             epoch=state.epoch + n_epochs,
@@ -1921,7 +2043,7 @@ def make_pallas_dp_train_fn(cfg: RBMConfig, mesh: Mesh, n_epochs: int,
     everywhere, never silent degeneration. ``_skip_allreduce`` disables the
     ring collectives (test-only: proves the parity tests actually exercise
     them)."""
-    _check_fixed_variance(cfg)
+    _check_pt_lv(cfg)
     if dp_reduce not in ("auto", "factor", "ring"):
         raise ValueError(f"dp_reduce must be 'auto', 'factor', or 'ring', "
                          f"got {dp_reduce!r}")
@@ -2033,9 +2155,10 @@ def _cached_dp_train_fn(cfg: RBMConfig, mesh: Mesh, axis: str, ndev: int,
                                   inject=inject, hbm_state=hbm_state,
                                   dp_reduce=dp_reduce,
                                   global_b=None if _skip_allreduce else B)
+        z_spec = P() if cfg.learn_variance else None
         state_specs = TrainState(
-            params=RBMParams(P(), P(), P()),
-            velocity=RBMParams(P(), P(), P()),
+            params=RBMParams(W=P(), b=P(), c=P(), z=z_spec),
+            velocity=RBMParams(W=P(), b=P(), c=P(), z=z_spec),
             chain_h=P(axis),  # PCD chains live with their batch shard
             key=P(),
             epoch=P(),
@@ -2057,16 +2180,23 @@ def _cached_dp_train_fn(cfg: RBMConfig, mesh: Mesh, axis: str, ndev: int,
             lu = [a.reshape(n_epochs, nsteps, -1, a.shape[-1])
                   for a in local_u]
             p, vel = st.params, st.velocity
-            W, bb, cc, vW, vb, vc, chain, errs = call(
-                my_seed, perm_, lb, *lu,
-                p.W, p.b.reshape(1, -1), p.c.reshape(1, -1),
-                vel.W, vel.b.reshape(1, -1), vel.c.reshape(1, -1),
-                st.chain_h,
-            )
+            operands = [p.W, p.b.reshape(1, -1), p.c.reshape(1, -1),
+                        vel.W, vel.b.reshape(1, -1), vel.c.reshape(1, -1),
+                        st.chain_h]
+            if cfg.learn_variance:
+                operands += [p.z.reshape(1, -1), vel.z.reshape(1, -1)]
+            W, bb, cc, vW, vb, vc, chain, *rest = call(
+                my_seed, perm_, lb, *lu, *operands)
+            if cfg.learn_variance:
+                zz, vzz, errs = rest
+                zout, vzout = zz[0], vzz[0]
+            else:
+                (errs,) = rest
+                zout = vzout = None
             errs = jax.lax.pmean(errs[:, 0], axis)
             new_st = TrainState(
-                params=RBMParams(W=W, b=bb[0], c=cc[0]),
-                velocity=RBMParams(W=vW, b=vb[0], c=vc[0]),
+                params=RBMParams(W=W, b=bb[0], c=cc[0], z=zout),
+                velocity=RBMParams(W=vW, b=vb[0], c=vc[0], z=vzout),
                 chain_h=chain,
                 key=st.key,  # advanced outside the shard_map
                 epoch=st.epoch + n_epochs,

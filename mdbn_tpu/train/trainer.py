@@ -130,6 +130,11 @@ def _check_dp_fallback_supports(cfg: RBMConfig) -> None:
             "mega-kernel, which doesn't fit this config (the per-step "
             "fallback pmean's per-shard stats, and the recombination is "
             "nonlinear in the batch means); use engine='xla'")
+    if cfg.learn_variance:
+        raise ValueError(
+            "learn_variance=True under DP is only fused by the DP "
+            "mega-kernel, which doesn't fit this config (the per-step "
+            "grads kernel carries fixed-variance state); use engine='xla'")
 
 
 def _pallas_available(cfg: RBMConfig) -> bool:
@@ -146,12 +151,12 @@ def _use_pallas(cfg: RBMConfig, mesh: Optional[Mesh]) -> bool:
     collectives."""
     if cfg.engine == "xla":
         return False
-    if cfg.learn_variance:
-        # the fused kernels carry fixed-variance (W, b, c) state tensors;
-        # learned sigma lives in the XLA engine (single chip or GSPMD mesh)
+    if cfg.learn_variance and cfg.pt_temps > 1:
+        # each is fused alone; the combination (sigma-weighted tempered swap
+        # marginals) runs on the XLA engine only
         if cfg.engine == "pallas":
-            raise ValueError("learn_variance=True runs on the XLA engine; "
-                             "use engine='xla' or 'auto'")
+            raise ValueError("pt_temps > 1 with learn_variance=True runs on "
+                             "the XLA engine; use engine='xla' or 'auto'")
         return False
     if mesh is not None and len(mesh.devices.flatten()) > 1:
         # engine='pallas' on a dp mesh runs the fused-step shard_map path
@@ -239,9 +244,6 @@ def train_rbm(
     pallas_dp = (mesh is not None and len(mesh.devices.flatten()) > 1
                  and cfg.engine == "pallas")
     if pallas_dp:
-        if cfg.learn_variance:
-            raise ValueError("learn_variance=True runs on the XLA engine "
-                             "(GSPMD handles dp); use engine='xla'")
         if "tp" in mesh.axis_names:
             raise ValueError("engine='pallas' supports dp meshes only; "
                              "use engine='xla' for dp x tp")

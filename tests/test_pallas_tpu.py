@@ -766,3 +766,62 @@ def test_pt_auto_routes_to_pallas_and_converges():
     assert metrics.engine == "pallas"
     assert state.chain_h.shape == (5 * 16, 16)
     assert metrics.errors[-1] < metrics.errors[0]
+
+
+def test_lv_fused_inject_parity_on_hardware():
+    """Fused learned-variance GRBM, REAL Mosaic lowering: inject-mode run at
+    matmul_precision='highest' vs the XLA-engine host replay — the z
+    statistic's wh matmuls, the precision-scaled W/b stats, and the
+    z momentum update all cross the real compiler here."""
+    from mdbn_tpu.core.rbm_math import apply_update, cd_step_stats
+    from mdbn_tpu.ops.cd_epoch_pallas import draw_uniform_blocks
+
+    rng = np.random.default_rng(0)
+    sig = np.array([0.5] * 72 + [2.0] * 72)
+    data = (rng.standard_normal((64, 144)) * sig).astype(np.float32)
+    cfg = RBMConfig(n_visible=144, n_hidden=64, visible="gaussian",
+                    learn_variance=True, k=1, lr=0.02, lr_variance=0.05,
+                    epochs=2, batch_size=16, seed=0, momentum=0.5, l2=1e-4,
+                    persistent=True, matmul_precision="highest",
+                    engine="pallas")
+    nb = data.shape[0] // cfg.batch_size
+    uniforms = draw_uniform_blocks(cfg, jax.random.PRNGKey(9), 2, nb)
+    fn = make_pallas_train_fn(cfg, 2, interpret=False, inject=True)
+    st0 = init_train_state(cfg)
+    st, errs = fn(st0, jnp.asarray(data), uniforms)
+
+    params, vel = st0.params, st0.velocity
+    chain = st0.chain_h
+    batches = jnp.asarray(data).reshape(nb, cfg.batch_size, -1)
+    for e in range(2):
+        for i in range(nb):
+            u = {k: uniforms[k][e, i] for k in uniforms}
+            grads, chain, _ = cd_step_stats(params, batches[i], chain, u, cfg)
+            params, vel = apply_update(params, vel, grads, cfg, epoch=e)
+    np.testing.assert_allclose(np.asarray(st.params.W), np.asarray(params.W),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st.params.z), np.asarray(params.z),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st.velocity.z),
+                               np.asarray(vel.z), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st.chain_h), np.asarray(chain),
+                               atol=1e-6)
+
+
+def test_lv_auto_routes_to_pallas_and_recovers_sigma():
+    """engine='auto' picks the fused kernel for learn_variance on hardware,
+    and the kernel-speed training recovers the planted per-feature sigma
+    (the VARIANCE.md ground-truth check, now on the Pallas path)."""
+    from mdbn_tpu.train.trainer import train_rbm
+
+    rng = np.random.default_rng(0)
+    sig = np.array([0.5] * 8 + [2.0] * 8)
+    data = (rng.standard_normal((600, 16)) * sig).astype(np.float32)
+    cfg = RBMConfig(n_visible=16, n_hidden=8, visible="gaussian",
+                    learn_variance=True, lr=0.02, lr_variance=0.05,
+                    epochs=80, batch_size=20, seed=0, engine="auto")
+    state, metrics = train_rbm(data, cfg)
+    assert metrics.engine == "pallas"
+    s = np.exp(0.5 * np.asarray(state.params.z))
+    assert abs(s[:8].mean() - 0.5) < 0.15, s
+    assert abs(s[8:].mean() - 2.0) < 0.4, s

@@ -198,23 +198,29 @@ def test_exact_sample_matches_learned_sigma():
 # ------------------------------------------------------- engines / gates --
 
 def test_engine_gating():
-    from mdbn_tpu.ops.cd_epoch_pallas import (make_pallas_dp_train_fn,
-                                              make_pallas_grads_fn,
+    """learn_variance is FUSED in the mega-kernel (round-3 late work); only
+    the per-step grads kernel and the PT combination still refuse."""
+    from mdbn_tpu.ops.cd_epoch_pallas import (make_pallas_grads_fn,
                                               make_pallas_train_fn)
 
     cfg = RBMConfig(n_visible=16, n_hidden=8, visible="gaussian",
                     learn_variance=True, batch_size=8, epochs=1,
                     engine="pallas")
     data, _ = _planted_data(n=64, seed=2)
-    with pytest.raises(ValueError, match="learn_variance"):
-        train_rbm(data, cfg)
-    with pytest.raises(ValueError, match="learn_variance"):
-        make_pallas_train_fn(cfg, 1, interpret=True)
+    # the mega-kernel accepts learn_variance (builds without error)
+    assert make_pallas_train_fn(cfg, 1, interpret=True) is not None
+    # the per-step grads kernel cannot (fixed-variance refs)
     with pytest.raises(ValueError, match="learn_variance"):
         make_pallas_grads_fn(cfg)
-    with pytest.raises(ValueError, match="learn_variance"):
-        make_pallas_dp_train_fn(cfg, make_mesh(1), 1)
-    # auto routes to xla silently
+    # PT + learn_variance is the XLA engine's combination
+    with pytest.raises(ValueError, match="XLA engine"):
+        make_pallas_train_fn(cfg.replace(persistent=True, pt_temps=3,
+                                         pt_beta_min=0.2), 1, interpret=True)
+    # engine='pallas' on the CPU backend still refuses the zero-bits
+    # interpreter (same rule as plain CD)
+    with pytest.raises(ValueError, match="interpreter"):
+        train_rbm(data, cfg)
+    # auto on CPU routes to xla
     state, metrics = train_rbm(data, cfg.replace(engine="auto", epochs=2))
     assert metrics.engine == "xla"
 
@@ -248,6 +254,110 @@ def test_phase2_guards():
     from mdbn_tpu.analysis.ais import exact_dbn_log_likelihood
     with pytest.raises(ValueError, match="learn_variance"):
         exact_dbn_log_likelihood(layers, np.zeros((4, 16), np.float32))
+
+
+# ------------------------------------------------- fused Pallas kernel --
+
+def _host_replay(cfg, st0, data, uniforms, n_epochs):
+    """XLA-engine replay of an inject-mode kernel run (same draws)."""
+    nb = data.shape[0] // cfg.batch_size
+    st = st0
+    errs = []
+    for e in range(n_epochs):
+        es = []
+        for i in range(nb):
+            v0 = jnp.asarray(data[i * cfg.batch_size:(i + 1) * cfg.batch_size])
+            ui = {k: uniforms[k][e, i] for k in uniforms}
+            grads, chain, err = cd_step_stats(
+                st.params, v0, st.chain_h if cfg.persistent else None, ui, cfg)
+            p, vel = apply_update(st.params, st.velocity, grads, cfg, epoch=e)
+            st = st._replace(params=p, velocity=vel,
+                             chain_h=chain if cfg.persistent else st.chain_h)
+            es.append(float(err))
+        errs.append(float(np.mean(es)))
+    return st, np.asarray(errs)
+
+
+@pytest.mark.parametrize("persistent,momentum,sample_visible",
+                         [(False, 0.0, True), (True, 0.5, True),
+                          (False, 0.0, False)])
+def test_fused_kernel_lv_inject_parity(persistent, momentum, sample_visible):
+    """The mega-kernel's fused learn_variance path == the XLA engine on the
+    same injected draws (CD, PCD+momentum, and the Rao-Blackwellized
+    mean-field branch), via the CPU interpreter."""
+    from mdbn_tpu.ops.cd_epoch_pallas import (draw_uniform_blocks,
+                                              make_pallas_train_fn)
+
+    data, _ = _planted_data(n=80, seed=0)
+    cfg = RBMConfig(n_visible=16, n_hidden=8, visible="gaussian",
+                    learn_variance=True, lr=0.02, lr_variance=0.05,
+                    persistent=persistent, momentum=momentum,
+                    sample_visible=sample_visible, epochs=2, batch_size=8,
+                    seed=0, matmul_precision="highest")
+    fn = make_pallas_train_fn(cfg, 2, interpret=True, inject=True)
+    st0 = init_train_state(cfg)
+    u = draw_uniform_blocks(cfg, jax.random.PRNGKey(5), 2, 10)
+    st1, errs = fn(st0, jnp.asarray(data), u)
+    st_h, errs_h = _host_replay(cfg, st0, data, u, 2)
+    np.testing.assert_allclose(np.asarray(st1.params.W),
+                               np.asarray(st_h.params.W), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(st1.params.z),
+                               np.asarray(st_h.params.z), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(st1.velocity.z),
+                               np.asarray(st_h.velocity.z), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(errs), errs_h, atol=2e-6)
+
+
+def test_fused_kernel_lv_hbm_mode_inject_parity():
+    """The HBM-state tier carries the z/vz masters through its manual DMA
+    staging (forced on a small shape via the cache entry point)."""
+    from mdbn_tpu.ops.cd_epoch_pallas import (_cached_train_fn,
+                                              draw_uniform_blocks)
+
+    data, _ = _planted_data(n=48, seed=2)
+    cfg = RBMConfig(n_visible=16, n_hidden=8, visible="gaussian",
+                    learn_variance=True, lr=0.02, momentum=0.5,
+                    persistent=True, epochs=2, batch_size=8, seed=0,
+                    matmul_precision="highest")
+    fn = _cached_train_fn(cfg, 2, interpret=True, inject=True,
+                          hbm_state=True)
+    st0 = init_train_state(cfg)
+    u = draw_uniform_blocks(cfg, jax.random.PRNGKey(7), 2, 6)
+    st1, errs = fn(st0, jnp.asarray(data), u)
+    st_h, errs_h = _host_replay(cfg, st0, data, u, 2)
+    np.testing.assert_allclose(np.asarray(st1.params.W),
+                               np.asarray(st_h.params.W), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(st1.params.z),
+                               np.asarray(st_h.params.z), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(errs), errs_h, atol=2e-6)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+@pytest.mark.parametrize("dp_reduce", ["factor", "ring"])
+@pytest.mark.parametrize("batch", [16, 20])  # divisible and uneven-on-8
+def test_dp_mega_kernel_lv_exact_parity(dp_reduce, batch):
+    """The DP mega-kernel's fused learn_variance path (z statistic riding
+    the factor gather / the bias ring's spare row) == the single-device
+    host replay, including batch 20 unevenly sharded over 8 devices."""
+    from mdbn_tpu.ops.cd_epoch_pallas import (draw_uniform_blocks,
+                                              make_pallas_dp_train_fn)
+
+    data, _ = _planted_data(n=80, seed=0)
+    cfg = RBMConfig(n_visible=16, n_hidden=8, visible="gaussian",
+                    learn_variance=True, lr=0.02, lr_variance=0.05,
+                    persistent=True, momentum=0.5, epochs=1,
+                    batch_size=batch, seed=0, matmul_precision="highest")
+    fn = make_pallas_dp_train_fn(cfg, make_mesh(8), 1, dp_reduce=dp_reduce)
+    st0 = init_train_state(cfg)
+    nb = 80 // batch
+    u = draw_uniform_blocks(cfg, jax.random.PRNGKey(5), 1, nb)
+    st1, errs = fn(st0, jnp.asarray(data), u)
+    st_h, errs_h = _host_replay(cfg, st0, data, u, 1)
+    np.testing.assert_allclose(np.asarray(st1.params.W),
+                               np.asarray(st_h.params.W), atol=5e-6)
+    np.testing.assert_allclose(np.asarray(st1.params.z),
+                               np.asarray(st_h.params.z), atol=5e-6)
+    np.testing.assert_allclose(np.asarray(errs), errs_h, atol=5e-6)
 
 
 # --------------------------------------------------------- DP / stack --
