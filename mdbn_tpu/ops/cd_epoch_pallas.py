@@ -132,7 +132,8 @@ def estimate_vmem_bytes(cfg: RBMConfig, unroll: int = _MAX_UNROLL,
                         ndev: int = 1, hbm_state: bool = False,
                         dp_reduce: str = "factor",
                         w_chunked: bool = False,
-                        chunk_update: bool = False) -> int:
+                        chunk_update: bool = False,
+                        stream_vel: bool = False) -> int:
     f = 4  # float32
     ps = _param_bytes(cfg)  # parameter storage bytes/element
     we = cfg.n_visible * cfg.n_hidden  # W elements
@@ -250,9 +251,12 @@ def _hbm_budget(ndev: int) -> int:
 
 def w_chunk_padded_cfg(cfg: RBMConfig) -> RBMConfig:
     """The W-blocked tier runs an H-padded problem (lane dim to the 128 DMA
-    tiling): pad hidden units carry zero weights/biases forever, so they
-    never touch the math (gW/gc pad columns are exactly zero each update);
-    the train-fn wrapper pads state in and slices it back out."""
+    tiling). Pad hidden units are kept INERT by an in-kernel mask on
+    h0p/hmean (zero weights alone are NOT enough: sigmoid(0) = 0.5 on pad
+    columns would make gW[:, pad] = 0.5*(sum v0 - sum vs) != 0 and the
+    real-PRNG pad samples would feed the drifted pad weights back into every
+    reconstruction — found on hardware, round 3). The train-fn wrapper pads
+    state in and slices it back out."""
     return cfg.replace(n_hidden=_round_up(cfg.n_hidden, 128))
 
 
@@ -1464,6 +1468,7 @@ def _cd_train_kernel_wb(
     nb: int,
     rows: int,  # constant chunk size; divides V
     inject: bool,
+    h_real: int,  # unpadded hidden width (pad columns masked inert)
 ):
     use_momentum = _uses_momentum(cfg)
     pos = 0
@@ -1533,6 +1538,19 @@ def _cd_train_kernel_wb(
     mask_v0 = (lane < B).astype(f32)
     mask_vs = jnp.logical_and(lane >= 32, lane < 32 + B).astype(f32)
     sign = mask_v0 - mask_vs
+    # pad-column inertness mask: H-padded hidden columns must contribute
+    # NOTHING — without it sigmoid(0) = 0.5 on every pad column makes
+    # gW[:, pad] = 0.5*(sum v0 - sum vs) != 0, pad weights drift, and the
+    # PRNG-sampled pad hidden units (Bernoulli(0.5)) then feed
+    # W[v, pad]*h_pad noise into every real reconstruction (measured on
+    # hardware this round: |W_pad| ~ 5% of |W_real| after 100 updates).
+    # Masking h0p/hmean to 0 on pad columns zeroes their samples
+    # ((u < 0) is False for u in [0, 1)), gradients, and bias updates.
+    if h_real < Hp:
+        hmask = (jax.lax.broadcasted_iota(jnp.int32, (1, Hp), 1)
+                 < h_real).astype(f32)
+    else:
+        hmask = None
 
     def _rows_pad(x, at):
         """[B, Hp] -> [128, Hp] with x at rows at:at+B, zeros elsewhere."""
@@ -1568,6 +1586,8 @@ def _cd_train_kernel_wb(
         pre128 = _sfx_w_pass()
         pre_h0 = pre128[0:B, :] + cH[0]
         h0p = jax.nn.sigmoid(pre_h0)
+        if hmask is not None:
+            h0p = h0p * hmask
         h0s = (u_h0[u * B:(u + 1) * B] < h0p).astype(f32)
         h = chain[:].astype(f32) if cfg.persistent else h0s
         hmean = h0p
@@ -1607,6 +1627,8 @@ def _cd_train_kernel_wb(
                 err_u = err_t
             post = _sfx_w_pass()
             hmean = jax.nn.sigmoid(post[32:32 + B, :] + cH[0])
+            if hmask is not None:
+                hmean = hmean * hmask
             h = (u_h[r:r + B] < hmean).astype(f32)
 
         if cfg.persistent:
@@ -1632,6 +1654,11 @@ def _cd_train_kernel_wb(
             gc = gc + jnp.float32(cfg.sparsity_cost) * (
                 jnp.float32(cfg.sparsity_target)
                 - jnp.sum(h0p, axis=0, keepdims=True) * inv_b)
+            if hmask is not None:
+                # the target term is a constant over ALL columns; unmasked it
+                # would grow cH's pad entries without bound (bf16 -> inf ->
+                # NaN through the inertness mask's inf * 0)
+                gc = gc * hmask
         if cfg.grad_clip is not None:
             clip = jnp.float32(cfg.grad_clip)
             gc = jnp.clip(gc, -clip, clip)
@@ -1713,9 +1740,11 @@ def _cd_train_kernel_wb(
 
 
 def _build_wblocked_call(cfg: RBMConfig, n_epochs: int, nb: int, unroll: int,
-                         shuffle: bool, interpret, inject: bool, rows: int):
+                         shuffle: bool, interpret, inject: bool, rows: int,
+                         h_real: Optional[int] = None):
     """pallas_call for the W-blocked tier. ``cfg`` has H pre-padded to a 128
-    multiple; the visible bias travels broadcast as (V, 128)."""
+    multiple (``h_real`` = the unpadded width, for the in-kernel pad-column
+    inertness mask); the visible bias travels broadcast as (V, 128)."""
     if interpret is True:
         interpret = pltpu.InterpretParams()
     V, Hp, B = cfg.n_visible, cfg.n_hidden, cfg.batch_size
@@ -1774,7 +1803,8 @@ def _build_wblocked_call(cfg: RBMConfig, n_epochs: int, nb: int, unroll: int,
     steps = n_epochs * nb
     return pl.pallas_call(
         functools.partial(_cd_train_kernel_wb, cfg=cfg, unroll=unroll, nb=nb,
-                          rows=rows, inject=inject),
+                          rows=rows, inject=inject,
+                          h_real=cfg.n_hidden if h_real is None else h_real),
         grid_spec=grid_spec,
         out_shape=out_shape,
         input_output_aliases={k + 3 + n_inject: k for k in range(7)},
@@ -1872,9 +1902,9 @@ def _cached_train_fn(cfg: RBMConfig, n_epochs: int, interpret: bool,
     # W-blocked tier: run an H-padded problem (lane dim to the 128 DMA
     # tiling — Mosaic rejects slices of lane-misaligned VMEM refs on real
     # hardware) through the dedicated fori-chunked kernel. Pad hidden units
-    # have zero weights/biases forever (their gW/gc columns are exactly zero
-    # every update), so padding is invisible to the math; the visible bias
-    # travels broadcast as (V, 128). State pads in here, slices back below.
+    # are masked inert in-kernel (see w_chunk_padded_cfg), so padding is
+    # invisible to the math; the visible bias travels broadcast as (V, 128).
+    # State pads in here, slices back below.
     w_chunked = hbm_state and needs_w_chunking(cfg)
     kcfg = w_chunk_padded_cfg(cfg) if w_chunked else cfg
     w_rows = w_chunk_rows_for(kcfg) if w_chunked else None
@@ -1896,16 +1926,19 @@ def _cached_train_fn(cfg: RBMConfig, n_epochs: int, interpret: bool,
             force_unroll1=w_chunked)  # this tier: one update per grid step
         if inject and uniforms is None:
             key, kdraw = jax.random.split(key)
-            # draw at the padded width directly: pad-column draws sample
-            # hidden units whose weights are zero — harmless by construction
+            # draw at the padded width directly: the kernel's pad-column
+            # inertness mask makes pad draws irrelevant (masked h0p/hmean are
+            # 0, so (u < 0) never fires)
             uniforms = draw_uniform_blocks(kcfg, kdraw, n_epochs, nb)
         elif inject and hpad:
-            # caller-supplied draws: pad the hidden dims with 1.0 so pad
-            # samples are deterministically 0 ((1.0 < p) is False)
+            # caller-supplied draws: pad the hidden dims with 0.0 — the
+            # ADVERSARIAL value (an unmasked pad unit would sample 1 every
+            # step), so the inject-parity tests regression-test the kernel's
+            # pad-column inertness mask rather than hiding its absence
             uniforms = dict(uniforms)
             for k in ("h0", "h"):
                 widths = [(0, 0)] * (uniforms[k].ndim - 1) + [(0, hpad)]
-                uniforms[k] = jnp.pad(uniforms[k], widths, constant_values=1.0)
+                uniforms[k] = jnp.pad(uniforms[k], widths)
         data = jnp.asarray(data, jnp.dtype(cfg.param_dtype))
         batches = data[: nb * cfg.batch_size].reshape(
             nsteps, unroll, cfg.batch_size, cfg.n_visible)
@@ -1920,7 +1953,8 @@ def _cached_train_fn(cfg: RBMConfig, n_epochs: int, interpret: bool,
 
         if w_chunked:
             call = _build_wblocked_call(kcfg, n_epochs, nb, unroll,
-                                        cfg.shuffle, interpret, inject, w_rows)
+                                        cfg.shuffle, interpret, inject, w_rows,
+                                        h_real=H)
             pdt = jnp.dtype(cfg.param_dtype)
             bB = jnp.broadcast_to(p.b.reshape(-1, 1), (V, 128)).astype(pdt)
             vbB = jnp.broadcast_to(vel.b.reshape(-1, 1), (V, 128)).astype(pdt)
