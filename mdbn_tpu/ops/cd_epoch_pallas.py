@@ -57,6 +57,7 @@ from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -107,6 +108,21 @@ def factor_comm_shape(cfg: RBMConfig, ndev: int) -> Tuple[int, int]:
 
 # byte target of one gradient/update row-chunk ([rows, H] f32)
 _UPDATE_CHUNK_BYTES = 2 * 1024 * 1024
+
+
+def _upd_chunk_rows(V: int, H: int, lv: bool) -> int:
+    """Static V-row granularity of the chunk-update tier. Multiples of 32
+    cover the f32 (8,128) and bf16 (16,128) sublane tilings of the W ref
+    slices; ragged tails are fine (static starts). learn_variance
+    additionally lane-SLICES [1, V] vectors (s_lv/b row chunks) and
+    broadcasts them over the gathered rows — Mosaic requires those slice
+    offsets 128-aligned on REAL hardware (vector.broadcast of a
+    misaligned-offset slice fails 'Invalid input layout'), so lv chunks
+    quantize to 128. Reads _UPDATE_CHUNK_BYTES at call time (tests shrink
+    it to force multi-chunk coverage at small V)."""
+    quant = 128 if lv else 32
+    return min(_round_up(V, quant), max(
+        quant, (_UPDATE_CHUNK_BYTES // (4 * H)) // quant * quant))
 
 
 def _param_bytes(cfg: RBMConfig) -> int:
@@ -171,13 +187,17 @@ def estimate_vmem_bytes(cfg: RBMConfig, unroll: int = _MAX_UNROLL,
         # the in-kernel recombination (gW_e = gW - outer - outer, then two
         # matvec passes over gW_e) keeps a second W-sized f32 value live
         transients += we * f
-    if cfg.learn_variance:
+    if cfg.learn_variance and not chunk_update:
         # learned sigma^2: precision-scaled copies of v0/vs and the
         # wh/quad [2B, V] buffers for the z statistic, plus s/sigma rows;
-        # factor mode evaluates wh over the gathered ndev*rows_p rows
+        # factor mode evaluates wh over the gathered ndev*rows_p rows.
+        # (chunk-update mode computes the z statistic per W row chunk —
+        # whc/quad live only at chunk size, counted with the chunk buffers)
         zrows = 2 * ndev if (ndev > 1 and dp_reduce == "factor") else 2
         transients += (2 + 2 * zrows) * cfg.batch_size * cfg.n_visible * f
         transients += 4 * cfg.n_visible * f  # s, sigma, gz, quad-sum rows
+    elif cfg.learn_variance:
+        transients += 4 * cfg.n_visible * f  # s, sigma, gz rows
     if cfg.pt_temps > 1:
         # tempering ladder: the negative phase runs M*B chain rows, so the
         # [·, V]/[·, H] activations (pre_v/vmean/vs, pre_h/hmean/h, plus the
@@ -207,16 +227,31 @@ def estimate_vmem_bytes(cfg: RBMConfig, unroll: int = _MAX_UNROLL,
         elif chunk_update:
             # chunk-update middle tier: the full [V, H] gradient never
             # materializes — per ~2 MB row chunk one small MXU call over the
-            # [2B, V] stacked phase factors (which DO live, f32), then the
-            # in-place master update; ~3 chunk-sized values coexist
-            transients += 2 * cfg.batch_size * cfg.n_visible * f  # v_cat
-            transients += 3 * _UPDATE_CHUNK_BYTES
+            # stacked phase factors (which DO live, f32: 2B rows, or the
+            # gathered ndev * rows_p rows under the DP factor exchange),
+            # then the in-place master update; ~3 chunk-sized values coexist
+            if ndev > 1 and dp_reduce == "factor":
+                vrows = ndev * _round_up(2 * cfg.batch_size, 8)
+            else:
+                vrows = 2 * cfg.batch_size
+            transients += vrows * cfg.n_visible * f  # v_cat
+            # lv quantizes chunks to 128 rows (lane-aligned slice offsets),
+            # which can exceed the byte target at large H
+            cb = (_upd_chunk_rows(cfg.n_visible, cfg.n_hidden,
+                                  cfg.learn_variance) * 4 * cfg.n_hidden)
+            transients += 3 * cb
+            if stream_vel:
+                # vW stays in HBM; one chunk-sized VMEM staging buffer plus
+                # its in-flight DMA copy
+                transients += 2 * cb
         else:
             transients += we * f  # full [V, H] f32 gradient
     if hbm_state:
         # wide-model mode: state lives in HBM, one VMEM master copy of W
-        # (plus one for the velocity only when momentum is actually used)
-        state = (2 * we * ps if _uses_momentum(cfg) else we * ps)
+        # (plus one for the velocity only when momentum is actually used;
+        # stream_vel leaves even that in HBM, staged per row chunk)
+        state = (2 * we * ps if _uses_momentum(cfg) and not stream_vel
+                 else we * ps)
     else:
         # const-block mode: W+velW in/out VMEM blocks (4x w)
         state = 4 * we * ps
@@ -226,6 +261,11 @@ def estimate_vmem_bytes(cfg: RBMConfig, unroll: int = _MAX_UNROLL,
     if w_chunked:
         act = (cfg.batch_size * cfg.n_visible * ps
                + 6 * 128 * cfg.n_hidden * f)
+    elif chunk_update:
+        # tighter than the generic 8x: the chunk tier's live [B, V] f32
+        # values are v0f/vmean/vs (+ the scaled noise under lv sampling),
+        # the [B, H] h-side mats are tiny, and v_cat is counted above
+        act = 5 * batch
     else:
         act = 8 * batch
     return (state + 4 * (cfg.n_visible + cfg.n_hidden) * ps + act
@@ -239,14 +279,19 @@ _VMEM_BUDGET_CHUNKED = 110 * 1024 * 1024
 
 # single-chip plain HBM-state tier: also validated closed-loop on hardware
 # (the graded 20000x400 wide-omics shape estimates 107.4 MB and compiles AND
-# trains under the 112 MB Mosaic cap — test_pallas_tpu.py). Multi-chip keeps
-# the conservative general budget: the ring's comm scratch is where a real
+# trains under the 112 MB Mosaic cap — test_pallas_tpu.py). Multi-chip
+# factor-exchange mode gets the same raised budget (its comm scratch is
+# O(ndev*B*(V+H)), validated closed-loop by the ndev=8 self-loop probe at
+# the wide boundary shape — test_pallas_tpu.py); the dW ring keeps the
+# conservative general budget: its ~2x-W comm scratch is where a real
 # scoped-vmem OOM was observed.
 _VMEM_BUDGET_HBM_1DEV = 108 * 1024 * 1024
 
 
-def _hbm_budget(ndev: int) -> int:
-    return _VMEM_BUDGET_HBM_1DEV if ndev == 1 else _VMEM_BUDGET
+def _hbm_budget(ndev: int, dp_reduce: str = "factor") -> int:
+    if ndev == 1 or dp_reduce == "factor":
+        return _VMEM_BUDGET_HBM_1DEV
+    return _VMEM_BUDGET
 
 
 def w_chunk_padded_cfg(cfg: RBMConfig) -> RBMConfig:
@@ -266,28 +311,53 @@ def needs_chunk_update(cfg: RBMConfig, ndev: int = 1,
     (middle tier): W is still read whole for the Gibbs matmuls (one value,
     so pseudo/sampling/momentum all work unchanged), but the [V, H] f32
     gradient never materializes — it is computed and applied to the master
-    in ~2 MB row chunks via a STATIC (python-unrolled) chunk loop. Static
-    slice starts keep Mosaic happy at any H (the 128-lane alignment rule
-    bites only dynamic fori_loop ref slices, hence the separate fully
-    W-blocked tier beyond this one — which was only HALF right: hardware
-    rejects ref slices whose LANE dim isn't a 128-multiple whether the
-    sublane start is static or not, so this tier additionally requires
-    H % 128 == 0; lane-misaligned wide shapes use the plain tier (raised
-    single-chip budget) or the H-padded W-blocked tier instead). Single
-    chip only."""
-    if ndev != 1 or cfg.n_hidden % 128 != 0:
+    in ~2 MB row chunks via a STATIC (python-unrolled) chunk loop. Hardware
+    rejects ref slices whose LANE dim isn't a 128-multiple (whether the
+    sublane start is static or not), so lane-misaligned H runs an H-PADDED
+    problem with the in-kernel pad-column inertness mask (the W-blocked
+    tier's discipline). Learned variance is supported: the z statistic's
+    wh pass chunks exactly up to f32 dot-tiling noise (<=1 ULP — see the
+    kernel comment; the gradient chunks stay bit-identical). Momentum
+    shapes whose two f32
+    masters don't fit stream the W velocity through a chunk-sized staging
+    buffer instead (see chunk_update_streams_velocity). Multi-chip: factor
+    exchange only — the dW ring needs the full [V, H] gradient
+    materialized, which is exactly what this tier avoids."""
+    if ndev != 1 and dp_reduce != "factor":
         return False
-    if cfg.gradient == "enhanced" or cfg.pt_temps > 1 or cfg.learn_variance:
-        # enhanced/learn_variance need the whole [V, H] gradient (matvec
-        # passes over gW_e / row scaling + the wh z-statistic); tempering
-        # runs in the full-W tiers only
+    if cfg.gradient == "enhanced" or cfg.pt_temps > 1:
+        # enhanced needs the whole [V, H] gradient (matvec passes over
+        # gW_e); tempering runs in the full-W tiers only
         return False
     if estimate_vmem_bytes(cfg, unroll=1, ndev=ndev, hbm_state=True,
-                           dp_reduce=dp_reduce) <= _hbm_budget(ndev):
+                           dp_reduce=dp_reduce) <= _hbm_budget(ndev,
+                                                               dp_reduce):
         return False  # the plain full-gradient HBM-state tier suffices
-    return estimate_vmem_bytes(cfg, unroll=1, ndev=ndev, hbm_state=True,
+    pcfg = w_chunk_padded_cfg(cfg) if cfg.n_hidden % 128 else cfg
+    budget = _hbm_budget(ndev, dp_reduce)
+    if estimate_vmem_bytes(pcfg, unroll=1, ndev=ndev, hbm_state=True,
+                           dp_reduce=dp_reduce, chunk_update=True) <= budget:
+        return True
+    return (_uses_momentum(cfg)
+            and estimate_vmem_bytes(pcfg, unroll=1, ndev=ndev, hbm_state=True,
+                                    dp_reduce=dp_reduce, chunk_update=True,
+                                    stream_vel=True) <= budget)
+
+
+def chunk_update_streams_velocity(cfg: RBMConfig, ndev: int = 1,
+                                  dp_reduce: str = "factor") -> bool:
+    """True when the chunk-update tier fits only with the W velocity left in
+    HBM and staged through a chunk-sized VMEM buffer per update (momentum at
+    f32 on wide shapes: two full masters plus the live W read overflow VMEM).
+    Costs 2x|vW| of HBM traffic per update — still well ahead of the XLA
+    engine's full-state HBM traffic at these shapes."""
+    if not _uses_momentum(cfg) or not needs_chunk_update(cfg, ndev, dp_reduce):
+        return False
+    pcfg = w_chunk_padded_cfg(cfg) if cfg.n_hidden % 128 else cfg
+    return estimate_vmem_bytes(pcfg, unroll=1, ndev=ndev, hbm_state=True,
                                dp_reduce=dp_reduce,
-                               chunk_update=True) <= _hbm_budget(ndev)
+                               chunk_update=True) > _hbm_budget(ndev,
+                                                                dp_reduce)
 
 
 def needs_w_chunking(cfg: RBMConfig, ndev: int = 1,
@@ -314,7 +384,8 @@ def needs_w_chunking(cfg: RBMConfig, ndev: int = 1,
         # all live in the full-W tiers only (XLA engine beyond)
         return False
     if estimate_vmem_bytes(cfg, unroll=1, ndev=ndev, hbm_state=True,
-                           dp_reduce=dp_reduce) <= _hbm_budget(ndev):
+                           dp_reduce=dp_reduce) <= _hbm_budget(ndev,
+                                                               dp_reduce):
         return False  # the plain HBM-state tier suffices
     if needs_chunk_update(cfg, ndev, dp_reduce):
         return False  # the faster chunk-update middle tier suffices
@@ -334,7 +405,8 @@ def pallas_state_mode(cfg: RBMConfig, ndev: int = 1,
                            dp_reduce=dp_reduce) <= _VMEM_BUDGET:
         return False
     if estimate_vmem_bytes(cfg, unroll=1, ndev=ndev, hbm_state=True,
-                           dp_reduce=dp_reduce) <= _hbm_budget(ndev):
+                           dp_reduce=dp_reduce) <= _hbm_budget(ndev,
+                                                               dp_reduce):
         return True
     if needs_chunk_update(cfg, ndev, dp_reduce):
         return True
@@ -447,7 +519,7 @@ def _dot_tn(a, b, cd=jnp.float32):  # a.T @ b without materializing the transpos
 
 
 def _pseudo_likelihood_err(W, b, pre_h, v0, bit_idx, n_visible: int,
-                           row_mask=None, w_row=None) -> jax.Array:
+                           row_mask=None, w_row=None, hmask=None) -> jax.Array:
     """Theano-lineage stochastic pseudo-likelihood monitor, matmul-free given
     the already-computed hidden pre-activation ``pre_h = v0 @ W + c``:
     flipping one (rotating) visible bit i is a rank-1 update
@@ -468,10 +540,16 @@ def _pseudo_likelihood_err(W, b, pre_h, v0, bit_idx, n_visible: int,
     if w_row is None:
         w_row = jnp.sum(W * onehot.reshape(-1, 1), axis=0, keepdims=True)  # [1, H]
     v0b = _dot_tt(v0, b, jnp.float32)  # [B, 1]
-    fe = -v0b - jnp.sum(jax.nn.softplus(pre_h), axis=1, keepdims=True)  # [B, 1]
+    # H-padded kernels mask the pad columns' softplus(0) = log 2 terms:
+    # they cancel in fe_flip - fe analytically, but inflate both sums and
+    # shift f32 rounding vs the unpadded problem (bit-parity would break)
+    sp = jax.nn.softplus(pre_h)
+    sp_flip = jax.nn.softplus(pre_h + delta * w_row)
+    if hmask is not None:
+        sp, sp_flip = sp * hmask, sp_flip * hmask
+    fe = -v0b - jnp.sum(sp, axis=1, keepdims=True)  # [B, 1]
     fe_flip = (-(v0b + delta * b_i)
-               - jnp.sum(jax.nn.softplus(pre_h + delta * w_row), axis=1,
-                         keepdims=True))
+               - jnp.sum(sp_flip, axis=1, keepdims=True))
     rows = jnp.float32(n_visible) * jax.nn.softplus(-(fe_flip - fe))
     if row_mask is not None:
         rows = rows * row_mask
@@ -498,8 +576,11 @@ def _cd_train_kernel(
     barrier: bool = False,  # entry barrier (real hardware; interpreter lacks it)
     _self_loop: bool = False,  # test-only: every RDMA targets my own chip
     chunk_update: bool = False,  # middle tier: gW applied in ~2MB row chunks
+    h_real: Optional[int] = None,  # unpadded hidden width (pad cols inert)
+    stream_vel: bool = False,  # chunk tier: vW stays in HBM, staged per chunk
 ):
     use_momentum = _uses_momentum(cfg)
+    vw_master = use_momentum and not stream_vel
     pt = cfg.pt_temps > 1  # parallel tempering (single chip: ndev == 1)
     M = cfg.pt_temps
     CR = cfg.batch_size * M if pt else cfg.batch_size  # chain rows
@@ -544,16 +625,25 @@ def _cd_train_kernel(
         # engine.
         state_out = ((W, b, c, vW, vb, vc, chain, z, vz) if lv
                      else (W, b, c, vW, vb, vc, chain))  # HBM refs
-        n_scr = 6 + (1 if use_momentum else 0) + (2 if lv else 0)
+        vW_hbm_in = vW_in  # stream_vel reads velocity chunks straight here
+        n_scr = (6 + (1 if vw_master else 0) + (2 if lv else 0)
+                 + (1 if stream_vel else 0))
         scr = refs[pos:pos + n_scr]; pos += n_scr
         ssem = refs[pos]; pos += 1  # DMA semaphores (9 if lv else 7,)
-        if use_momentum:
+        if vw_master:
             W, b, c, vW, vb, vc, chain = scr[:7]
+            si = 7
         else:
             W, b, c, vb, vc, chain = scr[:6]
             vW = None
+            si = 6
         if lv:
-            z, vz = scr[-2:]
+            z, vz = scr[si:si + 2]
+            si += 2
+        vwc = None
+        if stream_vel:
+            vwc = scr[si]  # (upd_rows, H) chunk staging buffer
+            si += 1
 
     e = pl.program_id(0)
     i = pl.program_id(1)
@@ -565,7 +655,11 @@ def _cd_train_kernel(
             loads = [(W_in, W, 0), (b_in, b, 1), (c_in, c, 2),
                      (chain_in, chain, 3)]
             if use_momentum:
-                loads += [(vW_in, vW, 4), (vb_in, vb, 5), (vc_in, vc, 6)]
+                # stream_vel: vW never stages whole — chunks DMA straight
+                # from/to its (aliased) HBM buffer inside the update loop
+                if vw_master:
+                    loads += [(vW_in, vW, 4)]
+                loads += [(vb_in, vb, 5), (vc_in, vc, 6)]
             if lv:
                 loads += [(z_in, z, 7)]
                 if use_momentum:
@@ -644,6 +738,16 @@ def _cd_train_kernel(
     # tempering the chain draws cover all M*B rung rows (rung-major, matching
     # the [M*B, H] chain stacking).
     V, H = cfg.n_visible, cfg.n_hidden
+    hmask = None
+    if h_real is not None and h_real < H:
+        # pad-column inertness mask (H-padded chunk tier): masking h0p/hmean
+        # to 0 on pad columns zeroes their samples ((u < 0) never fires),
+        # gradients, and bias updates — zero pad weights alone are NOT
+        # enough, see w_chunk_padded_cfg. Padding is chunk-tier-only, where
+        # enhanced/tempering are excluded by needs_chunk_update.
+        assert cfg.gradient != "enhanced" and not pt
+        hmask = (jax.lax.broadcasted_iota(jnp.int32, (1, H), 1)
+                 < h_real).astype(jnp.float32)
     u_swap = None
     if inject:
         u_h0 = u_h0_ref[0, 0]
@@ -736,6 +840,8 @@ def _cd_train_kernel(
         # positive phase (learned variance: hidden units see v / sigma^2)
         pre_h0 = _dot_nt(v0f * s_lv if lv else v0, Wc, cd) + c[0]  # [B, H]
         h0p = jax.nn.sigmoid(pre_h0)
+        if hmask is not None:
+            h0p = h0p * hmask
         h0s = (u_h0[u * B:(u + 1) * B] < h0p).astype(jnp.float32)
 
         if pt:
@@ -859,6 +965,8 @@ def _cd_train_kernel(
                     vs = vmean
                 hmean = jax.nn.sigmoid(
                     _dot_nt(vs * s_lv if lv else vs, Wc, cd) + c[0])
+                if hmask is not None:
+                    hmean = hmean * hmask
                 h = (u_h[r:r + B] < hmean).astype(jnp.float32)
 
             if cfg.persistent:
@@ -918,6 +1026,7 @@ def _cd_train_kernel(
             # plain row sum is sum(h0p) - sum(hmean)
             gc = jnp.sum(h_cat, axis=0, keepdims=True) * inv_b  # [1, H]
             pos = (srow < B).astype(jnp.float32)
+            zsign = sign  # per-row sign column for the (possibly chunked) z pass
             gz_stat = None
             if lv:
                 # z statistic over the GATHERED global rows (identical on
@@ -925,11 +1034,12 @@ def _cd_train_kernel(
                 # A = (v-b)^2/2 - v (W h); the h block's negation makes
                 # sum(v_cat * wh_cat) the data-minus-model v.Wh term, and
                 # `sign` (0 on pad rows) signs the quadratic term
-                wh_cat = _dot_tt(h_cat, Wc, cd)  # [rows, V]
-                quad = 0.5 * (v_cat - b[0]) ** 2
-                gz_stat = (jnp.sum(quad * sign, axis=0, keepdims=True)
-                           - jnp.sum(v_cat * wh_cat, axis=0,
-                                     keepdims=True)) * inv_b
+                if not chunk_update:
+                    wh_cat = _dot_tt(h_cat, Wc, cd)  # [rows, V]
+                    quad = 0.5 * (v_cat - b[0]) ** 2
+                    gz_stat = (jnp.sum(quad * sign, axis=0, keepdims=True)
+                               - jnp.sum(v_cat * wh_cat, axis=0,
+                                         keepdims=True)) * inv_b
                 gb = gb * s_lv  # precision-scaled visible-bias statistic
             if cfg.gradient == "enhanced":
                 # GLOBAL mean offsets for the recombination — every shard
@@ -961,17 +1071,18 @@ def _cd_train_kernel(
             if lv:
                 # local z statistic (1/gB-scaled sum; the ring's plain sum
                 # restores the exact global mean): A = (v-b)^2/2 - v (W h)
-                wh_cat = _dot_tt(h_cat, Wc, cd)  # [2B, V]: W h0p ; -W hmean
-                quad = 0.5 * (v_cat - b[0]) ** 2
                 if uneven:
-                    sgn = jnp.concatenate([row_mask, -row_mask], axis=0)
+                    zsign = jnp.concatenate([row_mask, -row_mask], axis=0)
                 else:
-                    sgn = jnp.concatenate(
+                    zsign = jnp.concatenate(
                         [jnp.ones((B, 1), jnp.float32),
                          -jnp.ones((B, 1), jnp.float32)], axis=0)
-                gz_stat = (jnp.sum(quad * sgn, axis=0, keepdims=True)
-                           - jnp.sum(v_cat * wh_cat, axis=0,
-                                     keepdims=True)) * inv_b
+                if not chunk_update:
+                    wh_cat = _dot_tt(h_cat, Wc, cd)  # [2B, V]: W h0p ; -W hmean
+                    quad = 0.5 * (v_cat - b[0]) ** 2
+                    gz_stat = (jnp.sum(quad * zsign, axis=0, keepdims=True)
+                               - jnp.sum(v_cat * wh_cat, axis=0,
+                                         keepdims=True)) * inv_b
                 gb = gb * s_lv  # precision-scaled visible-bias statistic
             if cfg.gradient == "enhanced":
                 # local 1/gB-scaled sum contributions to the mean offsets
@@ -1001,6 +1112,34 @@ def _cd_train_kernel(
         gW = (None if chunk_update
               else _dot_tn(v_cat * s_lv if lv else v_cat, h_cat, cd)
               * inv_b)  # [V, H]
+
+        if hmask is not None and cfg.sparsity_target is not None:
+            # the sparsity target term is a constant over ALL columns; mask
+            # it off the pad columns (cf. the W-blocked kernel)
+            gc = gc * hmask
+        upd_rows = None
+        if chunk_update:
+            upd_rows = _upd_chunk_rows(V, H, lv)
+        if lv and chunk_update:
+            # chunked z statistic: wh[:, chunk] = h_cat @ W[chunk, :].T is
+            # the same contraction as the full wh pass, so the [rows_cat, V]
+            # wh/quad buffers never materialize. Reads W row chunks BEFORE
+            # the update loop below touches them. NOT bit-identical to the
+            # full pass: XLA's dot micro-kernel accumulates K-partials
+            # differently per output width (measured <=1 ULP on the z
+            # statistic; bit-exact when one chunk covers V) — the gradient
+            # chunks below ARE bit-identical (output-row splits only).
+            brow = b[0]
+            parts = []
+            for c0 in range(0, V, upd_rows):
+                rows = min(upd_rows, V - c0)
+                whc = _dot_tt(h_cat, W[pl.ds(c0, rows), :].astype(cd[0]), cd)
+                vsl = v_cat[:, c0:c0 + rows]
+                quad_c = 0.5 * (vsl - brow[c0:c0 + rows]) ** 2
+                parts.append(jnp.sum(quad_c * zsign, axis=0, keepdims=True)
+                             - jnp.sum(vsl * whc, axis=0, keepdims=True))
+            gz_stat = (jnp.concatenate(parts, axis=1)
+                       if len(parts) > 1 else parts[0]) * inv_b
 
         if ndev > 1 and dp_reduce == "ring":
             # ---- dW ring allreduce over ICI (plain sum of the 1/gB-scaled
@@ -1115,7 +1254,7 @@ def _cd_train_kernel(
             bit_idx = jax.lax.rem(
                 (seed_ref[2] + e) * nb + i * unroll + u, V)
             err_acc += _pseudo_likelihood_err(Wv, b[:], pre_h0, v0f, bit_idx, V,
-                                              row_mask) * inv_beff
+                                              row_mask, hmask=hmask) * inv_beff
         elif cfg.error_metric == "mse":
             d = (v0f - v1mean) * row_mask if uneven else v0f - v1mean
             err_acc += jnp.sum(d * d) * jnp.float32(ndev / (gB * V))
@@ -1172,21 +1311,45 @@ def _cd_train_kernel(
             # W-blocked tier). In the momentum-free case the final update
             # also streams the updated rows straight to HBM and restages the
             # velocity rows into the master, so the velocity state writes
-            # out without a second W-sized buffer.
-            # static chunks need no divisibility (ragged tail below); rows a
-            # multiple of 32 covers the f32 (8,128) and bf16 (16,128) tilings
-            upd_rows = min(_round_up(V, 32), max(
-                32, (_UPDATE_CHUNK_BYTES // (4 * H)) // 32 * 32))
+            # out without a second W-sized buffer. Learned variance scales
+            # the v factors by the precision per chunk (slice-then-scale ==
+            # scale-then-slice, elementwise). stream_vel stages the W
+            # velocity through a chunk-sized VMEM buffer straight from/to
+            # its (aliased) HBM buffer — the two-f32-master footprint never
+            # exists.
+            # lv scales through a 1-D precision row: Mosaic rejects
+            # broadcasts of lane-SLICED [1, X] 2-D vectors ('Invalid input
+            # layout' on vector.broadcast, real hardware) but accepts the
+            # same slice of the 1-D row — probed closed-loop, see
+            # test_lv_chunk_inject_parity_on_hardware
+            s_lv_row = s_lv[0] if lv else None
             for c0 in range(0, V, upd_rows):
                 rows = min(upd_rows, V - c0)
                 sl = pl.ds(c0, rows)
-                gWc = _dot_tn(v_cat[:, c0:c0 + rows], h_cat, cd) * inv_b
+                vsl = v_cat[:, c0:c0 + rows]
+                if lv:
+                    vsl = vsl * s_lv_row[c0:c0 + rows]
+                gWc = _dot_tn(vsl, h_cat, cd) * inv_b
                 if cfg.grad_clip is not None:
                     gWc = jnp.clip(gWc, -clip, clip)
                 Wrow = W[sl, :]
                 if cfg.l2:
                     gWc = gWc - jnp.float32(cfg.l2) * Wrow
-                if use_momentum:
+                if use_momentum and stream_vel:
+                    vrows = pl.ds(0, rows)
+                    cp_in = pltpu.make_async_copy(
+                        vW_hbm_in.at[sl, :], vwc.at[vrows], ssem.at[0])
+                    cp_in.start()
+                    cp_in.wait()
+                    nv = (m * vwc[vrows].astype(jnp.float32)
+                          + lr * gWc).astype(sdt)
+                    vwc[vrows] = nv
+                    W[sl, :] = Wrow + nv
+                    cp_out = pltpu.make_async_copy(
+                        vwc.at[vrows], state_out[3].at[sl, :], ssem.at[1])
+                    cp_out.start()
+                    cp_out.wait()
+                elif use_momentum:
                     nv = (m * vW[sl, :].astype(jnp.float32)
                           + lr * gWc).astype(sdt)
                     vW[sl, :] = nv
@@ -1242,11 +1405,14 @@ def _cd_train_kernel(
                     vc[:] = (lr * gc).astype(sdt)
                     if lv:
                         vz[:] = (lr_z * gz).astype(sdt)
-                vel_w_src = W if not use_momentum else vW
-                stores = [(b, 1), (c, 2), (chain, 3), (vel_w_src, 4),
-                          (vb, 5), (vc, 6)]
+                stores = [(b, 1), (c, 2), (chain, 3), (vb, 5), (vc, 6)]
                 outs = [state_out[1], state_out[2], state_out[6],
-                        state_out[3], state_out[4], state_out[5]]
+                        state_out[4], state_out[5]]
+                if not stream_vel:
+                    # (stream_vel already wrote every velocity chunk to its
+                    # HBM buffer inside the update loop)
+                    stores.insert(3, (W if not use_momentum else vW, 4))
+                    outs.insert(3, state_out[3])
                 if lv:
                     stores += [(z, 7), (vz, 8)]
                     outs += [state_out[7], state_out[8]]
@@ -1265,7 +1431,10 @@ def _build_pallas_call(cfg: RBMConfig, n_epochs: int, nb: int, unroll: int,
                        inject: bool = False, hbm_state: bool = False,
                        dp_reduce: str = "factor",
                        global_b: Optional[int] = None,
-                       _self_loop: bool = False):
+                       _self_loop: bool = False,
+                       chunk_update: Optional[bool] = None,
+                       stream_vel: Optional[bool] = None,
+                       h_real: Optional[int] = None):
     # the entry barrier + collective_id pair is required by Mosaic on real
     # hardware and unsupported by the interpreter, which simulates inter-
     # device DMA without it (race detection covers the schedule there)
@@ -1274,8 +1443,16 @@ def _build_pallas_call(cfg: RBMConfig, n_epochs: int, nb: int, unroll: int,
     # VMEM and HBM traffic; update arithmetic stays f32 in-kernel)
     pdt = jnp.bfloat16 if cfg.param_dtype == "bfloat16" else jnp.float32
     # chunk-update middle tier (see needs_chunk_update): gW applied to the
-    # HBM-state master in static ~2 MB row chunks, never materialized whole
-    chunk_update = hbm_state and needs_chunk_update(cfg, ndev, dp_reduce)
+    # HBM-state master in static ~2 MB row chunks, never materialized whole.
+    # ``cfg`` here is the KERNEL config (H possibly pre-padded, with
+    # ``h_real`` the unpadded width); tier decisions are made by the caller
+    # on the REAL config and passed in — deriving them here is only the
+    # fallback for legacy callers whose cfg is unpadded.
+    if chunk_update is None:
+        chunk_update = hbm_state and needs_chunk_update(cfg, ndev, dp_reduce)
+    if stream_vel is None:
+        stream_vel = chunk_update and chunk_update_streams_velocity(
+            cfg, ndev, dp_reduce)
 
     if interpret is True:
         # the generic interpreter lacks pltpu.prng_*; use the TPU interpreter
@@ -1373,7 +1550,7 @@ def _build_pallas_call(cfg: RBMConfig, n_epochs: int, nb: int, unroll: int,
         scratch_shapes += [pltpu.VMEM((V, H), pdt),   # W master
                            pltpu.VMEM((1, V), pdt),   # b
                            pltpu.VMEM((1, H), pdt)]   # c
-        if _uses_momentum(cfg):
+        if _uses_momentum(cfg) and not stream_vel:
             scratch_shapes += [pltpu.VMEM((V, H), pdt)]  # vW master
         scratch_shapes += [pltpu.VMEM((1, V), pdt),   # vb
                            pltpu.VMEM((1, H), pdt),   # vc
@@ -1381,6 +1558,11 @@ def _build_pallas_call(cfg: RBMConfig, n_epochs: int, nb: int, unroll: int,
         if lv:
             scratch_shapes += [pltpu.VMEM((1, V), pdt),   # z master
                                pltpu.VMEM((1, V), pdt)]   # vz master
+        if stream_vel:
+            # vW chunk staging buffer (same row granularity as the update
+            # loop's static chunks)
+            scratch_shapes += [pltpu.VMEM((_upd_chunk_rows(V, H, lv), H),
+                                          pdt)]
         scratch_shapes += [pltpu.SemaphoreType.DMA((9 if lv else 7,))]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1413,7 +1595,8 @@ def _build_pallas_call(cfg: RBMConfig, n_epochs: int, nb: int, unroll: int,
                           ndev=ndev, inject=inject, hbm_state=hbm_state,
                           dp_reduce=dp_reduce, global_b=global_b,
                           barrier=barrier, _self_loop=_self_loop,
-                          chunk_update=chunk_update),
+                          chunk_update=chunk_update, h_real=h_real,
+                          stream_vel=stream_vel),
         grid_spec=grid_spec,
         out_shape=out_shape,
         # params/velocities/chain (+ z/vz) update in place: operands are
@@ -1899,14 +2082,16 @@ def _flatten_uniforms(cfg: RBMConfig, uniforms: Dict[str, jax.Array],
 @lru_cache(maxsize=512)
 def _cached_train_fn(cfg: RBMConfig, n_epochs: int, interpret: bool,
                      inject: bool = False, hbm_state: bool = False):
-    # W-blocked tier: run an H-padded problem (lane dim to the 128 DMA
-    # tiling — Mosaic rejects slices of lane-misaligned VMEM refs on real
-    # hardware) through the dedicated fori-chunked kernel. Pad hidden units
-    # are masked inert in-kernel (see w_chunk_padded_cfg), so padding is
-    # invisible to the math; the visible bias travels broadcast as (V, 128).
-    # State pads in here, slices back below.
+    # W-blocked and H-padded chunk-update tiers run an H-padded problem
+    # (lane dim to the 128 DMA tiling — Mosaic rejects slices of
+    # lane-misaligned VMEM refs on real hardware). Pad hidden units are
+    # masked inert in-kernel (see w_chunk_padded_cfg), so padding is
+    # invisible to the math. State pads in here, slices back below.
     w_chunked = hbm_state and needs_w_chunking(cfg)
-    kcfg = w_chunk_padded_cfg(cfg) if w_chunked else cfg
+    cu = hbm_state and not w_chunked and needs_chunk_update(cfg)
+    stream_vel = cu and chunk_update_streams_velocity(cfg)
+    cu_pad = cu and cfg.n_hidden % 128 != 0
+    kcfg = w_chunk_padded_cfg(cfg) if (w_chunked or cu_pad) else cfg
     w_rows = w_chunk_rows_for(kcfg) if w_chunked else None
     H, hpad = cfg.n_hidden, kcfg.n_hidden - cfg.n_hidden
     V = cfg.n_visible
@@ -1973,12 +2158,16 @@ def _cached_train_fn(cfg: RBMConfig, n_epochs: int, interpret: bool,
             )
             return new_state, errs[:, 0]
 
-        call = _build_pallas_call(cfg, n_epochs, nb, unroll, cfg.shuffle,
+        call = _build_pallas_call(kcfg, n_epochs, nb, unroll, cfg.shuffle,
                                   interpret, inject=inject,
-                                  hbm_state=hbm_state)
-        operands = [p.W, p.b.reshape(1, -1), p.c.reshape(1, -1),
-                    vel.W, vel.b.reshape(1, -1), vel.c.reshape(1, -1),
-                    state.chain_h]
+                                  hbm_state=hbm_state, chunk_update=cu,
+                                  stream_vel=stream_vel,
+                                  h_real=H if cu_pad else None)
+        operands = [_pad_h(p.W), p.b.reshape(1, -1),
+                    _pad_h(p.c.reshape(1, -1)),
+                    _pad_h(vel.W), vel.b.reshape(1, -1),
+                    _pad_h(vel.c.reshape(1, -1)),
+                    _pad_h(state.chain_h)]
         if cfg.learn_variance:
             operands += [p.z.reshape(1, -1), vel.z.reshape(1, -1)]
         W, bb, cc, vW, vb, vc, chain, *rest = call(
@@ -1989,6 +2178,9 @@ def _cached_train_fn(cfg: RBMConfig, n_epochs: int, interpret: bool,
         else:
             (errs,) = rest
             zout = vzout = None
+        if hpad:
+            W, cc, vW, vc = W[:, :H], cc[:, :H], vW[:, :H], vc[:, :H]
+            chain = chain[:, :H]
         new_state = TrainState(
             params=RBMParams(W=W, b=bb[0], c=cc[0], z=zout),
             velocity=RBMParams(W=vW, b=vb[0], c=vc[0], z=vzout),
@@ -2135,6 +2327,81 @@ def draw_uniform_blocks(cfg: RBMConfig, key: jax.Array, n_epochs: int,
     return u
 
 
+def harden_uniform_blocks(cfg: RBMConfig, state, data,
+                          uniforms: Dict[str, jax.Array], n_epochs: int,
+                          eps: float = 1e-4) -> Dict[str, jax.Array]:
+    """Nudge Bernoulli draws that land within ``eps`` of their sampling
+    threshold away from it, preserving every comparison outcome — so the
+    training trajectory is EXACTLY unchanged (samples depend on the uniforms
+    only through ``u < p``), but no draw sits on a knife edge.
+
+    Why: inject-parity tests replay the same uniforms through the Pallas
+    kernel (MXU dots) and a host XLA replay, whose probabilities agree only
+    to ~1e-7 (different contraction tilings round differently — H-padding
+    shifts this too). A draw within that rounding of its threshold flips a
+    sample on one side only and the trajectories diverge by O(lr/B) per
+    flip. Measured on hardware (round 4): seed 0 drew a ``u_h`` EXACTLY
+    equal to its f32 ``hmean`` at epoch 0/batch 3 of the H-padded chunk-tier
+    test — one chain bit flipped, compounding to |dW| = 3.4e-3 by epoch 2,
+    while seeds 1-3 passed at 3e-8. This is measure-zero draw flakiness,
+    not kernel error; hardening removes it for every seed.
+
+    Replays the host trajectory with the same primitives the XLA-engine
+    replay uses, so the thresholds are the replay's own. Plain CD/PCD paths
+    only (no tempering — its swap comparisons are not hardened here)."""
+    from mdbn_tpu.core.rbm_math import (apply_update, cd_step_stats,
+                                        hidden_mean, visible_mean)
+    if cfg.pt_temps > 1:
+        raise NotImplementedError("hardening covers the plain CD/PCD layout")
+    assert not cfg.shuffle, "hardening replays batches in order"
+    nb = int(np.asarray(data).shape[0]) // cfg.batch_size
+    batches = jnp.asarray(data, jnp.float32).reshape(
+        nb, cfg.batch_size, cfg.n_visible)
+    hard = {k: np.array(v, np.float32, copy=True) for k, v in uniforms.items()}
+
+    def _nudge(dst: np.ndarray, p) -> None:
+        p = np.asarray(p, np.float32)
+        d = dst - p
+        hit = np.abs(d) < eps
+        if hit.any():
+            # keep the (u < p) outcome: below-threshold draws move to
+            # p - eps, at/above-threshold to p + eps (clipped into [0, 1];
+            # the clip preserves outcomes since p itself is in (0, 1))
+            dst[hit] = np.clip(np.where(d[hit] < 0, p[hit] - eps,
+                                        p[hit] + eps), 0.0, 1.0)
+
+    params, vel, chain = state.params, state.velocity, state.chain_h
+    sample_v = cfg.resolved_sample_visible and cfg.visible == "bernoulli"
+    for e in range(n_epochs):
+        for i in range(nb):
+            v0 = batches[i]
+            _nudge(hard["h0"][e, i], hidden_mean(params, v0, cfg))
+            h = (chain if cfg.persistent
+                 else jnp.asarray(hard["h0"][e, i]) < hidden_mean(
+                     params, v0, cfg)).astype(jnp.float32)
+            for t in range(cfg.k):
+                vmean = visible_mean(params, h, cfg)
+                if sample_v:
+                    _nudge(hard["v"][e, i, t], vmean)
+                    vs = (jnp.asarray(hard["v"][e, i, t])
+                          < vmean).astype(jnp.float32)
+                elif cfg.resolved_sample_visible:
+                    noise = jnp.asarray(hard["noise"][e, i, t])
+                    if params.z is not None:
+                        noise = noise * jnp.exp(0.5 * params.z)
+                    vs = vmean + noise
+                else:
+                    vs = vmean
+                _nudge(hard["h"][e, i, t], hidden_mean(params, vs, cfg))
+                h = (jnp.asarray(hard["h"][e, i, t])
+                     < hidden_mean(params, vs, cfg)).astype(jnp.float32)
+            u_step = {k: jnp.asarray(hard[k][e, i]) for k in hard}
+            grads, chain, _ = cd_step_stats(
+                params, v0, chain if cfg.persistent else None, u_step, cfg)
+            params, vel = apply_update(params, vel, grads, cfg, epoch=e)
+    return {k: jnp.asarray(v) for k, v in hard.items()}
+
+
 @lru_cache(maxsize=512)
 def _cached_dp_train_fn(cfg: RBMConfig, mesh: Mesh, axis: str, ndev: int,
                         n_epochs: int, interpret: bool, inject: bool,
@@ -2144,6 +2411,14 @@ def _cached_dp_train_fn(cfg: RBMConfig, mesh: Mesh, axis: str, ndev: int,
     local_b = -(-B // ndev)  # ceil: uneven batches pad the tail shard(s)
     pad = local_b * ndev - B
     local_cfg = cfg.replace(batch_size=local_b)
+    # wide multi-chip tier: factor exchange + chunk-update (the full [V, H]
+    # gradient never materializes), H-padded when lane-misaligned
+    cu = hbm_state and needs_chunk_update(local_cfg, ndev, dp_reduce)
+    stream_vel = cu and chunk_update_streams_velocity(local_cfg, ndev,
+                                                      dp_reduce)
+    cu_pad = cu and cfg.n_hidden % 128 != 0
+    kcfg = w_chunk_padded_cfg(local_cfg) if cu_pad else local_cfg
+    H, hpad = cfg.n_hidden, kcfg.n_hidden - cfg.n_hidden
 
     def _pad_rows(a: jax.Array, axis_idx: int) -> jax.Array:
         """Zero-pad the global-batch row dim from B to local_b * ndev."""
@@ -2153,12 +2428,17 @@ def _cached_dp_train_fn(cfg: RBMConfig, mesh: Mesh, axis: str, ndev: int,
         widths[axis_idx] = (0, pad)
         return jnp.pad(a, widths)
 
+    def _pad_h(a: jax.Array) -> jax.Array:
+        if not hpad:
+            return a
+        return jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, hpad)])
+
     def train_fn(state: TrainState, data: jax.Array,
                  uniforms: Optional[Dict[str, jax.Array]] = None
                  ) -> Tuple[TrainState, jax.Array]:
         n = data.shape[0]
         nb, unroll, nsteps, perm, seed, key = _prepare_run(
-            cfg, state, n, n_epochs, ndev, hbm_state, pick_cfg=local_cfg,
+            cfg, state, n, n_epochs, ndev, hbm_state, pick_cfg=kcfg,
             dp_reduce=dp_reduce)
         if inject and uniforms is None:
             key, kdraw = jax.random.split(key)
@@ -2175,7 +2455,16 @@ def _cached_dp_train_fn(cfg: RBMConfig, mesh: Mesh, axis: str, ndev: int,
         if inject:
             uniforms = {k: _pad_rows(a, a.ndim - 2)
                         for k, a in uniforms.items()}
-            flat = _flatten_uniforms(cfg, uniforms, n_epochs, nsteps, unroll)
+            if hpad:
+                # pad the hidden draw dims with 0.0 (the adversarial value —
+                # an unmasked pad unit would sample 1 every step; the
+                # in-kernel inertness mask must make them irrelevant)
+                for k in ("h0", "h"):
+                    uniforms[k] = jnp.pad(
+                        uniforms[k],
+                        [(0, 0)] * (uniforms[k].ndim - 1) + [(0, hpad)])
+            fcfg = cfg.replace(n_hidden=kcfg.n_hidden) if hpad else cfg
+            flat = _flatten_uniforms(fcfg, uniforms, n_epochs, nsteps, unroll)
             # the global draw blocks are row-major [..., Bp, D] with Bp =
             # ndev * local_b: shard the row dim so each shard consumes its
             # local slice of every global draw
@@ -2184,11 +2473,13 @@ def _cached_dp_train_fn(cfg: RBMConfig, mesh: Mesh, axis: str, ndev: int,
             u_specs = tuple(P(None, None, None, axis, None, None)
                             for _ in extra)
 
-        call = _build_pallas_call(local_cfg, n_epochs, nb, unroll, cfg.shuffle,
+        call = _build_pallas_call(kcfg, n_epochs, nb, unroll, cfg.shuffle,
                                   interpret, ndev=1 if _skip_allreduce else ndev,
                                   inject=inject, hbm_state=hbm_state,
                                   dp_reduce=dp_reduce,
-                                  global_b=None if _skip_allreduce else B)
+                                  global_b=None if _skip_allreduce else B,
+                                  chunk_update=cu, stream_vel=stream_vel,
+                                  h_real=H if cu_pad else None)
         z_spec = P() if cfg.learn_variance else None
         state_specs = TrainState(
             params=RBMParams(W=P(), b=P(), c=P(), z=z_spec),
@@ -2239,8 +2530,16 @@ def _cached_dp_train_fn(cfg: RBMConfig, mesh: Mesh, axis: str, ndev: int,
 
         # PCD chains live with their batch shard: pad the global [B, H] chain
         # to [local_b * ndev, H] on entry, slice the pad rows back off on
-        # exit (pad-row chain states never enter any statistic)
-        state = state._replace(chain_h=_pad_rows(state.chain_h, 0))
+        # exit (pad-row chain states never enter any statistic). The
+        # H-padded chunk tier additionally pads the hidden dims of the
+        # replicated state (pad columns kept inert in-kernel).
+        state = state._replace(chain_h=_pad_h(_pad_rows(state.chain_h, 0)))
+        if hpad:
+            state = state._replace(
+                params=state.params._replace(W=_pad_h(state.params.W),
+                                             c=_pad_h(state.params.c)),
+                velocity=state.velocity._replace(
+                    W=_pad_h(state.velocity.W), c=_pad_h(state.velocity.c)))
         st = jax.device_put(state, jax.tree.map(
             lambda s: NamedSharding(mesh, s), state_specs,
             is_leaf=lambda x: isinstance(x, P)))
@@ -2253,7 +2552,14 @@ def _cached_dp_train_fn(cfg: RBMConfig, mesh: Mesh, axis: str, ndev: int,
                 (st, seed, perm, batches, extra))
         new_state, errs = run(st, seed, perm, batches, *extra)
         new_state = new_state._replace(key=key,
-                                       chain_h=new_state.chain_h[:B])
+                                       chain_h=new_state.chain_h[:B, :H])
+        if hpad:
+            new_state = new_state._replace(
+                params=new_state.params._replace(
+                    W=new_state.params.W[:, :H], c=new_state.params.c[:H]),
+                velocity=new_state.velocity._replace(
+                    W=new_state.velocity.W[:, :H],
+                    c=new_state.velocity.c[:H]))
         return new_state, errs
 
     return train_fn if interpret else jax.jit(train_fn)

@@ -51,3 +51,90 @@ def test_gaussian_meanfield_trains_interpret():
     state = init_train_state(cfg)
     new_state, errs = fn(state, jnp.asarray(mods["ge"]))
     assert np.isfinite(np.asarray(errs)).all()
+
+
+def _replay(cfg, st0, data, uniforms, E):
+    from mdbn_tpu.core.rbm_math import apply_update, cd_step_stats
+    params, vel, chain = st0.params, st0.velocity, st0.chain_h
+    nb = data.shape[0] // cfg.batch_size
+    batches = jnp.asarray(data).reshape(nb, cfg.batch_size, -1)
+    for e in range(E):
+        for i in range(nb):
+            u = {k: uniforms[k][e, i] for k in uniforms}
+            grads, chain, _ = cd_step_stats(
+                params, batches[i], chain if cfg.persistent else None, u, cfg)
+            params, vel = apply_update(params, vel, grads, cfg, epoch=e)
+    return params, chain
+
+
+def test_harden_uniform_blocks_preserves_trajectory():
+    """harden_uniform_blocks must (a) leave the training trajectory BITWISE
+    unchanged (it only moves draws, never across their thresholds) and
+    (b) clear every draw off its sampling threshold by >= ~eps — including a
+    PLANTED exact-equality knife edge (u == hmean to f32), the case that
+    flipped a hardware chain bit at seed 0 in round 4."""
+    from mdbn_tpu.core.rbm_math import hidden_mean, visible_mean
+    from mdbn_tpu.ops.cd_epoch_pallas import (draw_uniform_blocks,
+                                              harden_uniform_blocks)
+
+    cfg = RBMConfig(n_visible=24, n_hidden=12, k=2, lr=0.1, epochs=3,
+                    batch_size=8, seed=0, momentum=0.5, l2=1e-4,
+                    persistent=True, engine="pallas")
+    rng = np.random.default_rng(7)
+    data = (rng.random((32, 24)) < 0.5).astype(np.float32)
+    nb, E = 4, 3
+    st0 = init_train_state(cfg)
+    uniforms = {k: np.array(v, copy=True) for k, v in draw_uniform_blocks(
+        cfg, jax.random.PRNGKey(11), E, nb).items()}
+
+    # plant an exact knife edge: u_h[1, 2, 0, 3, 5] := its own hmean,
+    # derived by replaying up to that step
+    from mdbn_tpu.core.rbm_math import apply_update, cd_step_stats
+    params, vel, chain = st0.params, st0.velocity, st0.chain_h
+    batches = jnp.asarray(data).reshape(nb, cfg.batch_size, -1)
+    planted = False
+    for e in range(E):
+        for i in range(nb):
+            u = {k: jnp.asarray(uniforms[k][e, i]) for k in uniforms}
+            if e == 1 and i == 2:
+                h0p = hidden_mean(params, batches[i], cfg)
+                vmean = visible_mean(params, chain, cfg)
+                vs = (u["v"][0] < vmean).astype(jnp.float32)
+                hmean = hidden_mean(params, vs, cfg)
+                uniforms["h"][e, i, 0, 3, 5] = float(hmean[3, 5])
+                planted = True
+                u = {k: jnp.asarray(uniforms[k][e, i]) for k in uniforms}
+            grads, chain, _ = cd_step_stats(params, batches[i], chain, u, cfg)
+            params, vel = apply_update(params, vel, grads, cfg, epoch=e)
+    assert planted
+    base_u = {k: jnp.asarray(v) for k, v in uniforms.items()}
+    W_before, chain_before = _replay(cfg, st0, data, base_u, E)
+
+    eps = 1e-4
+    hard = harden_uniform_blocks(cfg, st0, data, base_u, E, eps=eps)
+    # (a) bitwise-identical trajectory
+    W_after, chain_after = _replay(cfg, st0, data, hard, E)
+    np.testing.assert_array_equal(np.asarray(W_before.W), np.asarray(W_after.W))
+    np.testing.assert_array_equal(np.asarray(chain_before),
+                                  np.asarray(chain_after))
+    # the planted knife edge moved
+    assert float(hard["h"][1, 2, 0, 3, 5]) != float(uniforms["h"][1, 2, 0, 3, 5])
+    # (b) every draw is clear of its threshold by ~eps along the trajectory
+    params, vel, chain = st0.params, st0.velocity, st0.chain_h
+    min_gap = 1.0
+    for e in range(E):
+        for i in range(nb):
+            u = {k: hard[k][e, i] for k in hard}
+            h0p = hidden_mean(params, batches[i], cfg)
+            min_gap = min(min_gap, float(jnp.abs(u["h0"] - h0p).min()))
+            h = chain
+            for t in range(cfg.k):
+                vmean = visible_mean(params, h, cfg)
+                min_gap = min(min_gap, float(jnp.abs(u["v"][t] - vmean).min()))
+                vs = (u["v"][t] < vmean).astype(jnp.float32)
+                hmean = hidden_mean(params, vs, cfg)
+                min_gap = min(min_gap, float(jnp.abs(u["h"][t] - hmean).min()))
+                h = (u["h"][t] < hmean).astype(jnp.float32)
+            grads, chain, _ = cd_step_stats(params, batches[i], chain, u, cfg)
+            params, vel = apply_update(params, vel, grads, cfg, epoch=e)
+    assert min_gap >= eps * 0.99, min_gap
