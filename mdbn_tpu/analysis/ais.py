@@ -117,12 +117,72 @@ def _anneal_scan(log_p_star, sweep, v, betas, key, n_sweeps):
     return v, logw
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _ess(logw: jax.Array) -> jax.Array:
+    """Kong's effective sample size of importance weights, exp-free."""
+    lse1 = jax.scipy.special.logsumexp(logw)
+    lse2 = jax.scipy.special.logsumexp(2.0 * logw)
+    return jnp.exp(2.0 * lse1 - lse2)
+
+
+def _anneal_scan_smc(log_p_star, sweep, v, betas, key, n_sweeps,
+                     resample_ess: float):
+    """SMC sampler (Del Moral, Doucet & Jasra 2006) variant of the anneal:
+    whenever the particles' ESS drops below ``resample_ess * n`` they are
+    multinomially resampled by weight and the weights reset — the product of
+    the per-epoch mean weights stays an unbiased estimate of the same Z
+    ratio, but the particle population re-concentrates on the states that
+    matter BEFORE the weights collapse to ESS ~ 1 (the measured failure of
+    plain AIS on the flagship 784x500 model — AIS.md round 3: forward ESS
+    1.4 of 256 chains, 9.4-nat bracket gap).
+
+    Returns (v, logw, logz_acc, n_resamples): the estimate of
+    log(Z_dst/Z_src) is ``logz_acc + logsumexp(logw) - log n``."""
+    n = v.shape[0]
+    logw = jnp.zeros(n, jnp.float32)
+    logz_acc = jnp.float32(0.0)
+    n_res = jnp.int32(0)
+    thresh = jnp.float32(resample_ess * n)
+    log_n = jnp.log(jnp.float32(n))
+
+    def step(carry, xs):
+        v, logw, logz_acc, n_res = carry
+        beta_src, beta_dst, k = xs
+        logw = logw + log_p_star(v, beta_dst) - log_p_star(v, beta_src)
+        kres, ksweep = jax.random.split(k)
+
+        def resample(op):
+            v, logw, logz_acc, n_res = op
+            # fold the current epoch's mean weight into the accumulator,
+            # then restart the weights at the resampled (equal-weight)
+            # population
+            idx = jax.random.categorical(kres, logw, shape=(n,))
+            return (jnp.take(v, idx, axis=0), jnp.zeros_like(logw),
+                    logz_acc + jax.scipy.special.logsumexp(logw) - log_n,
+                    n_res + 1)
+
+        v, logw, logz_acc, n_res = jax.lax.cond(
+            _ess(logw) < thresh, resample, lambda op: op,
+            (v, logw, logz_acc, n_res))
+        for s in range(n_sweeps):
+            v = sweep(jax.random.fold_in(ksweep, s), v, beta_dst)
+        return (v, logw, logz_acc, n_res), None
+
+    keys = jax.random.split(key, betas.shape[0] - 1)
+    carry, _ = jax.lax.scan(step, (v, logw, logz_acc, n_res),
+                            (betas[:-1], betas[1:], keys))
+    return carry
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
 def _ais_forward_bernoulli(params, a_base, key, n_chains, n_betas, n_sweeps,
-                           schedule):
-    """Forward anneal returning (log_z, logw, v_final). The final states
-    weighted by exp(logw) are importance-weighted samples of the MODEL —
-    resampling them is how the bracket gets valid reverse-chain inits."""
+                           schedule, resample_ess=0.0):
+    """Forward anneal returning (log_z, logw, v_final, n_resamples). The
+    final states weighted by exp(logw) are importance-weighted samples of
+    the MODEL — resampling them is how the bracket gets valid reverse-chain
+    inits. ``resample_ess`` > 0 switches to the SMC sampler (ESS-triggered
+    multinomial resampling; see _anneal_scan_smc) — the returned logw then
+    carry only the CURRENT epoch's weights (near-uniform), with the earlier
+    epochs folded into the estimate."""
     V, H = params.W.shape
     betas = anneal_betas(n_betas, schedule)
     log_p_star, sweep = _bernoulli_anneal_kernel(params, a_base)
@@ -131,11 +191,17 @@ def _ais_forward_bernoulli(params, a_base, key, n_chains, n_betas, n_sweeps,
     # exact sample from the base-rate model
     p0 = jax.nn.sigmoid(a_base)
     v = (jax.random.uniform(k0, (n_chains, V)) < p0).astype(params.W.dtype)
-    v, logw = _anneal_scan(log_p_star, sweep, v, betas, kscan, n_sweeps)
+    if resample_ess > 0.0:
+        v, logw, logz_acc, n_res = _anneal_scan_smc(
+            log_p_star, sweep, v, betas, kscan, n_sweeps, resample_ess)
+    else:
+        v, logw = _anneal_scan(log_p_star, sweep, v, betas, kscan, n_sweeps)
+        logz_acc, n_res = jnp.float32(0.0), jnp.int32(0)
 
     log_z_a = _bernoulli_log_z_a(params, a_base)
-    log_z = log_z_a + jax.scipy.special.logsumexp(logw) - jnp.log(n_chains)
-    return log_z, logw, v
+    log_z = (log_z_a + logz_acc + jax.scipy.special.logsumexp(logw)
+             - jnp.log(n_chains))
+    return log_z, logw, v, n_res
 
 
 def ais_log_z(
@@ -146,6 +212,7 @@ def ais_log_z(
     n_betas: int = 1000,
     n_sweeps: int = 1,
     schedule: str = "uniform",
+    resample_ess: float = 0.0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Estimate log Z of a Bernoulli RBM. Returns (log_z_estimate, log_weights).
 
@@ -153,14 +220,18 @@ def ais_log_z(
     ``schedule`` picks the beta path (see :func:`anneal_betas`). The estimate
     is a stochastic LOWER bound of log Z in expectation (Jensen on the
     unbiased Z estimate); see :func:`reverse_ais_log_z` for the matching
-    upper bound.
+    upper bound. ``resample_ess`` in (0, 1) enables SMC resampling whenever
+    the chains' ESS falls below that fraction (VERDICT r3 #3 — fixes the
+    measured ESS ~ 1 weight collapse on the flagship model); the Z estimate
+    stays unbiased, and the returned logw are the final epoch's only.
     """
-    log_z, logw, _ = _ais_forward_bernoulli(params, a_base, key, n_chains,
-                                            n_betas, n_sweeps, schedule)
+    log_z, logw, _, _ = _ais_forward_bernoulli(params, a_base, key, n_chains,
+                                               n_betas, n_sweeps, schedule,
+                                               resample_ess)
     return log_z, logw
 
 
-@partial(jax.jit, static_argnums=(4, 5, 6))
+@partial(jax.jit, static_argnums=(4, 5, 6, 7))
 def reverse_ais_log_z(
     params: RBMParams,
     a_base: jax.Array,
@@ -169,6 +240,7 @@ def reverse_ais_log_z(
     n_betas: int = 1000,
     n_sweeps: int = 1,
     schedule: str = "uniform",
+    resample_ess: float = 0.0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Reverse AIS: anneal model samples from beta=1 DOWN to the base model.
 
@@ -179,14 +251,20 @@ def reverse_ais_log_z(
     (Grosse, Ghahramani & Adams 2015, "Sandwiching the marginal likelihood";
     Burda et al. 2015 RAISE). With approximate ``v_init`` (long Gibbs from
     data) the bound holds only insofar as the chains have mixed — report the
-    forward/reverse gap, not either endpoint alone.
+    forward/reverse gap, not either endpoint alone. ``resample_ess`` > 0:
+    SMC resampling of the descending anneal (see :func:`ais_log_z`).
     """
     betas = anneal_betas(n_betas, schedule)[::-1]
     log_p_star, sweep = _bernoulli_anneal_kernel(params, a_base)
     v = jnp.asarray(v_init, params.W.dtype)
-    v, logw = _anneal_scan(log_p_star, sweep, v, betas, key, n_sweeps)
+    if resample_ess > 0.0:
+        v, logw, logz_acc, _ = _anneal_scan_smc(
+            log_p_star, sweep, v, betas, key, n_sweeps, resample_ess)
+    else:
+        v, logw = _anneal_scan(log_p_star, sweep, v, betas, key, n_sweeps)
+        logz_acc = jnp.float32(0.0)
     log_z_a = _bernoulli_log_z_a(params, a_base)
-    log_z = log_z_a - (jax.scipy.special.logsumexp(logw)
+    log_z = log_z_a - (logz_acc + jax.scipy.special.logsumexp(logw)
                        - jnp.log(v.shape[0]))
     return log_z, logw
 
@@ -268,21 +346,28 @@ def _gaussian_log_z_a(params: RBMParams) -> jax.Array:
     return lz
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
 def _ais_forward_gaussian(params, b_base, key, n_chains, n_betas, n_sweeps,
-                          schedule):
-    """Gaussian forward anneal returning (log_z, logw, v_final)."""
+                          schedule, resample_ess=0.0):
+    """Gaussian forward anneal returning (log_z, logw, v_final,
+    n_resamples). ``resample_ess`` > 0: SMC (see _anneal_scan_smc)."""
     V, H = params.W.shape
     betas = anneal_betas(n_betas, schedule)
     log_p_star, sweep = _gaussian_anneal_kernel(params, b_base)
 
     k0, kscan = jax.random.split(key)
     v = b_base + jax.random.normal(k0, (n_chains, V), params.W.dtype)
-    v, logw = _anneal_scan(log_p_star, sweep, v, betas, kscan, n_sweeps)
+    if resample_ess > 0.0:
+        v, logw, logz_acc, n_res = _anneal_scan_smc(
+            log_p_star, sweep, v, betas, kscan, n_sweeps, resample_ess)
+    else:
+        v, logw = _anneal_scan(log_p_star, sweep, v, betas, kscan, n_sweeps)
+        logz_acc, n_res = jnp.float32(0.0), jnp.int32(0)
 
     log_z_a = _gaussian_log_z_a(params)
-    log_z = log_z_a + jax.scipy.special.logsumexp(logw) - jnp.log(n_chains)
-    return log_z, logw, v
+    log_z = (log_z_a + logz_acc + jax.scipy.special.logsumexp(logw)
+             - jnp.log(n_chains))
+    return log_z, logw, v, n_res
 
 
 def ais_log_z_gaussian(
@@ -293,16 +378,19 @@ def ais_log_z_gaussian(
     n_betas: int = 1000,
     n_sweeps: int = 1,
     schedule: str = "uniform",
+    resample_ess: float = 0.0,
 ) -> Tuple[jax.Array, jax.Array]:
     """AIS log Z for a Gaussian-visible (sigma=1) RBM (stochastic lower
     bound in expectation; see :func:`_gaussian_anneal_kernel` for the path
-    and :func:`reverse_ais_log_z_gaussian` for the matching upper bound)."""
-    log_z, logw, _ = _ais_forward_gaussian(params, b_base, key, n_chains,
-                                           n_betas, n_sweeps, schedule)
+    and :func:`reverse_ais_log_z_gaussian` for the matching upper bound).
+    ``resample_ess`` > 0: SMC resampling (see :func:`ais_log_z`)."""
+    log_z, logw, _, _ = _ais_forward_gaussian(params, b_base, key, n_chains,
+                                              n_betas, n_sweeps, schedule,
+                                              resample_ess)
     return log_z, logw
 
 
-@partial(jax.jit, static_argnums=(4, 5, 6))
+@partial(jax.jit, static_argnums=(4, 5, 6, 7))
 def reverse_ais_log_z_gaussian(
     params: RBMParams,
     b_base: jax.Array,
@@ -311,15 +399,21 @@ def reverse_ais_log_z_gaussian(
     n_betas: int = 1000,
     n_sweeps: int = 1,
     schedule: str = "uniform",
+    resample_ess: float = 0.0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Reverse AIS for the Gaussian-visible RBM — the stochastic UPPER-bound
     half of the bidirectional bracket (see :func:`reverse_ais_log_z`)."""
     betas = anneal_betas(n_betas, schedule)[::-1]
     log_p_star, sweep = _gaussian_anneal_kernel(params, b_base)
     v = jnp.asarray(v_init, params.W.dtype)
-    v, logw = _anneal_scan(log_p_star, sweep, v, betas, key, n_sweeps)
+    if resample_ess > 0.0:
+        v, logw, logz_acc, _ = _anneal_scan_smc(
+            log_p_star, sweep, v, betas, key, n_sweeps, resample_ess)
+    else:
+        v, logw = _anneal_scan(log_p_star, sweep, v, betas, key, n_sweeps)
+        logz_acc = jnp.float32(0.0)
     log_z_a = _gaussian_log_z_a(params)
-    log_z = log_z_a - (jax.scipy.special.logsumexp(logw)
+    log_z = log_z_a - (logz_acc + jax.scipy.special.logsumexp(logw)
                        - jnp.log(v.shape[0]))
     return log_z, logw
 
@@ -421,6 +515,7 @@ def log_z_bracket(
     init: str = "resample",
     init_gibbs: int = 500,
     v_init: Optional[jax.Array] = None,
+    resample_ess: float = 0.0,
 ) -> dict:
     """Bidirectional Monte Carlo bracket on log Z (Grosse et al. 2015).
 
@@ -445,6 +540,14 @@ def log_z_bracket(
       phase, the "upper" bound lands ~20 nats BELOW the lower bound, and
       the inverted gap is itself the proof the chains hadn't mixed. Kept
       because an inverted gap under this init is a sharp mixing diagnostic.
+
+    ``resample_ess`` in (0, 1) runs BOTH anneals as SMC samplers
+    (ESS-triggered multinomial resampling — VERDICT r3 #3): the forward
+    population re-concentrates before its weights collapse, which both
+    tightens the lower bound and hands the reverse pass near-unweighted
+    model samples (``ess_fwd`` then reports the FINAL epoch's ESS, which is
+    what the resample-init actually draws from; ``n_resamples_fwd`` counts
+    the triggered resampling epochs).
     """
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -454,15 +557,15 @@ def log_z_bracket(
 
     if cfg.visible == "bernoulli":
         a_base = base_rate_biases(base)
-        fwd, logw_f, v_f = _ais_forward_bernoulli(
-            params, a_base, kf, n_chains, n_betas, n_sweeps, schedule)
+        fwd, logw_f, v_f, n_res = _ais_forward_bernoulli(
+            params, a_base, kf, n_chains, n_betas, n_sweeps, schedule,
+            resample_ess)
     else:
         a_base = jnp.mean(base, axis=0)
-        fwd, logw_f, v_f = _ais_forward_gaussian(
-            params, a_base, kf, n_chains, n_betas, n_sweeps, schedule)
-    lse1 = jax.scipy.special.logsumexp(logw_f)
-    lse2 = jax.scipy.special.logsumexp(2.0 * logw_f)
-    ess_fwd = float(jnp.exp(2.0 * lse1 - lse2))  # Kong's effective samples
+        fwd, logw_f, v_f, n_res = _ais_forward_gaussian(
+            params, a_base, kf, n_chains, n_betas, n_sweeps, schedule,
+            resample_ess)
+    ess_fwd = float(_ess(logw_f))  # Kong's effective samples
 
     if v_init is None:
         if init == "resample":
@@ -476,10 +579,11 @@ def log_z_bracket(
             raise ValueError(f"unknown bracket init {init!r}")
     if cfg.visible == "bernoulli":
         rev, logw_r = reverse_ais_log_z(params, a_base, v_init, kr, n_betas,
-                                        n_sweeps, schedule)
+                                        n_sweeps, schedule, resample_ess)
     else:
         rev, logw_r = reverse_ais_log_z_gaussian(params, a_base, v_init, kr,
-                                                 n_betas, n_sweeps, schedule)
+                                                 n_betas, n_sweeps, schedule,
+                                                 resample_ess)
 
     mean_neg_fe = -jnp.mean(free_energy(params, data, cfg))
     return {
@@ -489,6 +593,7 @@ def log_z_bracket(
         "logw_std_fwd": float(jnp.std(logw_f)),
         "logw_std_rev": float(jnp.std(logw_r)),
         "ess_fwd": ess_fwd,
+        "n_resamples_fwd": int(n_res),
         # ll bounds invert: a LOWER log Z gives the UPPER log-likelihood
         "mean_log_likelihood_lower": float(mean_neg_fe - rev),
         "mean_log_likelihood_upper": float(mean_neg_fe - fwd),
@@ -505,10 +610,12 @@ def log_likelihood(
     base_data: Optional[jax.Array] = None,
     n_sweeps: int = 1,
     schedule: str = "uniform",
+    resample_ess: float = 0.0,
 ) -> dict:
     """Mean test log-likelihood via AIS: mean(-F(v)) - log Z.
 
-    Bernoulli- and Gaussian-visible RBMs (graded configs c1/c2)."""
+    Bernoulli- and Gaussian-visible RBMs (graded configs c1/c2).
+    ``resample_ess`` > 0: SMC resampling (see :func:`ais_log_z`)."""
     if key is None:
         key = jax.random.PRNGKey(0)
     data = jnp.asarray(data, params.W.dtype)
@@ -516,11 +623,12 @@ def log_likelihood(
     if cfg.visible == "bernoulli":
         a_base = base_rate_biases(base)
         log_z, logw = ais_log_z(params, a_base, key, n_chains, n_betas,
-                                n_sweeps, schedule)
+                                n_sweeps, schedule, resample_ess)
     else:
         b_base = jnp.mean(base, axis=0)
         log_z, logw = ais_log_z_gaussian(params, b_base, key, n_chains,
-                                         n_betas, n_sweeps, schedule)
+                                         n_betas, n_sweeps, schedule,
+                                         resample_ess)
     mean_neg_fe = -jnp.mean(free_energy(params, data, cfg))
     return {
         "log_z": float(log_z),

@@ -280,3 +280,83 @@ def test_labeled_ais_matches_exact_log_z():
     # validation of the validators: n_code mismatch must raise
     with pytest.raises(ValueError, match="expected"):
         exact_log_z_labeled(params, n_code + 1, C)
+
+
+# ---------------------------------------------------------------------------
+# Round 4 (VERDICT r3 #3): SMC adaptive resampling inside the anneal —
+# ESS-triggered multinomial resampling (Del Moral et al. 2006) attacks the
+# measured forward-ESS ~ 1 weight collapse on the flagship model while
+# keeping the Z estimate unbiased.
+
+
+def test_smc_ais_matches_exact_log_z_and_resamples():
+    """SMC AIS reproduces exact log Z on enumerable models. resample_ess
+    high enough to actually TRIGGER (n_resamples asserted > 0 via the
+    bracket's diagnostic below; here: estimate parity at an aggressive 0.9
+    threshold which resamples many times)."""
+    params = random_params(12, 8, 0.5, seed=0)
+    exact = exact_log_z(params)
+    a_base = jnp.zeros(12, jnp.float32)
+    est, logw = ais_log_z(params, a_base, jax.random.PRNGKey(1),
+                          n_chains=256, n_betas=2000, resample_ess=0.9)
+    assert abs(float(est) - exact) < 0.15, (float(est), exact)
+    # post-resample weights are the final epoch's only: near-uniform, so
+    # their ESS is a large fraction of the population (the collapse fix)
+    from mdbn_tpu.analysis.ais import _ess
+    assert float(_ess(logw)) > 128.0
+
+
+def test_smc_gaussian_ais_matches_exact_log_z():
+    from mdbn_tpu.analysis.ais import ais_log_z_gaussian, exact_log_z_gaussian
+
+    params = random_params(12, 8, 0.3, seed=2)
+    exact = exact_log_z_gaussian(params)
+    est, _ = ais_log_z_gaussian(params, jnp.zeros(12, jnp.float32),
+                                jax.random.PRNGKey(3), n_chains=256,
+                                n_betas=2000, resample_ess=0.9)
+    assert abs(float(est) - exact) < 0.2, (float(est), exact)
+
+
+def test_smc_reverse_ais_matches_exact_log_z():
+    """The descending (reverse) anneal accepts the same SMC machinery."""
+    from mdbn_tpu.analysis.ais import exact_sample, reverse_ais_log_z
+
+    params = random_params(12, 8, 0.5, seed=0)
+    exact = exact_log_z(params)
+    a_base = jnp.zeros(12, jnp.float32)
+    v1 = exact_sample(params, 256, seed=4)
+    est, _ = reverse_ais_log_z(params, a_base, v1, jax.random.PRNGKey(5),
+                               n_betas=2000, resample_ess=0.9)
+    assert abs(float(est) - exact) < 0.15, (float(est), exact)
+
+
+def test_smc_bracket_triggers_and_sandwiches_exact():
+    """Bracket with SMC on a TRAINED multimodal model (bars-and-stripes —
+    well-separated modes are what degrade plain-AIS weights) under a
+    deliberately coarse anneal: resampling must actually FIRE
+    (n_resamples_fwd > 0), the final-epoch ESS must recover far above the
+    plain run's degraded value, and the bracket must still sandwich the
+    exact log Z. The plain run at the same budget is the control: measured
+    here, ESS 92/256 plain vs ~200/256 post-resample."""
+    from mdbn_tpu.analysis.ais import log_z_bracket
+
+    data = bars_and_stripes(512, side=4, seed=1)
+    cfg = RBMConfig(n_visible=16, n_hidden=12, lr=0.5, epochs=60,
+                    batch_size=16, engine="xla", seed=0)
+    rbm = RBM(cfg).train(data)
+    exact = exact_log_z(rbm.params)
+    # uniform base (NOT the data base rates) + 100 betas: the coarse anneal
+    # that degrades plain AIS on this model
+    base = jnp.full((1, 16), 0.5, jnp.float32)
+    plain = log_z_bracket(rbm.params, cfg, data[:64], base_data=base,
+                          key=jax.random.PRNGKey(7), n_chains=256,
+                          n_betas=100)
+    smc = log_z_bracket(rbm.params, cfg, data[:64], base_data=base,
+                        key=jax.random.PRNGKey(7), n_chains=256,
+                        n_betas=100, resample_ess=0.7)
+    assert plain["n_resamples_fwd"] == 0
+    assert smc["n_resamples_fwd"] > 0
+    assert smc["ess_fwd"] > 1.5 * plain["ess_fwd"], (smc, plain)
+    assert smc["log_z_lower"] - 0.5 <= exact <= smc["log_z_upper"] + 0.5, (
+        smc, exact)
+    assert smc["log_z_gap"] < 1.0, smc
