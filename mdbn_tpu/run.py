@@ -38,8 +38,10 @@ def build_data(spec: dict):
     "labels_path": ... (IDX1, enables supervised finetune), "limit": N} and
     {"kind": "omics_csv", "paths": {modality: csv_path}, "zscore": bool,
     "nan_policy": "error"|"drop"|"impute_mean", "align":
-    "strict"|"intersect"} — the reference's whole purpose is real cohort
-    matrices (SURVEY.md §1 L5)."""
+    "strict"|"intersect", "orientation": "auto"|"patients_rows"|
+    "features_rows"|{modality: mode}, "clinical_csv": path (lends the
+    auto-orientation reference cohort)} — the reference's whole purpose is
+    real cohort matrices (SURVEY.md §1 L5)."""
     kind = spec.get("kind", "mnist_like")
     kw = {k: v for k, v in spec.items() if k != "kind"}
     if kind == "mnist_like":
@@ -67,13 +69,22 @@ def build_data(spec: dict):
             labels = labels[:limit] if limit else labels
         return (data[:limit] if limit else data), labels, None
     if kind == "omics_csv":
-        from .data.loaders import load_omics_csv
+        from .data.loaders import load_clinical_csv, load_omics_csv
 
+        # "orientation": "auto"|"patients_rows"|"features_rows" or a
+        # per-modality dict (real TCGA flat exports are often genes x
+        # samples); "clinical_csv" here lends its patient IDs as the
+        # auto-detection reference cohort (VERDICT r3 #6)
+        reference_ids = None
+        if kw.get("clinical_csv"):
+            _, _, reference_ids = load_clinical_csv(kw["clinical_csv"])
         mats, ids = load_omics_csv(
             kw["paths"], zscore_features=kw.get("zscore", True),
             nan_policy=kw.get("nan_policy", "error"),
             align=kw.get("align", "strict"), return_ids=True,
-            header=kw.get("header", "auto"))
+            header=kw.get("header", "auto"),
+            orientation=kw.get("orientation", "auto"),
+            reference_ids=reference_ids)
         return mats, None, ids
     raise ValueError(f"unknown data kind {kind!r}")
 
@@ -200,6 +211,10 @@ def main(argv=None):
               "n_betas": int(analysis.get("ais_betas", 1000)),
               "n_sweeps": int(analysis.get("ais_sweeps", 1)),
               "schedule": str(analysis.get("ais_schedule", "uniform"))}
+        # "ais_resample_ess": ESS fraction in (0, 1) that triggers SMC
+        # multinomial resampling inside the anneal (0 disables; see AIS.md
+        # for the measured guidance — this is the weight-collapse fix)
+        res_ess = float(analysis.get("ais_resample_ess", 0.0))
         if model_cls is RBM:
             if analysis.get("ais_bracket"):
                 # bidirectional bracket: forward lower + reverse upper bound
@@ -207,10 +222,11 @@ def main(argv=None):
                 out = ais_mod.log_z_bracket(
                     model.params, model.cfg, sample, **kw,
                     init=str(analysis.get("ais_init", "resample")),
-                    init_gibbs=int(analysis.get("ais_init_gibbs", 500)))
+                    init_gibbs=int(analysis.get("ais_init_gibbs", 500)),
+                    resample_ess=res_ess)
             else:
                 out = ais_mod.log_likelihood(model.params, model.cfg, sample,
-                                             **kw)
+                                             **kw, resample_ess=res_ess)
         else:
             if analysis.get("ais_bracket"):
                 log.warning("'ais_bracket' is only defined for single-RBM "
