@@ -142,6 +142,53 @@ def run_all(quick: bool, n_seeds: int):
     rows.append(Row("c5 k-means ARI vs planted (tpu)", t_pl,
                     engine=mm.joint.metrics.engine))
 
+    # ---- round-4 estimator rows (VERDICT r3 #5): every OTHER update rule a
+    # user can select gets the same 5-seed CI-overlap grading as the five
+    # graded configs — the oracle mirrors (mdbn_tpu/oracle.py) implement
+    # each rule in NumPy, so these are true cross-implementation rows, not
+    # self-comparisons.
+    H = 500 if not quick else 128
+    data = mnist_like(1000 if quick else 2000, seed=2)
+
+    # parallel-tempering PCD (5-rung replica-swap ladder)
+    o_errs, t_errs = [], []
+    for s in range(n_seeds):
+        cfg = RBMConfig(n_visible=784, n_hidden=H, k=1, lr=0.1, epochs=E,
+                        batch_size=20, persistent=True, pt_temps=5,
+                        pt_beta_min=0.2, seed=100 * s)
+        o_errs.append(OracleRBM(cfg).train(data).history[-1])
+        m = RBM(cfg).train(data)
+        t_errs.append(m.history[-1])
+        log(f"pt seed {s}: oracle {o_errs[-1]:.4f} tpu {t_errs[-1]:.4f}")
+    rows.append(Row("PT-PCD (pt_temps=5)", o_errs, t_errs, m.metrics.engine))
+
+    # enhanced gradient (Cho-Raiko-Ilin recombination)
+    o_errs, t_errs = [], []
+    for s in range(n_seeds):
+        cfg = RBMConfig(n_visible=784, n_hidden=H, k=1, lr=0.1, epochs=E,
+                        batch_size=20, gradient="enhanced", seed=100 * s)
+        o_errs.append(OracleRBM(cfg).train(data).history[-1])
+        m = RBM(cfg).train(data)
+        t_errs.append(m.history[-1])
+        log(f"enh seed {s}: oracle {o_errs[-1]:.4f} tpu {t_errs[-1]:.4f}")
+    rows.append(Row("enhanced gradient", o_errs, t_errs, m.metrics.engine))
+
+    # learned-variance GRBM (per-unit sigma^2 by CD) on scale-corrupted GE
+    rng = np.random.default_rng(0)
+    sig = np.exp(rng.uniform(-1.0, 1.0, mods["ge"].shape[1])).astype(np.float32)
+    ge_scaled = (mods["ge"] * sig).astype(np.float32)
+    o_errs, t_errs = [], []
+    for s in range(n_seeds):
+        cfg = RBMConfig(n_visible=ge_scaled.shape[1], n_hidden=200,
+                        visible="gaussian", learn_variance=True, lr=0.005,
+                        epochs=E, batch_size=20, seed=100 * s)
+        o_errs.append(OracleRBM(cfg).train(ge_scaled).history[-1])
+        m = RBM(cfg).train(ge_scaled)
+        t_errs.append(m.history[-1])
+        log(f"lv seed {s}: oracle {o_errs[-1]:.4f} tpu {t_errs[-1]:.4f}")
+    rows.append(Row("learned-variance GRBM", o_errs, t_errs,
+                    m.metrics.engine))
+
     log(f"total harness time: {time.time() - t_all:.0f}s")
     return rows
 
