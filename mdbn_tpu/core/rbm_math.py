@@ -338,6 +338,9 @@ def pt_step_stats(
     chains_h: jax.Array,  # [M, B, n_hidden], rung 0 at beta=1
     uniforms: Dict[str, jax.Array],
     cfg: RBMConfig,
+    row_mask: Optional[jax.Array] = None,
+    norm: Optional[float] = None,
+    sparsity_scale: float = 1.0,
 ) -> Tuple[RBMParams, jax.Array, jax.Array]:
     """One PT-PCD update's statistics (Desjardins et al. 2010); mirrors
     oracle.pt_step_stats exactly (same injected-uniforms layout).
@@ -348,6 +351,14 @@ def pt_step_stats(
     ladder. Negative-phase statistics come from rung 0 (beta=1 exactly), so
     with pt_temps=1 this IS the plain PCD update for the same draws.
     Returns (grads, new_chains [M, B, H], err).
+
+    ``row_mask`` ([B, 1] of 0/1) + ``norm``: the same uneven-DP-sharding
+    contract as ``cd_step_stats`` — each batch row owns its own full ladder
+    (the Metropolis swaps are per-particle, so ladders shard with the batch),
+    pad rows' statistics are zeroed, and sums divide by ``norm`` so the pmean
+    of per-shard stats is the exact global-batch mean. Pad rows' ladders
+    still evolve (harmlessly — their states never enter any statistic and
+    are sliced off by the caller).
     """
     dtype = v0.dtype
     betas = pt_betas(cfg)                # [M]
@@ -382,13 +393,17 @@ def pt_step_stats(
     h = _pt_swap_round(params, h, betas, uniforms["swap"][0], 0, cfg)
     h = _pt_swap_round(params, h, betas, uniforms["swap"][1], 1, cfg)
 
-    inv_b = 1.0 / jnp.float32(v0.shape[0])
-    vp = v0 if s is None else v0 * s
-    vn = vs[0] if s is None else vs[0] * s
+    inv_b = 1.0 / jnp.float32(norm if norm is not None else v0.shape[0])
+    v_pos = v0 * row_mask if row_mask is not None else v0
+    v_neg = vs[0] * row_mask if row_mask is not None else vs[0]
+    h_pos = h0p * row_mask if row_mask is not None else h0p
+    h_neg = hmean[0] * row_mask if row_mask is not None else hmean[0]
+    vp = v_pos if s is None else v_pos * s
+    vn = v_neg if s is None else v_neg * s
     gW = (_dot(vp.T, h0p, cfg.compute_dtype, cfg.matmul_precision)
           - _dot(vn.T, hmean[0], cfg.compute_dtype, cfg.matmul_precision)) * inv_b
     gb = jnp.sum(vp - vn, axis=0) * inv_b
-    gc = jnp.sum(h0p - hmean[0], axis=0) * inv_b
+    gc = jnp.sum(h_pos - h_neg, axis=0) * inv_b
     gz = None
     if s is not None:
         # same z statistic as cd_step_stats, from rung 0 (beta = 1 exactly)
@@ -396,24 +411,30 @@ def pt_step_stats(
         wh_m = _dot(hmean[0], params.W.T, cfg.compute_dtype, cfg.matmul_precision)
         A_d = 0.5 * (v0 - params.b) ** 2 - v0 * wh_d
         A_m = 0.5 * (vs[0] - params.b) ** 2 - vs[0] * wh_m
-        gz = s * jnp.sum(A_d - A_m, axis=0) * inv_b
+        dA = A_d - A_m
+        if row_mask is not None:
+            dA = dA * row_mask
+        gz = s * jnp.sum(dA, axis=0) * inv_b
         if not cfg.resolved_sample_visible:
             # Rao-Blackwellized mean-field correction (see cd_step_stats);
-            # rung 0 runs at beta = 1, so the term is exactly 1/2
-            gz = gz - 0.5
+            # rung 0 runs at beta = 1, so the term is exactly 1/2 (times the
+            # effective row fraction under masking)
+            frac = (jnp.sum(row_mask) * inv_b if row_mask is not None else 1.0)
+            gz = gz - 0.5 * frac
     if cfg.gradient == "enhanced":
-        mu = 0.5 * (jnp.sum(v0, axis=0) + jnp.sum(vs[0], axis=0)) * inv_b
-        lam = 0.5 * (jnp.sum(h0p, axis=0) + jnp.sum(hmean[0], axis=0)) * inv_b
+        mu = 0.5 * (jnp.sum(v_pos, axis=0) + jnp.sum(v_neg, axis=0)) * inv_b
+        lam = 0.5 * (jnp.sum(h_pos, axis=0) + jnp.sum(h_neg, axis=0)) * inv_b
         gW, gb, gc = enhance_grads(gW, gb, gc, mu, lam, cfg)
     if cfg.sparsity_target is not None and cfg.sparsity_cost:
         gc = gc + cfg.sparsity_cost * (
-            cfg.sparsity_target - jnp.sum(h0p, axis=0) * inv_b)
+            sparsity_scale * cfg.sparsity_target
+            - jnp.sum(h_pos, axis=0) * inv_b)
     grads = RBMParams(W=gW, b=gb, c=gc, z=gz)
     # same monitor convention as the PCD branch of cd_step_stats: the error
     # reconstructs the DATA chain (one step from h0s), not the fantasy chain
     v1mean_data = visible_mean(params, h0s, cfg)
     metric = cfg.error_metric if cfg.error_metric in ("mse", "xent") else "mse"
-    err = recon_error(v0, v1mean_data, metric)
+    err = recon_error(v0, v1mean_data, metric, row_mask, norm)
     return grads, h, err
 
 

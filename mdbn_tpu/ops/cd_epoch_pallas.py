@@ -422,7 +422,7 @@ def _check_grads_kernel_supports(cfg: RBMConfig) -> None:
     rather than silently train a different update rule. (The mega-kernel
     DOES fuse the enhanced gradient: it recombines after its in-kernel
     reduce, on global statistics. Tempering likewise fails here on the
-    [M*B, H] chain shape; the mega-kernel runs it single-chip.)"""
+    [M*B, H] chain shape; the mega-kernel shards ladders particle-major.)"""
     if cfg.gradient == "enhanced":
         raise ValueError("gradient='enhanced' is not supported by the "
                          "per-step grads kernel (the recombination must see "
@@ -581,7 +581,7 @@ def _cd_train_kernel(
 ):
     use_momentum = _uses_momentum(cfg)
     vw_master = use_momentum and not stream_vel
-    pt = cfg.pt_temps > 1  # parallel tempering (single chip: ndev == 1)
+    pt = cfg.pt_temps > 1  # parallel tempering (under DP: per-shard ladders)
     M = cfg.pt_temps
     CR = cfg.batch_size * M if pt else cfg.batch_size  # chain rows
     pos = 0
@@ -1460,7 +1460,7 @@ def _build_pallas_call(cfg: RBMConfig, n_epochs: int, nb: int, unroll: int,
         # math on CPU; races in the DP rings are checked by the interpreter)
         interpret = pltpu.InterpretParams(detect_races=(ndev > 1))
     V, H, B = cfg.n_visible, cfg.n_hidden, cfg.batch_size
-    pt = cfg.pt_temps > 1  # tempering: M persistent chains, single chip
+    pt = cfg.pt_temps > 1  # tempering: M persistent chains per batch row
     CR = B * cfg.pt_temps if pt else B  # chain rows (rung-major)
     f32 = jnp.float32
     nsteps = nb // unroll
@@ -2256,6 +2256,13 @@ def make_pallas_dp_train_fn(cfg: RBMConfig, mesh: Mesh, n_epochs: int,
     errors are pmean'd after the kernel. Returns None when the per-shard
     state + comm scratch doesn't fit VMEM.
 
+    Parallel tempering shards too: each batch row owns its complete
+    [M]-rung ladder (Metropolis swaps are per-particle), so the global
+    [M*B, H] rung-major chain resorts to PARTICLE-major shards of
+    [M*local_b, H] ladders, every rung's Gibbs sweeps and both swap rounds
+    run shard-locally, and only the rung-0 statistics cross ICI through the
+    same factor/ring reduce as plain PCD.
+
     ``dp_reduce``: "factor" all-gathers the packed phase factors (O(B(V+H))
     ICI bytes/update) and computes the global gradient locally on every
     shard; "ring" reduce-scatter+all-gathers dW itself (O(VH) bytes);
@@ -2275,9 +2282,6 @@ def make_pallas_dp_train_fn(cfg: RBMConfig, mesh: Mesh, n_epochs: int,
                          f"got {dp_reduce!r}")
     axis = mesh.axis_names[0]
     ndev = mesh.devices.size
-    if cfg.pt_temps > 1 and ndev > 1:
-        raise ValueError("pt_temps > 1 (parallel tempering) is "
-                         "single-device; train without a mesh")
     if ndev == 1:
         # resolve inject exactly like the multi-device path: None -> True on
         # CPU (the interpreter's PRNG is stubbed to zeros — silent
@@ -2411,6 +2415,8 @@ def _cached_dp_train_fn(cfg: RBMConfig, mesh: Mesh, axis: str, ndev: int,
     local_b = -(-B // ndev)  # ceil: uneven batches pad the tail shard(s)
     pad = local_b * ndev - B
     local_cfg = cfg.replace(batch_size=local_b)
+    M = cfg.pt_temps
+    pt = M > 1  # tempering: per-particle ladders shard with the batch
     # wide multi-chip tier: factor exchange + chunk-update (the full [V, H]
     # gradient never materializes), H-padded when lane-misaligned
     cu = hbm_state and needs_chunk_update(local_cfg, ndev, dp_reduce)
@@ -2433,6 +2439,20 @@ def _cached_dp_train_fn(cfg: RBMConfig, mesh: Mesh, axis: str, ndev: int,
             return a
         return jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, hpad)])
 
+    def _pt_shard_rows(a: jax.Array, groups: int) -> jax.Array:
+        """Tempering row resort: ``a[..., groups*B, D]`` rung-major global
+        rows -> shard-major ``[..., ndev*groups*local_b, D]`` so a P(axis)
+        split of the row dim hands each shard its own particles' rows for
+        EVERY rung/round group (groups = M for the chain/Gibbs draws, M-1
+        for the swap draws)."""
+        lead, D = a.shape[:-2], a.shape[-1]
+        x = a.reshape(*lead, groups, B, D)
+        if pad:
+            x = jnp.pad(x, [(0, 0)] * (len(lead) + 1) + [(0, pad), (0, 0)])
+        x = x.reshape(*lead, groups, ndev, local_b, D)
+        x = jnp.moveaxis(x, -3, -4)  # [..., ndev, groups, local_b, D]
+        return x.reshape(*lead, ndev * groups * local_b, D)
+
     def train_fn(state: TrainState, data: jax.Array,
                  uniforms: Optional[Dict[str, jax.Array]] = None
                  ) -> Tuple[TrainState, jax.Array]:
@@ -2453,8 +2473,23 @@ def _cached_dp_train_fn(cfg: RBMConfig, mesh: Mesh, axis: str, ndev: int,
         extra = []
         u_specs = ()
         if inject:
-            uniforms = {k: _pad_rows(a, a.ndim - 2)
-                        for k, a in uniforms.items()}
+            if pt:
+                # resort every draw block's rows particle-major (pad
+                # particles' draws land on the tail shards, where their
+                # whole ladders are pad and masked out of every statistic)
+                assert not hpad  # the chunk tier excludes tempering
+                u2 = {"h0": _pt_shard_rows(uniforms["h0"], 1),
+                      "h": _pt_shard_rows(uniforms["h"], M)}
+                for kv in ("v", "noise"):
+                    if kv in uniforms:
+                        u2[kv] = _pt_shard_rows(uniforms[kv], M)
+                sw = uniforms["swap"]  # [E, nb, 2, (M-1)*B] rung-major
+                u2["swap"] = _pt_shard_rows(sw[..., None], M - 1).reshape(
+                    *sw.shape[:-1], ndev * (M - 1) * local_b)
+                uniforms = u2
+            else:
+                uniforms = {k: _pad_rows(a, a.ndim - 2)
+                            for k, a in uniforms.items()}
             if hpad:
                 # pad the hidden draw dims with 0.0 (the adversarial value —
                 # an unmasked pad unit would sample 1 every step; the
@@ -2467,11 +2502,27 @@ def _cached_dp_train_fn(cfg: RBMConfig, mesh: Mesh, axis: str, ndev: int,
             flat = _flatten_uniforms(fcfg, uniforms, n_epochs, nsteps, unroll)
             # the global draw blocks are row-major [..., Bp, D] with Bp =
             # ndev * local_b: shard the row dim so each shard consumes its
-            # local slice of every global draw
-            extra = [a.reshape(n_epochs, nsteps, -1, ndev, local_b, a.shape[-1])
-                     for a in flat]
+            # local slice of every global draw. Tempering: the per-shard
+            # row-group sizes differ per block (local_b for h0, M*local_b
+            # for the chain draws, (M-1)*local_b for the swap rounds).
+            if pt:
+                rows = [local_b, M * local_b]
+                if cfg.resolved_sample_visible:
+                    rows.append(M * local_b)
+                rows.append((M - 1) * local_b)
+            else:
+                rows = [local_b] * len(flat)
+            extra = [a.reshape(n_epochs, nsteps, -1, ndev, r, a.shape[-1])
+                     for a, r in zip(flat, rows)]
             u_specs = tuple(P(None, None, None, axis, None, None)
                             for _ in extra)
+        if pt:
+            # per-row beta ladder for the LOCAL chain rows [M*local_b, 1]
+            # (replicated: the ladder is the same on every shard), host-
+            # computed so the linspace is bit-identical to the XLA engine's
+            extra = list(extra) + [
+                jnp.repeat(pt_betas(cfg), local_b)[:, None]]
+            u_specs = u_specs + (P(None, None),)
 
         call = _build_pallas_call(kcfg, n_epochs, nb, unroll, cfg.shuffle,
                                   interpret, ndev=1 if _skip_allreduce else ndev,
@@ -2502,6 +2553,10 @@ def _cached_dp_train_fn(cfg: RBMConfig, mesh: Mesh, axis: str, ndev: int,
             # (odd multiplier decorrelates neighboring shards' int32 seeds)
             my_seed = seed_.at[0].add(my * jnp.int32(1540483477)).at[3].set(my)
             lb = local_batches.reshape(nsteps, unroll, local_b, cfg.n_visible)
+            beta_l = ()
+            if pt:  # the replicated beta ladder rides as the last extra
+                *local_u, beta_arr = local_u
+                beta_l = (beta_arr,)
             lu = [a.reshape(n_epochs, nsteps, -1, a.shape[-1])
                   for a in local_u]
             p, vel = st.params, st.velocity
@@ -2511,7 +2566,7 @@ def _cached_dp_train_fn(cfg: RBMConfig, mesh: Mesh, axis: str, ndev: int,
             if cfg.learn_variance:
                 operands += [p.z.reshape(1, -1), vel.z.reshape(1, -1)]
             W, bb, cc, vW, vb, vc, chain, *rest = call(
-                my_seed, perm_, lb, *lu, *operands)
+                my_seed, perm_, lb, *lu, *beta_l, *operands)
             if cfg.learn_variance:
                 zz, vzz, errs = rest
                 zout, vzout = zz[0], vzz[0]
@@ -2532,8 +2587,19 @@ def _cached_dp_train_fn(cfg: RBMConfig, mesh: Mesh, axis: str, ndev: int,
         # to [local_b * ndev, H] on entry, slice the pad rows back off on
         # exit (pad-row chain states never enter any statistic). The
         # H-padded chunk tier additionally pads the hidden dims of the
-        # replicated state (pad columns kept inert in-kernel).
-        state = state._replace(chain_h=_pad_h(_pad_rows(state.chain_h, 0)))
+        # replicated state (pad columns kept inert in-kernel). Tempering:
+        # the [M*B, H] rung-major ladder resorts particle-major so each
+        # shard's P(axis) slice is its own particles' complete ladders.
+        if pt:
+            ch = state.chain_h.reshape(M, B, H)
+            if pad:
+                ch = jnp.pad(ch, ((0, 0), (0, pad), (0, 0)))
+            ch = ch.reshape(M, ndev, local_b, H).transpose(
+                1, 0, 2, 3).reshape(ndev * M * local_b, H)
+            state = state._replace(chain_h=ch)
+        else:
+            state = state._replace(
+                chain_h=_pad_h(_pad_rows(state.chain_h, 0)))
         if hpad:
             state = state._replace(
                 params=state.params._replace(W=_pad_h(state.params.W),
@@ -2551,8 +2617,14 @@ def _cached_dp_train_fn(cfg: RBMConfig, mesh: Mesh, axis: str, ndev: int,
             st, seed, perm, batches, extra = jax.block_until_ready(
                 (st, seed, perm, batches, extra))
         new_state, errs = run(st, seed, perm, batches, *extra)
-        new_state = new_state._replace(key=key,
-                                       chain_h=new_state.chain_h[:B, :H])
+        if pt:  # invert the particle-major resort, drop pad particles
+            ch = new_state.chain_h.reshape(ndev, M, local_b, H).transpose(
+                1, 0, 2, 3).reshape(M, ndev * local_b, H)[:, :B]
+            new_state = new_state._replace(key=key,
+                                           chain_h=ch.reshape(M * B, H))
+        else:
+            new_state = new_state._replace(key=key,
+                                           chain_h=new_state.chain_h[:B, :H])
         if hpad:
             new_state = new_state._replace(
                 params=new_state.params._replace(

@@ -45,12 +45,13 @@ def train_rbm_shard_map(
                          "shard_map DP path (the per-step kernels monitor "
                          "mse/xent); use the DP mega-kernel (engine='pallas' "
                          "via train_rbm) or engine='xla' without a mesh")
-    if cfg.pt_temps > 1:
-        # same rule train_rbm enforces: the rung-stacked chain state
-        # [M*batch, H] does not shard as batch rows, and replica swaps need
-        # the whole ladder on one device
-        raise ValueError("pt_temps > 1 (parallel tempering) is "
-                         "single-device; train without a mesh")
+    if cfg.pt_temps > 1 and pallas_step:
+        # the per-step grads kernel carries plain-CD chain state only; the
+        # fused PT path is the DP mega-kernel (engine='pallas' via train_rbm)
+        raise ValueError("pt_temps > 1 with pallas_step=True is not "
+                         "supported (the per-step grads kernel has no "
+                         "tempering ladder); use pallas_step=False or the "
+                         "DP mega-kernel via train_rbm")
     if cfg.gradient == "enhanced":
         raise ValueError("gradient='enhanced' is not supported on the "
                          "shard_map DP path: the recombination is nonlinear "
@@ -87,9 +88,21 @@ def train_rbm_shard_map(
     batches = batches.reshape(nb, ndev, local_b, data.shape[1])
     fused = _build_shard_map_train(cfg, mesh, n_epochs, pallas_step,
                                    usable, data.shape[1])
-    # chain state must be laid out over the mesh before entering shard_map
+    # chain state must be laid out over the mesh before entering shard_map.
+    # Tempering: the global [M*B, H] rung-major ladder resorts to
+    # PARTICLE-major [ndev, M, local_b, H] so each shard owns its batch
+    # rows' complete ladders (replica swaps are per-particle, so ladders
+    # shard with the batch; only rung-0 statistics cross ICI).
+    M = cfg.pt_temps
     chain = state.chain_h
-    if pad:
+    H_ = chain.shape[1]
+    if M > 1:
+        ch = chain.reshape(M, B, H_)
+        if pad:
+            ch = jnp.pad(ch, ((0, 0), (0, pad), (0, 0)))
+        chain = ch.reshape(M, ndev, local_b, H_).transpose(
+            1, 0, 2, 3).reshape(ndev * M * local_b, H_)
+    elif pad:
         chain = jnp.pad(chain, ((0, pad), (0, 0)))
     state = state._replace(chain_h=chain)
     repl = NamedSharding(mesh, P())
@@ -106,6 +119,10 @@ def train_rbm_shard_map(
     )
     batches = jax.device_put(batches, NamedSharding(mesh, P(None, axis)))
     new_state, errs = fused(state, batches)
+    if M > 1:  # invert the particle-major ladder layout, drop pad particles
+        ch = new_state.chain_h.reshape(ndev, M, local_b, H_).transpose(
+            1, 0, 2, 3).reshape(M, ndev * local_b, H_)[:, :B]
+        return new_state._replace(chain_h=ch.reshape(M * B, H_)), errs
     return new_state._replace(chain_h=new_state.chain_h[:B]), errs
 
 
@@ -180,6 +197,19 @@ def _build_shard_map_train(cfg: RBMConfig, mesh: Mesh, n_epochs: int,
                 # non-persistent configs: the kernel passes chain through
                 grads, new_chain, err = grads_fn(seed, v0, params, chain,
                                                  mask=mask)
+            elif cfg.pt_temps > 1:
+                # the local chain rows are this shard's particles' complete
+                # [M, local_b, H] ladders (particle-major layout set up by
+                # train_rbm_shard_map); swaps are per-particle so the step is
+                # shard-local, and the masked rung-0 stats pmean exactly
+                from ..core.rbm_math import pt_step_stats
+                from ..ops.cd_step import draw_pt_uniforms
+
+                chains = chain.reshape(cfg.pt_temps, local_b, cfg.n_hidden)
+                grads, new_chains, err = pt_step_stats(
+                    params, v0, chains, draw_pt_uniforms(local_cfg, local_b, k),
+                    local_cfg, row_mask=mask, norm=norm)
+                new_chain = new_chains.reshape(chain.shape)
             else:
                 grads, new_chain, err = cd_step_stats(
                     params, v0, chain if cfg.persistent else None,

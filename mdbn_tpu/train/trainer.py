@@ -97,7 +97,8 @@ def _jitted_epoch_xla(cfg: RBMConfig, mesh: Optional[Mesh], axis: str,
     epoch = partial(_epoch_xla, cfg=cfg)
     if mesh is None:
         return jax.jit(epoch)
-    sh = _state_shardings(mesh, axis, has_z=cfg.learn_variance)
+    sh = _state_shardings(mesh, axis, has_z=cfg.learn_variance,
+                          chain_replicated=cfg.pt_temps > 1)
     dspec = P(axis) if rows_sharded else P()
     return jax.jit(epoch, in_shardings=(sh, NamedSharding(mesh, dspec)),
                    out_shardings=(sh, NamedSharding(mesh, P())))
@@ -109,7 +110,8 @@ def _jitted_train_xla_fused(cfg: RBMConfig, n_epochs: int, mesh: Optional[Mesh],
     fused = partial(_train_xla_fused, cfg=cfg, n_epochs=n_epochs)
     if mesh is None:
         return jax.jit(fused)
-    sh = _state_shardings(mesh, axis, has_z=cfg.learn_variance)
+    sh = _state_shardings(mesh, axis, has_z=cfg.learn_variance,
+                          chain_replicated=cfg.pt_temps > 1)
     dspec = P(axis) if rows_sharded else P()
     return jax.jit(fused, in_shardings=(sh, NamedSharding(mesh, dspec)),
                    out_shardings=(sh, NamedSharding(mesh, P())))
@@ -135,6 +137,11 @@ def _check_dp_fallback_supports(cfg: RBMConfig) -> None:
             "learn_variance=True under DP is only fused by the DP "
             "mega-kernel, which doesn't fit this config (the per-step "
             "grads kernel carries fixed-variance state); use engine='xla'")
+    if cfg.pt_temps > 1:
+        raise ValueError(
+            "pt_temps > 1 under DP is only fused by the DP mega-kernel, "
+            "which doesn't fit this config (the per-step grads kernel has "
+            "no tempering ladder); use engine='xla'")
 
 
 def _pallas_available(cfg: RBMConfig) -> bool:
@@ -179,17 +186,27 @@ def _use_pallas(cfg: RBMConfig, mesh: Optional[Mesh]) -> bool:
     return jax.default_backend() == "tpu" and _pallas_available(cfg)
 
 
-def _state_shardings(mesh: Mesh, axis: str, has_z: bool = False) -> TrainState:
+def _state_shardings(mesh: Mesh, axis: str, has_z: bool = False,
+                     chain_replicated: bool = False) -> TrainState:
     """dp: batch sharded, params replicated. If the mesh also has a 'tp' axis,
     W/c/velocities shard over the hidden dim (tensor parallel for very wide
     layers); GSPMD adds the tp-psum for the h @ W.T contraction. ``has_z``
-    adds the learned-variance leaf (visible-dim, so replicated under tp)."""
+    adds the learned-variance leaf (visible-dim, so replicated under tp).
+    ``chain_replicated``: tempering's [M*B, H] rung-major ladder doesn't
+    align with a batch-row split, so the GSPMD path replicates it (the
+    in-step [M, B, H] ops still partition off the sharded data; the
+    particle-major sharded layout lives in the Pallas DP mega-kernel and the
+    shard_map path)."""
     repl = NamedSharding(mesh, P())
     tp = "tp" if "tp" in mesh.axis_names and axis != "tp" else None
     w_sh = NamedSharding(mesh, P(None, tp)) if tp else repl
     c_sh = NamedSharding(mesh, P(tp)) if tp else repl
     z_sh = repl if has_z else None
-    chain_sh = NamedSharding(mesh, P(axis, tp)) if tp else NamedSharding(mesh, P(axis))
+    if chain_replicated:
+        chain_sh = repl
+    else:
+        chain_sh = (NamedSharding(mesh, P(axis, tp)) if tp
+                    else NamedSharding(mesh, P(axis)))
     return TrainState(
         params=RBMParams(W=w_sh, b=repl, c=c_sh, z=z_sh),
         velocity=RBMParams(W=w_sh, b=repl, c=c_sh, z=z_sh),
@@ -227,12 +244,6 @@ def train_rbm(
     if state is None:
         state = init_train_state(cfg)
     data = jnp.asarray(data, jnp.dtype(cfg.param_dtype))
-
-    if cfg.pt_temps > 1 and mesh is not None and len(mesh.devices.flatten()) > 1:
-        # the [M*B, H] rung stacking doesn't align with batch sharding (a
-        # GSPMD reshape would shuffle rungs across devices every step)
-        raise ValueError("pt_temps > 1 (parallel tempering) is single-device; "
-                         "train without a mesh")
 
     # explicit pallas engine on a multi-device dp mesh: the fused mega-kernel
     # runs per shard with an in-kernel ring allreduce of the gradient stats
@@ -278,7 +289,8 @@ def train_rbm(
         data = jax.device_put(
             data, NamedSharding(mesh, P(axis) if rows_sharded else P()))
         state = jax.device_put(
-            state, _state_shardings(mesh, axis, has_z=cfg.learn_variance))
+            state, _state_shardings(mesh, axis, has_z=cfg.learn_variance,
+                                    chain_replicated=cfg.pt_temps > 1))
     per_epoch = epoch_callback is not None or runtime.checkpoint_every_epochs > 0
     metrics = EpochMetrics(engine_name)
 

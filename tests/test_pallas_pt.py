@@ -156,15 +156,24 @@ def test_pt_swaps_actually_happen():
                            np.asarray(state_b.chain_h))
 
 
-def test_pt_dp_mesh_rejected():
+def test_pt_dp_builds_everywhere():
+    """Round 4 (VERDICT r3 #4): tempering under DP is supported — the
+    builder must return a train fn on a multi-device mesh (parity is
+    asserted in test_pallas_dp.py); the per-step grads-kernel fallback
+    (pallas_step=True) still refuses with a clear message."""
     from mdbn_tpu.ops.cd_epoch_pallas import make_pallas_dp_train_fn
+    from mdbn_tpu.parallel.dp import train_rbm_shard_map
     from mdbn_tpu.parallel.mesh import make_mesh
+    from mdbn_tpu.core.state import init_train_state
 
     cfg = RBMConfig(n_visible=32, n_hidden=16, persistent=True, pt_temps=3,
                     pt_beta_min=0.5, batch_size=16, engine="pallas")
     if jax.device_count() >= 8:
-        with pytest.raises(ValueError, match="single-device"):
-            make_pallas_dp_train_fn(cfg, make_mesh(8), 1)
+        assert make_pallas_dp_train_fn(cfg, make_mesh(8), 1,
+                                       interpret=True) is not None
+        with pytest.raises(ValueError, match="pallas_step"):
+            train_rbm_shard_map(init_train_state(cfg), jnp.zeros((32, 32)),
+                                cfg, make_mesh(8), 1, pallas_step=True)
     # ndev == 1 delegates to the single-chip kernel and must build
     assert make_pallas_dp_train_fn(cfg, make_mesh(1), 1,
                                    interpret=True) is not None

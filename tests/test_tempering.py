@@ -224,14 +224,17 @@ def test_pt_config_and_engine_guards():
         RBM(RBMConfig(n_visible=16, n_hidden=4, persistent=True, pt_temps=3,
                       engine="pallas", batch_size=8, epochs=1)).train(
             bars_and_stripes(32, side=4, seed=0))
-    # PT is single-device: a multi-device mesh must be rejected clearly
+    # PT on a multi-device mesh is supported since round 4 (VERDICT r3 #4):
+    # the GSPMD engine replicates the rung-major ladder and shards the data
+    # (exact-parity tests live in test_distributed/test_pallas_dp)
     from jax.sharding import Mesh
     devs = np.array(jax.devices()[:2])
     if devs.size >= 2:
         from mdbn_tpu.train.trainer import train_rbm
-        with pytest.raises(ValueError, match="single-device"):
-            train_rbm(bars_and_stripes(32, side=4, seed=0),
-                      RBMConfig(n_visible=16, n_hidden=4, persistent=True,
-                                pt_temps=3, batch_size=8, epochs=1,
-                                engine="xla"),
-                      mesh=Mesh(devs, ("dp",)))
+        st, m = train_rbm(bars_and_stripes(32, side=4, seed=0),
+                          RBMConfig(n_visible=16, n_hidden=4, persistent=True,
+                                    pt_temps=3, batch_size=8, epochs=1,
+                                    engine="xla"),
+                          mesh=Mesh(devs, ("dp",)))
+        assert st.chain_h.shape == (3 * 8, 4)
+        assert np.isfinite(m.errors).all()
