@@ -62,7 +62,9 @@ class RBMConfig:
     # chains at inverse temperatures linspace(1, pt_beta_min, pt_temps),
     # coupled by Metropolis swaps each update — the mixing fix for rough
     # CD/PCD-trained landscapes (see AIS.md's phase-trap measurement).
-    # Requires persistent=True; runs on the XLA engine, single device.
+    # Requires persistent=True; fused in the Pallas mega-kernel (incl.
+    # learn_variance) and DP-capable (per-particle ladders shard with the
+    # batch; PT.md).
     pt_temps: int = 1
     pt_beta_min: float = 0.0
     # --- gradient estimator ---

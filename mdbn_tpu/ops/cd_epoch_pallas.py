@@ -438,16 +438,6 @@ def _check_grads_kernel_supports(cfg: RBMConfig) -> None:
                          "'pallas' via train_rbm) or engine='xla'")
 
 
-def _check_pt_lv(cfg: RBMConfig) -> None:
-    """Parallel tempering and the learned-variance GRBM are each fused in
-    the mega-kernel, but their COMBINATION is not (the tempered ladder's
-    swap marginals would need sigma-weighted quadratics per rung) — that
-    pairing runs on the XLA engine, which supports it exactly."""
-    if cfg.learn_variance and cfg.pt_temps > 1:
-        raise ValueError("pt_temps > 1 with learn_variance=True runs on the "
-                         "XLA engine; use engine='xla' or 'auto'")
-
-
 def _uniform_from_bits(shape) -> jax.Array:
     """U[0,1) from the on-chip PRNG via the mantissa bit-trick.
 
@@ -865,25 +855,43 @@ def _cd_train_kernel(
                               if cfg.resolved_sample_visible else vmean_all)
                 else:
                     # tempered Gaussian conditional: mean unchanged,
-                    # variance 1/beta (noise scaled by rsqrt(beta))
+                    # variance sigma^2/beta (sigma = 1 when the variance is
+                    # not learned; noise scaled by sigma * rsqrt(beta))
                     vmean_all = pre_v
-                    vs_all = (vmean_all + n_v[r:r + MB] / jnp.sqrt(beta_col)
-                              if cfg.resolved_sample_visible else vmean_all)
+                    if cfg.resolved_sample_visible:
+                        n_r = n_v[r:r + MB]
+                        vs_all = vmean_all + ((n_r * sig_lv if lv else n_r)
+                                              / jnp.sqrt(beta_col))
+                    else:
+                        vs_all = vmean_all
                 hmean_all = jax.nn.sigmoid(
-                    beta_col * (_dot_nt(vs_all, Wc, cd) + c[0]))
+                    beta_col * (_dot_nt(vs_all * s_lv if lv else vs_all,
+                                        Wc, cd) + c[0]))
                 h_all = (u_h[r:r + MB] < hmean_all).astype(jnp.float32)
 
             # per-row log p*_beta(h) summaries — they depend on h only, so
             # swap rounds PERMUTE them alongside h instead of re-running the
             # [MB, V] matmuls (row permutation of a matmul's inputs permutes
             # its rows exactly)
-            hc = _dot_tt(h_all, c[:], cd)            # [MB, 1]
             pre_lp = _dot_tt(h_all, Wc, cd) + b[0]   # [MB, V]
             s_lp = None
             if cfg.visible != "bernoulli":
+                # integrating the tempered v-Gaussian: per-unit quadratics
+                # weighted by the precision 1/sigma^2 (s_lv; 1 when the
+                # variance isn't learned) — mirrors tempered_log_p_h. VPU
+                # reductions throughout: Mosaic rejects [·, D] x [1, D] ->
+                # [·, 1] matvecs whose result feeds an add ('only constant
+                # accumulators supported' — the compiler fuses the add into
+                # the matmul's accumulator; real-hardware compile, see
+                # test_pt_gaussian_fused_inject_parity_on_hardware)
+                hc = jnp.sum(h_all * c[0], axis=1, keepdims=True)
                 wh = pre_lp - b[0]
-                s_lp = hc + (_dot_tt(wh, b[:], cd)
-                             + 0.5 * jnp.sum(wh * wh, axis=1, keepdims=True))
+                quad = wh * b[0] + 0.5 * wh * wh
+                if lv:
+                    quad = quad * s_lv
+                s_lp = hc + jnp.sum(quad, axis=1, keepdims=True)
+            else:
+                hc = _dot_tt(h_all, c[:], cd)        # [MB, 1]
 
             def lp_at(q, pre_r, hc_r, s_r):
                 """log p*_q(h_row) per row, q broadcast [MB, 1]."""
@@ -2051,7 +2059,6 @@ def make_pallas_train_fn(cfg: RBMConfig, n_epochs: int,
     wrappers per model instance would re-trace/lower every kernel (measured
     ~5 s/layer).
     """
-    _check_pt_lv(cfg)
     mode = pallas_state_mode(cfg)
     if mode is None:
         return None  # even the HBM-state unroll=1 footprint doesn't fit
@@ -2276,7 +2283,6 @@ def make_pallas_dp_train_fn(cfg: RBMConfig, mesh: Mesh, n_epochs: int,
     everywhere, never silent degeneration. ``_skip_allreduce`` disables the
     ring collectives (test-only: proves the parity tests actually exercise
     them)."""
-    _check_pt_lv(cfg)
     if dp_reduce not in ("auto", "factor", "ring"):
         raise ValueError(f"dp_reduce must be 'auto', 'factor', or 'ring', "
                          f"got {dp_reduce!r}")

@@ -158,13 +158,6 @@ def _use_pallas(cfg: RBMConfig, mesh: Optional[Mesh]) -> bool:
     collectives."""
     if cfg.engine == "xla":
         return False
-    if cfg.learn_variance and cfg.pt_temps > 1:
-        # each is fused alone; the combination (sigma-weighted tempered swap
-        # marginals) runs on the XLA engine only
-        if cfg.engine == "pallas":
-            raise ValueError("pt_temps > 1 with learn_variance=True runs on "
-                             "the XLA engine; use engine='xla' or 'auto'")
-        return False
     if mesh is not None and len(mesh.devices.flatten()) > 1:
         # engine='pallas' on a dp mesh runs the fused-step shard_map path
         # (handled in train_rbm); auto falls back to GSPMD xla

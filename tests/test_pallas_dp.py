@@ -644,6 +644,10 @@ def _assert_pt_dp_parity(cfg, state, errs, state0, data, uniforms, E):
                                np.asarray(params.c), rtol=2e-4, atol=2e-6)
     np.testing.assert_allclose(np.asarray(state.velocity.W),
                                np.asarray(vel.W), rtol=2e-4, atol=2e-6)
+    if cfg.learn_variance:
+        np.testing.assert_allclose(np.asarray(state.params.z),
+                                   np.asarray(params.z), rtol=2e-4,
+                                   atol=2e-6)
     # the FULL rung-major ladder (all M*B rows, incl. accepted swaps): the
     # particle-major resort must invert exactly
     assert state.chain_h.shape == chain.shape
@@ -701,6 +705,26 @@ def test_pt_dp_gaussian_sampled_exact():
     nb = data.shape[0] // cfg.batch_size
     uniforms = _draw_pt(cfg, nb, E)
     fn = make_pallas_dp_train_fn(cfg, make_mesh(8), E, inject=True)
+    state0 = init_train_state(cfg)
+    state, errs = fn(state0, jnp.asarray(data), uniforms)
+    _assert_pt_dp_parity(cfg, state, errs, state0, data, uniforms, E)
+
+
+def test_pt_dp_learn_variance_uneven_exact():
+    """PT x learn_variance fused UNDER DP (round 4): the sigma-weighted
+    tempered ladder shards per-particle, the rung-0 z statistic rides the
+    factor exchange, and the uneven graded batch of 20 masks pad particles
+    out of every statistic — exact vs the single-device replay."""
+    rng = np.random.default_rng(6)
+    data = rng.standard_normal((40, 48)).astype(np.float32)
+    cfg = RBMConfig(n_visible=48, n_hidden=16, visible="gaussian", lr=0.005,
+                    k=1, epochs=E, batch_size=20, seed=2, persistent=True,
+                    pt_temps=3, pt_beta_min=0.3, learn_variance=True,
+                    momentum=0.5, grad_clip=1.0, engine="pallas")
+    nb = data.shape[0] // cfg.batch_size
+    uniforms = _draw_pt(cfg, nb, E)
+    fn = make_pallas_dp_train_fn(cfg, make_mesh(8), E, inject=True)
+    assert fn is not None
     state0 = init_train_state(cfg)
     state, errs = fn(state0, jnp.asarray(data), uniforms)
     _assert_pt_dp_parity(cfg, state, errs, state0, data, uniforms, E)

@@ -95,6 +95,10 @@ def _assert_run_matches(cfg, data, seed=7):
                                np.asarray(params.c), rtol=2e-4, atol=2e-6)
     np.testing.assert_allclose(np.asarray(state.velocity.W),
                                np.asarray(vel.W), rtol=2e-4, atol=2e-6)
+    if cfg.learn_variance:
+        np.testing.assert_allclose(np.asarray(state.params.z),
+                                   np.asarray(params.z), rtol=2e-4,
+                                   atol=2e-6)
     # the full tempering ladder (all M*B rung rows, incl. accepted swaps)
     np.testing.assert_allclose(np.asarray(state.chain_h), np.asarray(chain),
                                rtol=1e-5, atol=1e-6)
@@ -124,6 +128,34 @@ def test_pt_kernel_gaussian_sampled_exact():
                     pt_temps=3, pt_beta_min=0.3, sample_visible=True,
                     grad_clip=1.0, engine="pallas")
     _assert_run_matches(cfg, data)
+
+
+def test_pt_kernel_learn_variance_sampled_exact():
+    """PT x learn_variance fused (round 4 — the last unfused combination):
+    per-rung Gaussian conditionals N(mean, sigma^2/beta) with the LEARNED
+    per-unit sigma, sigma-weighted swap marginals, and the rung-0 z
+    statistic, all exactly replaying pt_step_stats."""
+    rng = np.random.default_rng(8)
+    data = rng.standard_normal((64, 48)).astype(np.float32)
+    cfg = RBMConfig(n_visible=48, n_hidden=16, visible="gaussian", lr=0.005,
+                    k=2, epochs=E, batch_size=16, seed=0, persistent=True,
+                    pt_temps=3, pt_beta_min=0.3, learn_variance=True,
+                    momentum=0.5, grad_clip=1.0, engine="pallas")
+    assert cfg.resolved_sample_visible  # lv defaults to sampled visibles
+    _assert_run_matches(cfg, data)
+
+
+def test_pt_kernel_learn_variance_meanfield_exact():
+    """PT x learn_variance with the mean-field negative phase: the
+    Rao-Blackwellized -1/2 correction applies to the rung-0 z statistic."""
+    rng = np.random.default_rng(9)
+    data = rng.standard_normal((48, 32)).astype(np.float32)
+    cfg = RBMConfig(n_visible=32, n_hidden=16, visible="gaussian", lr=0.005,
+                    k=1, epochs=E, batch_size=16, seed=1, persistent=True,
+                    pt_temps=4, pt_beta_min=0.25, learn_variance=True,
+                    sample_visible=False, lr_variance=0.002,
+                    engine="pallas")
+    _assert_run_matches(cfg, data, seed=13)
 
 
 def test_pt_kernel_pseudo_monitor_exact():

@@ -787,6 +787,90 @@ def test_pt_fused_inject_parity_on_hardware():
                                atol=1e-6)
 
 
+def test_pt_gaussian_fused_inject_parity_on_hardware():
+    """Plain Gaussian PT (fixed sigma), REAL Mosaic lowering — round 4
+    found the Gaussian swap marginal's matvec form rejected by Mosaic
+    ('only constant accumulators supported'); it now runs as one fused VPU
+    reduction. Exact vs the pt_step_stats host replay."""
+    from mdbn_tpu.core.rbm_math import apply_update, pt_step_stats
+    from mdbn_tpu.ops.cd_epoch_pallas import draw_uniform_blocks
+
+    M = 3
+    cfg = RBMConfig(n_visible=144, n_hidden=64, k=1, lr=0.005, epochs=2,
+                    batch_size=16, seed=0, persistent=True, pt_temps=M,
+                    pt_beta_min=0.3, visible="gaussian", sample_visible=True,
+                    grad_clip=1.0, matmul_precision="highest",
+                    engine="pallas")
+    rng = np.random.default_rng(11)
+    data = rng.standard_normal((64, 144)).astype(np.float32)
+    nb = data.shape[0] // cfg.batch_size
+    uniforms = draw_uniform_blocks(cfg, jax.random.PRNGKey(17), 2, nb)
+    fn = make_pallas_train_fn(cfg, 2, interpret=False, inject=True)
+    st0 = init_train_state(cfg)
+    st, errs = fn(st0, jnp.asarray(data), uniforms)
+
+    B, H, V = cfg.batch_size, cfg.n_hidden, cfg.n_visible
+    params, vel = st0.params, st0.velocity
+    chains = st0.chain_h.reshape(M, B, H)
+    batches = jnp.asarray(data).reshape(nb, B, -1)
+    for e in range(2):
+        for i in range(nb):
+            u = {"h0": uniforms["h0"][e, i],
+                 "h": uniforms["h"][e, i].reshape(cfg.k, M, B, H),
+                 "noise": uniforms["noise"][e, i].reshape(cfg.k, M, B, V),
+                 "swap": uniforms["swap"][e, i].reshape(2, M - 1, B)}
+            grads, chains, _ = pt_step_stats(params, batches[i], chains, u, cfg)
+            params, vel = apply_update(params, vel, grads, cfg, epoch=e)
+    np.testing.assert_allclose(np.asarray(st.params.W), np.asarray(params.W),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st.chain_h),
+                               np.asarray(chains.reshape(M * B, H)),
+                               atol=1e-6)
+
+
+def test_pt_lv_fused_inject_parity_on_hardware():
+    """PT x learn_variance fused (round 4), REAL Mosaic lowering: the
+    sigma-weighted tempered ladder (per-rung N(mean, sigma^2/beta) sampling,
+    sigma-weighted swap marginals) plus the rung-0 z statistic, inject-mode
+    vs the pt_step_stats host replay."""
+    from mdbn_tpu.core.rbm_math import apply_update, pt_step_stats
+    from mdbn_tpu.ops.cd_epoch_pallas import draw_uniform_blocks
+
+    M = 3
+    cfg = RBMConfig(n_visible=144, n_hidden=64, k=1, lr=0.005, epochs=2,
+                    batch_size=16, seed=0, momentum=0.5, persistent=True,
+                    pt_temps=M, pt_beta_min=0.3, visible="gaussian",
+                    learn_variance=True, grad_clip=1.0,
+                    matmul_precision="highest", engine="pallas")
+    rng = np.random.default_rng(12)
+    data = rng.standard_normal((64, 144)).astype(np.float32)
+    nb = data.shape[0] // cfg.batch_size
+    uniforms = draw_uniform_blocks(cfg, jax.random.PRNGKey(21), 2, nb)
+    fn = make_pallas_train_fn(cfg, 2, interpret=False, inject=True)
+    st0 = init_train_state(cfg)
+    st, errs = fn(st0, jnp.asarray(data), uniforms)
+
+    B, H, V = cfg.batch_size, cfg.n_hidden, cfg.n_visible
+    params, vel = st0.params, st0.velocity
+    chains = st0.chain_h.reshape(M, B, H)
+    batches = jnp.asarray(data).reshape(nb, B, -1)
+    for e in range(2):
+        for i in range(nb):
+            u = {"h0": uniforms["h0"][e, i],
+                 "h": uniforms["h"][e, i].reshape(cfg.k, M, B, H),
+                 "noise": uniforms["noise"][e, i].reshape(cfg.k, M, B, V),
+                 "swap": uniforms["swap"][e, i].reshape(2, M - 1, B)}
+            grads, chains, _ = pt_step_stats(params, batches[i], chains, u, cfg)
+            params, vel = apply_update(params, vel, grads, cfg, epoch=e)
+    np.testing.assert_allclose(np.asarray(st.params.W), np.asarray(params.W),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st.params.z), np.asarray(params.z),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st.chain_h),
+                               np.asarray(chains.reshape(M * B, H)),
+                               atol=1e-6)
+
+
 def test_pt_auto_routes_to_pallas_and_converges():
     from mdbn_tpu.train.trainer import train_rbm
 

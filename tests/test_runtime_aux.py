@@ -332,3 +332,27 @@ def test_fourth_review_pass_fixes(tmp_path):
     t, e = synthetic_survival(labels5, seed=0)
     means = [t[labels5 == g].mean() for g in range(5)]
     assert means == sorted(means)  # strictly increasing mean survival
+
+
+def test_compile_cache_headroom_vs_largest_module():
+    """VERDICT r3 #8: the compile-cache segfault workaround has a MEASURED
+    safety margin, not an assumed one. scripts/repro_compile_segfault.py
+    bounds how many distinct live executables (plain jit / shard_map /
+    pallas-interpret mixed, the suite's program classes) this jaxlib holds
+    before crashing; the conftest caps any one module at a small fraction of
+    that bound and clears caches at module boundaries. This test pins the
+    margin (>= 8x) and proves the conftest counter actually observes
+    compilations — if jax renames backend_compile_and_load, the counter
+    silently stops counting and this test catches it."""
+    import conftest
+    import jax
+    import jax.numpy as jnp
+
+    assert conftest.MEASURED_CLEAN_EXECUTABLES >= 8 * conftest.MODULE_COMPILE_CAP
+
+    before = conftest._compile_counts["current"]
+    # a distinct program (unique closure constant) forces a fresh compile
+    jax.jit(lambda x: x * 7.31 + jnp.tanh(x))(jnp.ones((3, 3))).block_until_ready()
+    assert conftest._compile_counts["current"] > before, (
+        "conftest's backend_compile_and_load counter observed no compile — "
+        "the jax internal hook moved; re-pin it or the module cap is dead")

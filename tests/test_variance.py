@@ -198,8 +198,9 @@ def test_exact_sample_matches_learned_sigma():
 # ------------------------------------------------------- engines / gates --
 
 def test_engine_gating():
-    """learn_variance is FUSED in the mega-kernel (round-3 late work); only
-    the per-step grads kernel and the PT combination still refuse."""
+    """learn_variance is FUSED in the mega-kernel (round-3 late work),
+    including the PT combination (round 4); only the per-step grads kernel
+    still refuses."""
     from mdbn_tpu.ops.cd_epoch_pallas import (make_pallas_grads_fn,
                                               make_pallas_train_fn)
 
@@ -212,10 +213,11 @@ def test_engine_gating():
     # the per-step grads kernel cannot (fixed-variance refs)
     with pytest.raises(ValueError, match="learn_variance"):
         make_pallas_grads_fn(cfg)
-    # PT + learn_variance is the XLA engine's combination
-    with pytest.raises(ValueError, match="XLA engine"):
-        make_pallas_train_fn(cfg.replace(persistent=True, pt_temps=3,
-                                         pt_beta_min=0.2), 1, interpret=True)
+    # PT + learn_variance is fused too (sigma-weighted tempered swap
+    # marginals; exact-parity tests in test_pallas_pt.py)
+    assert make_pallas_train_fn(cfg.replace(persistent=True, pt_temps=3,
+                                            pt_beta_min=0.2), 1,
+                                interpret=True) is not None
     # engine='pallas' on the CPU backend still refuses the zero-bits
     # interpreter (same rule as plain CD)
     with pytest.raises(ValueError, match="interpreter"):
