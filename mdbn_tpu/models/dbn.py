@@ -73,6 +73,10 @@ class DBN:
         return self
 
     def transform(self, v) -> jax.Array:
+        if not self.layers:
+            # an empty stack would silently return the INPUT as the "code"
+            raise RuntimeError("DBN.transform called before train(): no "
+                               "layers have been trained yet")
         v = jnp.asarray(v, jnp.dtype(self.cfg.param_dtype))
         return stack_transform([(r.params, r.cfg) for r in self.layers], v)
 

@@ -109,6 +109,33 @@ def main():
     p6 = bench(mom, 400, 60)
     x6 = bench(mom, 400, 10, engine="xla")
 
+    # round 5 (VERDICT r4 #6): the measured wide-momentum recommendation —
+    # bf16 parameter storage halves the masters, so momentum runs without
+    # velocity streaming (either the plain HBM tier or two-master chunk)
+    mom16 = wide.replace(momentum=0.5, param_dtype="bfloat16",
+                         compute_dtype="bfloat16")
+    assert pallas_state_mode(mom16) is True
+    assert not chunk_update_streams_velocity(mom16)
+    p7 = bench(mom16, 400, 60)
+    x7 = bench(mom16, 400, 10, engine="xla")
+
+    # round 5 (VERDICT r4 #7): the enhanced gradient at the graded wide
+    # shape — the chunked recombination removed the second W-sized
+    # transient, so this routes fused at f32 now
+    enh = wide.replace(gradient="enhanced")
+    assert needs_chunk_update(enh)
+    p8 = bench(enh, 400, 60)
+    x8 = bench(enh, 400, 10, engine="xla")
+
+    # round 5 (VERDICT r4 #7): tempering at the wide shape, bf16 regime
+    # (f32 is a measured rejection: ladder activations + two W-sized values
+    # exceed VMEM — PT.md)
+    ptw = wide.replace(persistent=True, pt_temps=3, pt_beta_min=0.3,
+                       param_dtype="bfloat16", compute_dtype="bfloat16")
+    assert needs_chunk_update(ptw)
+    p9 = bench(ptw, 400, 60)
+    x9 = bench(ptw, 400, 10, engine="xla")
+
     # beyond the middle tier: 28000x400 f32 runs fully W-blocked
     wider = RBMConfig(n_visible=28000, n_hidden=400, visible="gaussian",
                       lr=0.001, batch_size=20, seed=0)
@@ -131,6 +158,12 @@ def main():
           f"pallas {p5:,.0f}/s vs xla {x5:,.0f}/s ({p5 / x5:.1f}x)")
     print(f"SUMMARY 20000x400 f32 momentum (chunk-update, streamed vW): "
           f"pallas {p6:,.0f}/s vs xla {x6:,.0f}/s ({p6 / x6:.1f}x)")
+    print(f"SUMMARY 20000x400 bf16 momentum (two-master, no streaming): "
+          f"pallas {p7:,.0f}/s vs xla {x7:,.0f}/s ({p7 / x7:.1f}x)")
+    print(f"SUMMARY 20000x400 f32 enhanced (chunked recombination): "
+          f"pallas {p8:,.0f}/s vs xla {x8:,.0f}/s ({p8 / x8:.1f}x)")
+    print(f"SUMMARY 20000x400 bf16 PT M=3 (chunk-update): "
+          f"pallas {p9:,.0f}/s vs xla {x9:,.0f}/s ({p9 / x9:.1f}x)")
     print(f"SUMMARY 28000x400 f32 (W-blocked): pallas {p3:,.0f}/s "
           f"vs xla {x3:,.0f}/s ({p3 / x3:.1f}x)")
     print(f"SUMMARY 40000x1000 bf16 (W-blocked): pallas {p2:,.0f}/s "
