@@ -143,15 +143,19 @@ def _param_bytes(cfg: RBMConfig) -> int:
     return 2 if cfg.param_dtype == "bfloat16" else 4
 
 
-def w_chunk_rows_for(cfg: RBMConfig) -> int:
+def w_chunk_rows_for(cfg: RBMConfig, ndev: int = 1) -> int:
     """Row-chunk granularity for W-blocked passes: the largest multiple-of-32
     DIVISOR of V at most ~2 MB of f32 per chunk (a constant chunk size lets
     the chunk loops be jax.lax.fori_loops — unrolled chunk loops keep every
     W-chunk read live and spill ~|W| of vregs, measured on hardware). Rows
     stay multiples of 32 (covers the f32 (8,128) and bf16 (16,128) sublane
-    tilings); requires V % 32 == 0 (checked by needs_w_chunking)."""
+    tilings); requires V % 32 == 0 (checked by needs_w_chunking). Under DP
+    the target halves: the gathered SFX slots and chunk transients scale
+    with the chunk, and the boundary shape (40000x1000 bf16 on 8 shards)
+    fits only at the smaller granularity."""
     V = cfg.n_visible
-    target = max(32, (_UPDATE_CHUNK_BYTES // (4 * cfg.n_hidden)) // 32 * 32)
+    target_bytes = _UPDATE_CHUNK_BYTES // (2 if ndev > 1 else 1)
+    target = max(32, (target_bytes // (4 * cfg.n_hidden)) // 32 * 32)
     for rows in range(min(target, V), 31, -32):
         if V % rows == 0:
             return rows
@@ -180,7 +184,17 @@ def estimate_vmem_bytes(cfg: RBMConfig, unroll: int = _MAX_UNROLL,
         per_v = cfg.k * unroll * cfg.batch_size * cfg.n_visible * f
         rng += per_v if cfg.visible == "bernoulli" else 3 * per_v
     comm = 0
-    if ndev > 1 and dp_reduce == "factor" and fx_chunked:
+    if ndev > 1 and w_chunked:
+        # W-blocked DP (round 5): the per-shard h-side gradient matrix
+        # all-gathers whole in f32 once per update — only its 64 structural
+        # rows (v0 rows 0:B, vs rows 32:32+B; B <= 32) travel — and the SFX
+        # v-factor chunks gather at storage dtype per W row chunk. Counted
+        # here INSTEAD of the factor/ring scratch (the tier replaces them).
+        ps_ = 2 if cfg.param_dtype == "bfloat16" else 4
+        hp = _round_up(cfg.n_hidden, 128)
+        comm = (2 * ndev * 64 * hp * f
+                + 2 * ndev * w_chunk_rows_for(cfg, ndev) * 128 * ps_)
+    elif ndev > 1 and dp_reduce == "factor" and fx_chunked:
         # chunked factor exchange (round 5, wide x DP): the h-block factors
         # gather whole (small), the v-block factors stream through a
         # chunk-lane-sized ring slot — O(ndev * B * (H + chunk)) instead of
@@ -247,14 +261,7 @@ def estimate_vmem_bytes(cfg: RBMConfig, unroll: int = _MAX_UNROLL,
         # (+ its velocity under momentum), plus ~3 chunk-sized loop values
         transients += cfg.n_visible * 128 * ps  # SFX factor scratch
         transients += (2 if _uses_momentum(cfg) else 1) * cfg.n_visible * 128 * ps
-        transients += 3 * w_chunk_rows_for(cfg) * cfg.n_hidden * f
-        if ndev > 1:
-            # W-blocked DP (round 5): the per-shard h-side gradient matrix
-            # [128, Hp] all-gathers whole in f32 once per update; the SFX
-            # v-factor chunks gather at storage dtype per W row chunk
-            hp = _round_up(cfg.n_hidden, 128)
-            comm += 2 * ndev * 128 * hp * f
-            comm += 2 * ndev * w_chunk_rows_for(cfg) * 128 * ps
+        transients += 3 * w_chunk_rows_for(cfg, ndev) * cfg.n_hidden * f
     else:
         transients += we * ps  # the Wv read
         if cfg.compute_dtype != cfg.param_dtype:
@@ -2165,20 +2172,60 @@ def _cd_train_kernel_wb(
 
             err_u = jax.lax.fori_loop(0, NC, verr_pcd, jnp.float32(0.0))
 
-        err_acc += err_u * jnp.float32(
-            1.0 / (B * V) if cfg.error_metric == "mse" else 1.0 / B)
+        err_acc += err_u * (jnp.float32(float(ndev) / (gB * V))
+                            if cfg.error_metric == "mse" else inv_beff)
 
-        # hidden-bias gradient (h-side, small) + its update
-        gc = jnp.sum(h0p - hmean, axis=0, keepdims=True) * inv_b
-        if cfg.sparsity_target is not None and cfg.sparsity_cost:
-            gc = gc + jnp.float32(cfg.sparsity_cost) * (
-                jnp.float32(cfg.sparsity_target)
-                - jnp.sum(h0p, axis=0, keepdims=True) * inv_b)
-            if hmask is not None:
-                # the target term is a constant over ALL columns; unmasked it
-                # would grow cH's pad entries without bound (bf16 -> inf ->
-                # NaN through the inertness mask's inf * 0)
-                gc = gc * hmask
+        # gradient h-side matrix: +h0p at rows 0:B, -hmean at rows 32:32+B
+        # (one matmul per W chunk below thanks to the packed factor layout).
+        # Under DP the pad batch rows are masked out HERE, so every gathered
+        # slot's pad-row outer products vanish on the receivers too.
+        if ndev > 1:
+            H128g = (_rows_pad(h0p * rvmask, 0)
+                     + _rows_pad(-hmean * rvmask, 32))
+            updc = (e * nsteps + i) * unroll + u  # running update counter
+            # ring all-gather every shard's h-matrix (f32) — the main
+            # kernel's factor-exchange discipline: after ndev-1 hops every
+            # shard holds every shard's rows in shard-id order, so the
+            # gradient chunks below are bit-identical on every shard. Only
+            # the 64 STRUCTURAL rows travel (v0 rows 0:B, vs rows 32:32+B,
+            # B <= 32; rows 64:128 are zero by construction)
+            hg_all[my] = H128g[0:64]
+
+            def hg_body(s, _):
+                fwd = jax.lax.rem(my - s + 2 * ndev, ndev)
+                src = jax.lax.rem(my - s - 1 + 2 * ndev, ndev)
+                slot = _ring_hop_wb(updc * (ndev - 1) + s, hg_all.at[fwd],
+                                    comm_hg, send_hg, recv_hg)
+                hg_all[src] = comm_hg[slot]
+                return 0
+
+            jax.lax.fori_loop(0, ndev - 1, hg_body, 0)
+            hg_flat = hg_all[:].reshape(ndev * 64, Hp)
+            gc = jnp.sum(hg_flat, axis=0, keepdims=True) * inv_b
+            if cfg.sparsity_target is not None and cfg.sparsity_cost:
+                # +h0p occupies the rows-0:32 region of every slot
+                grow = jax.lax.rem(jax.lax.broadcasted_iota(
+                    jnp.int32, (ndev * 64, 1), 0), 64)
+                pos_rows = (grow < 32).astype(f32)
+                gc = gc + jnp.float32(cfg.sparsity_cost) * (
+                    jnp.float32(cfg.sparsity_target)
+                    - jnp.sum(hg_flat * pos_rows, axis=0,
+                              keepdims=True) * inv_b)
+                if hmask is not None:
+                    gc = gc * hmask
+        else:
+            H128g = _rows_pad(h0p, 0) + _rows_pad(-hmean, 32)
+            # hidden-bias gradient (h-side, small)
+            gc = jnp.sum(h0p - hmean, axis=0, keepdims=True) * inv_b
+            if cfg.sparsity_target is not None and cfg.sparsity_cost:
+                gc = gc + jnp.float32(cfg.sparsity_cost) * (
+                    jnp.float32(cfg.sparsity_target)
+                    - jnp.sum(h0p, axis=0, keepdims=True) * inv_b)
+                if hmask is not None:
+                    # the target term is a constant over ALL columns;
+                    # unmasked it would grow cH's pad entries without bound
+                    # (bf16 -> inf -> NaN through the inertness mask's 0*inf)
+                    gc = gc * hmask
         if cfg.grad_clip is not None:
             clip = jnp.float32(cfg.grad_clip)
             gc = jnp.clip(gc, -clip, clip)
@@ -2189,16 +2236,55 @@ def _cd_train_kernel_wb(
         else:
             cH[:] = cH[:] + (lr * gc).astype(sdt)
 
-        # W + visible-bias update, chunked (ONE matmul per chunk thanks to
-        # the packed factor layout)
-        H128g = _rows_pad(h0p, 0) + _rows_pad(-hmean, 32)
+        # W + visible-bias update, chunked. Under DP: stage my SFX chunk
+        # into my slot, ring all-gather (at storage dtype — bit-faithful to
+        # the sender's SFX, which already rounds the factors through sdt),
+        # then ONE matmul per source shard against its gathered h-matrix.
+        # Per-source lane signs carry each SOURCE's batch-row validity (the
+        # global batch lays real rows shard-major, so source d's valid lane
+        # count is a compile-time constant).
         final_update = u == unroll - 1
+        if ndev > 1:
+            sign_d = []
+            for d in range(ndev):
+                nv_d = min(B, max(0, gB - d * B))
+                sign_d.append(
+                    (lane < nv_d).astype(f32)
+                    - jnp.logical_and(lane >= 32,
+                                      lane < 32 + nv_d).astype(f32))
 
         def upd(ci, _):
             sl = pl.ds(ci * rows, rows)
-            chunk = SFX[sl, :].astype(f32)
-            gWc = _dot_nt(chunk.astype(cd[0]), H128g.astype(cd[0]), cd) * inv_b
-            gbc = jnp.sum(chunk * sign, axis=1, keepdims=True) * inv_b
+            if ndev > 1:
+                sfxg_all[my] = SFX[sl, :]
+
+                def sfx_body(s, _2, _ci=ci):
+                    fwd = jax.lax.rem(my - s + 2 * ndev, ndev)
+                    src = jax.lax.rem(my - s - 1 + 2 * ndev, ndev)
+                    slot = _ring_hop_wb(
+                        (updc * NC + _ci) * (ndev - 1) + s,
+                        sfxg_all.at[fwd], comm_sfx, send_sfx, recv_sfx)
+                    sfxg_all[src] = comm_sfx[slot]
+                    return 0
+
+                jax.lax.fori_loop(0, ndev - 1, sfx_body, 0)
+                gWc = jnp.zeros((rows, Hp), f32)
+                gbc = jnp.zeros((rows, 1), f32)
+                for d in range(ndev):  # static: ndev MXU calls per chunk
+                    sfx_d = sfxg_all[d].astype(f32)
+                    # only lanes 0:64 pair with the gathered h rows (the
+                    # packing puts v0 at lanes 0:B and vs at 32:32+B)
+                    gWc = gWc + _dot_nt(sfx_d[:, 0:64].astype(cd[0]),
+                                        hg_all[d].astype(cd[0]), cd)
+                    gbc = gbc + jnp.sum(sfx_d * sign_d[d], axis=1,
+                                        keepdims=True)
+                gWc = gWc * inv_b
+                gbc = gbc * inv_b
+            else:
+                chunk = SFX[sl, :].astype(f32)
+                gWc = _dot_nt(chunk.astype(cd[0]), H128g.astype(cd[0]),
+                              cd) * inv_b
+                gbc = jnp.sum(chunk * sign, axis=1, keepdims=True) * inv_b
             if cfg.grad_clip is not None:
                 gWc = jnp.clip(gWc, -clip, clip)
                 gbc = jnp.clip(gbc, -clip, clip)
@@ -2261,12 +2347,17 @@ def _cd_train_kernel_wb(
 
 def _build_wblocked_call(cfg: RBMConfig, n_epochs: int, nb: int, unroll: int,
                          shuffle: bool, interpret, inject: bool, rows: int,
-                         h_real: Optional[int] = None):
+                         h_real: Optional[int] = None, ndev: int = 1,
+                         global_b: Optional[int] = None,
+                         _self_loop: bool = False):
     """pallas_call for the W-blocked tier. ``cfg`` has H pre-padded to a 128
     multiple (``h_real`` = the unpadded width, for the in-kernel pad-column
-    inertness mask); the visible bias travels broadcast as (V, 128)."""
+    inertness mask); the visible bias travels broadcast as (V, 128).
+    ``ndev > 1``: the W-blocked DP exchange (round 5) — per-update all-gather
+    of the [128, Hp] h-matrices + per-chunk gathers of the SFX v-factors."""
+    barrier = ndev > 1 and interpret is False
     if interpret is True:
-        interpret = pltpu.InterpretParams()
+        interpret = pltpu.InterpretParams(detect_races=(ndev > 1))
     V, Hp, B = cfg.n_visible, cfg.n_hidden, cfg.batch_size
     assert Hp % 128 == 0 and V % rows == 0 and B <= 32
     pdt = jnp.bfloat16 if cfg.param_dtype == "bfloat16" else jnp.float32
@@ -2302,6 +2393,17 @@ def _build_wblocked_call(cfg: RBMConfig, n_epochs: int, nb: int, unroll: int,
                        pltpu.VMEM((B, Hp), pdt),   # chain
                        pltpu.SemaphoreType.DMA((7,)),
                        pltpu.VMEM((V, 128), pdt)]  # SFX packed factors
+    if ndev > 1:
+        scratch_shapes += [
+            pltpu.VMEM((ndev, 64, Hp), f32),       # hg_all (per source)
+            pltpu.VMEM((ndev, 64, Hp), f32),       # comm_hg slots
+            pltpu.SemaphoreType.DMA((ndev,)),      # send_hg
+            pltpu.SemaphoreType.DMA((ndev,)),      # recv_hg
+            pltpu.VMEM((ndev, rows, 128), pdt),    # sfxg_all (per source)
+            pltpu.VMEM((ndev, rows, 128), pdt),    # comm_sfx slots
+            pltpu.SemaphoreType.DMA((ndev,)),      # send_sfx
+            pltpu.SemaphoreType.DMA((ndev,)),      # recv_sfx
+        ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -2324,12 +2426,15 @@ def _build_wblocked_call(cfg: RBMConfig, n_epochs: int, nb: int, unroll: int,
     return pl.pallas_call(
         functools.partial(_cd_train_kernel_wb, cfg=cfg, unroll=unroll, nb=nb,
                           rows=rows, inject=inject,
-                          h_real=cfg.n_hidden if h_real is None else h_real),
+                          h_real=cfg.n_hidden if h_real is None else h_real,
+                          ndev=ndev, global_b=global_b, barrier=barrier,
+                          _self_loop=_self_loop),
         grid_spec=grid_spec,
         out_shape=out_shape,
         input_output_aliases={k + 3 + n_inject: k for k in range(7)},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            collective_id=0 if ndev > 1 else None,
             vmem_limit_bytes=112 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
@@ -2752,15 +2857,20 @@ def _cached_dp_train_fn(cfg: RBMConfig, mesh: Mesh, axis: str, ndev: int,
     local_cfg = cfg.replace(batch_size=local_b)
     M = cfg.pt_temps
     pt = M > 1  # tempering: per-particle ladders shard with the batch
-    # wide multi-chip tier: factor exchange + chunk-update (the full [V, H]
-    # gradient never materializes), H-padded when lane-misaligned
-    cu = hbm_state and needs_chunk_update(local_cfg, ndev, dp_reduce)
+    # wide multi-chip tiers: factor exchange + chunk-update (the full [V, H]
+    # gradient never materializes), H-padded when lane-misaligned; beyond
+    # that, the fully W-blocked kernel with the gathered-factor exchange
+    # (round 5, VERDICT r4 #4)
+    wb = hbm_state and needs_w_chunking(local_cfg, ndev, dp_reduce)
+    cu = (hbm_state and not wb
+          and needs_chunk_update(local_cfg, ndev, dp_reduce))
     stream_vel = cu and chunk_update_streams_velocity(local_cfg, ndev,
                                                       dp_reduce)
     fxc = cu and chunk_update_fx_chunked(local_cfg, ndev, dp_reduce)
     fxb = chunk_update_fx_bytes(local_cfg, ndev, dp_reduce) if fxc else None
     cu_pad = cu and cfg.n_hidden % 128 != 0
-    kcfg = w_chunk_padded_cfg(local_cfg) if cu_pad else local_cfg
+    kcfg = (w_chunk_padded_cfg(local_cfg) if (wb or cu_pad) else local_cfg)
+    w_rows = w_chunk_rows_for(kcfg, ndev) if wb else None
     H, hpad = cfg.n_hidden, kcfg.n_hidden - cfg.n_hidden
 
     def _pad_rows(a: jax.Array, axis_idx: int) -> jax.Array:
@@ -2796,7 +2906,7 @@ def _cached_dp_train_fn(cfg: RBMConfig, mesh: Mesh, axis: str, ndev: int,
         n = data.shape[0]
         nb, unroll, nsteps, perm, seed, key = _prepare_run(
             cfg, state, n, n_epochs, ndev, hbm_state, pick_cfg=kcfg,
-            dp_reduce=dp_reduce)
+            dp_reduce=dp_reduce, force_unroll1=wb)
         if inject and uniforms is None:
             key, kdraw = jax.random.split(key)
             uniforms = draw_uniform_blocks(cfg, kdraw, n_epochs, nb)
@@ -2860,14 +2970,21 @@ def _cached_dp_train_fn(cfg: RBMConfig, mesh: Mesh, axis: str, ndev: int,
                 jnp.repeat(pt_betas(cfg), local_b)[:, None]]
             u_specs = u_specs + (P(None, None),)
 
-        call = _build_pallas_call(kcfg, n_epochs, nb, unroll, cfg.shuffle,
-                                  interpret, ndev=1 if _skip_allreduce else ndev,
-                                  inject=inject, hbm_state=hbm_state,
-                                  dp_reduce=dp_reduce,
-                                  global_b=None if _skip_allreduce else B,
-                                  chunk_update=cu, stream_vel=stream_vel,
-                                  h_real=H if cu_pad else None,
-                                  fx_chunked=fxc, fx_bytes=fxb)
+        if wb:
+            call = _build_wblocked_call(
+                kcfg, n_epochs, nb, unroll, cfg.shuffle, interpret, inject,
+                w_rows, h_real=H, ndev=1 if _skip_allreduce else ndev,
+                global_b=None if _skip_allreduce else B)
+        else:
+            call = _build_pallas_call(kcfg, n_epochs, nb, unroll, cfg.shuffle,
+                                      interpret,
+                                      ndev=1 if _skip_allreduce else ndev,
+                                      inject=inject, hbm_state=hbm_state,
+                                      dp_reduce=dp_reduce,
+                                      global_b=None if _skip_allreduce else B,
+                                      chunk_update=cu, stream_vel=stream_vel,
+                                      h_real=H if cu_pad else None,
+                                      fx_chunked=fxc, fx_bytes=fxb)
         z_spec = P() if cfg.learn_variance else None
         state_specs = TrainState(
             params=RBMParams(W=P(), b=P(), c=P(), z=z_spec),
@@ -2897,6 +3014,28 @@ def _cached_dp_train_fn(cfg: RBMConfig, mesh: Mesh, axis: str, ndev: int,
             lu = [a.reshape(n_epochs, nsteps, -1, a.shape[-1])
                   for a in local_u]
             p, vel = st.params, st.velocity
+            if wb:
+                # W-blocked operand layout: broadcast (V, 128) visible-bias
+                # masters; outputs unpack the same way _cached_train_fn's
+                # single-chip wb branch does
+                pdt_ = jnp.dtype(cfg.param_dtype)
+                bB = jnp.broadcast_to(p.b.reshape(-1, 1),
+                                      (cfg.n_visible, 128)).astype(pdt_)
+                vbB = jnp.broadcast_to(vel.b.reshape(-1, 1),
+                                       (cfg.n_visible, 128)).astype(pdt_)
+                Wo, bb, cc, vWo, vb, vc, chain, errs = call(
+                    my_seed, perm_, lb, *lu,
+                    p.W, bB, p.c.reshape(1, -1),
+                    vel.W, vbB, vel.c.reshape(1, -1), st.chain_h)
+                errs = jax.lax.pmean(errs[:, 0], axis)
+                new_st = TrainState(
+                    params=RBMParams(W=Wo, b=bb[:, 0], c=cc[0]),
+                    velocity=RBMParams(W=vWo, b=vb[:, 0], c=vc[0]),
+                    chain_h=chain,
+                    key=st.key,
+                    epoch=st.epoch + n_epochs,
+                )
+                return new_st, errs
             operands = [p.W, p.b.reshape(1, -1), p.c.reshape(1, -1),
                         vel.W, vel.b.reshape(1, -1), vel.c.reshape(1, -1),
                         st.chain_h]
