@@ -112,6 +112,23 @@ def draw_uniforms(cfg: RBMConfig, batch: int, rng: np.random.Generator) -> Dict[
     return u
 
 
+def draw_pt_uniforms(cfg: RBMConfig, batch: int, rng: np.random.Generator) -> Dict[str, np.ndarray]:
+    """Uniforms for one parallel-tempering update — the NumPy mirror of
+    ops.cd_step.draw_pt_uniforms' layout: the Gibbs draws gain a leading rung
+    dim M (independent draws PER RUNG, never broadcast), plus [2, M-1, batch]
+    swap uniforms for the even + odd Metropolis rounds."""
+    M = cfg.pt_temps
+    u = {
+        "h0": rng.random((batch, cfg.n_hidden), dtype=np.float32),
+        "v": rng.random((cfg.k, M, batch, cfg.n_visible), dtype=np.float32),
+        "h": rng.random((cfg.k, M, batch, cfg.n_hidden), dtype=np.float32),
+        "swap": rng.random((2, M - 1, batch), dtype=np.float32),
+    }
+    if cfg.visible == "gaussian" and cfg.resolved_sample_visible:
+        u["noise"] = rng.standard_normal((cfg.k, M, batch, cfg.n_visible)).astype(np.float32)
+    return u
+
+
 def cd_step_stats(
     params: Dict[str, np.ndarray],
     v0: np.ndarray,
@@ -345,14 +362,30 @@ class OracleRBM:
         self._epoch = 0
 
     def train_step(self, v0: np.ndarray, uniforms: Optional[Dict[str, np.ndarray]] = None) -> float:
-        if uniforms is None:
-            uniforms = draw_uniforms(self.cfg, v0.shape[0], self.rng)
-        if self.cfg.persistent and self.chain_h is None:
-            # Theano-tutorial convention, matching core.state.init_train_state:
-            # the persistent chain starts at ZEROS, not at the first batch's
-            # hidden sample
-            self.chain_h = np.zeros((v0.shape[0], self.cfg.n_hidden), v0.dtype)
-        grads, new_chain, err, _ = cd_step_stats(self.params, v0, self.chain_h, uniforms, self.cfg)
+        if self.cfg.pt_temps > 1:
+            # Parallel-tempering PCD: one persistent ladder [M, B, H] per
+            # batch slot (zeros init, matching core.state.init_train_state),
+            # updated by the tempered-Gibbs + replica-swap step. Round-5 fix:
+            # this dispatch was MISSING — the oracle silently trained plain
+            # PCD under pt_temps>1, so the parity harness compared different
+            # algorithms (PT mixes better; the tpu column's ~1.2e-3 lower
+            # final error was real, not an implementation gap).
+            if uniforms is None:
+                uniforms = draw_pt_uniforms(self.cfg, v0.shape[0], self.rng)
+            if self.chain_h is None:
+                self.chain_h = np.zeros(
+                    (self.cfg.pt_temps, v0.shape[0], self.cfg.n_hidden), v0.dtype)
+            grads, new_chain, err = pt_step_stats(
+                self.params, v0, self.chain_h, uniforms, self.cfg)
+        else:
+            if uniforms is None:
+                uniforms = draw_uniforms(self.cfg, v0.shape[0], self.rng)
+            if self.cfg.persistent and self.chain_h is None:
+                # Theano-tutorial convention, matching core.state.init_train_state:
+                # the persistent chain starts at ZEROS, not at the first batch's
+                # hidden sample
+                self.chain_h = np.zeros((v0.shape[0], self.cfg.n_hidden), v0.dtype)
+            grads, new_chain, err, _ = cd_step_stats(self.params, v0, self.chain_h, uniforms, self.cfg)
         if self.cfg.error_metric == "pseudo":
             err = pseudo_likelihood(self.params, v0,
                                     self._step_count % self.cfg.n_visible,

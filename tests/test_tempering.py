@@ -238,3 +238,32 @@ def test_pt_config_and_engine_guards():
                           mesh=Mesh(devs, ("dp",)))
         assert st.chain_h.shape == (3 * 8, 4)
         assert np.isfinite(m.errors).all()
+
+
+def test_oracle_rbm_train_step_dispatches_pt():
+    """OracleRBM under pt_temps>1 must run the tempered ladder, not plain PCD
+    (round-5 regression: the dispatch was missing, so the parity harness's
+    PT row compared the tpu's PT against a plain-PCD oracle — different
+    algorithms, systematically different final errors)."""
+    cfg = RBMConfig(n_visible=8, n_hidden=6, k=1, lr=0.1, epochs=1,
+                    batch_size=4, persistent=True, pt_temps=3,
+                    pt_beta_min=0.2, seed=0)
+    rng = np.random.default_rng(1)
+    v0 = (rng.random((4, 8)) < 0.5).astype(np.float32)
+    u = oracle.draw_pt_uniforms(cfg, 4, np.random.default_rng(2))
+
+    o = oracle.OracleRBM(cfg)
+    params0 = {k: v.copy() for k, v in o.params.items()}
+    err = o.train_step(v0, uniforms=u)
+    # the persistent state is the full [M, B, H] ladder
+    assert o.chain_h.shape == (3, 4, 6)
+
+    # and it is exactly one pt_step_stats application from zeros
+    chains0 = np.zeros((3, 4, 6), np.float32)
+    grads, chain_ref, err_ref = oracle.pt_step_stats(params0, v0, chains0, u, cfg)
+    np.testing.assert_allclose(o.chain_h, chain_ref, rtol=0, atol=0)
+    assert err == pytest.approx(err_ref)
+    # the update itself used the PT gradient: W moved by lr * gW (no momentum
+    # on step 1 beyond velocity init at zero, l2 = 0 by default here)
+    np.testing.assert_allclose(o.params["W"] - params0["W"],
+                               cfg.lr * grads["W"], rtol=1e-6, atol=1e-7)
