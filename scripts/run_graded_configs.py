@@ -62,6 +62,13 @@ def rewrite_real_config(cfg_path: str, fixtures: dict, outdir: str) -> str:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--per-config-timeout", type=int, default=900,
+                    help="seconds per config attempt; the tunneled TPU "
+                         "runtime occasionally drops an RPC and the child "
+                         "blocks forever, so keep this tight and retry")
+    ap.add_argument("--retries", type=int, default=1,
+                    help="re-attempts per config after a timeout/failure "
+                         "(tunnel flakes are transient)")
     args = ap.parse_args()
 
     fixroot = tempfile.mkdtemp(prefix="mdbn_fixtures_")
@@ -76,16 +83,25 @@ def main():
         with tempfile.TemporaryDirectory() as td:
             metrics = os.path.join(td, "m.jsonl")
             t0 = time.time()
-            try:
-                proc = subprocess.run(
-                    [sys.executable, "-m", "mdbn_tpu.run", "--config", cfg_path,
-                     "--epochs", str(args.epochs), "--metrics", metrics],
-                    capture_output=True, text=True, timeout=3600)
-                ok = proc.returncode == 0
-                stderr_tail = (proc.stderr or "")[-200:].replace("\n", " ")
-            except subprocess.TimeoutExpired:
-                ok = False
-                stderr_tail = "timed out after 3600s"
+            for attempt in range(1 + args.retries):
+                if os.path.exists(metrics):
+                    os.remove(metrics)
+                try:
+                    proc = subprocess.run(
+                        [sys.executable, "-m", "mdbn_tpu.run", "--config", cfg_path,
+                         "--epochs", str(args.epochs), "--metrics", metrics],
+                        capture_output=True, text=True,
+                        timeout=args.per_config_timeout)
+                    ok = proc.returncode == 0
+                    stderr_tail = (proc.stderr or "")[-200:].replace("\n", " ")
+                except subprocess.TimeoutExpired:
+                    ok = False
+                    stderr_tail = f"timed out after {args.per_config_timeout}s"
+                if ok:
+                    break
+                print(f"{name}: attempt {attempt + 1} failed ({stderr_tail}); "
+                      f"{'retrying' if attempt < args.retries else 'giving up'}",
+                      file=sys.stderr, flush=True)
             dt = time.time() - t0
             summary = ""
             if ok and os.path.exists(metrics):
