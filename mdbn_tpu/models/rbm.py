@@ -31,6 +31,10 @@ class RBM:
         self.cfg = cfg
         self.state: TrainState = state if state is not None else init_train_state(cfg, key)
         self.metrics: Optional[EpochMetrics] = None
+        # a caller-supplied state (e.g. a checkpoint restore) counts as
+        # trained; a fresh random init does not — transform() on it would
+        # silently hand back noise codes (same guard as DBN.transform)
+        self._trained = state is not None
 
     # -- reference API ------------------------------------------------------
 
@@ -40,9 +44,15 @@ class RBM:
             data, self.cfg, state=self.state, mesh=mesh, runtime=runtime,
             epoch_callback=epoch_callback,
         )
+        self._trained = True
         return self
 
     def transform(self, v) -> jax.Array:
+        if not self._trained:
+            raise RuntimeError(
+                "RBM.transform called before train(): the codes would be "
+                "random-init noise. Call train(data) first (or construct "
+                "with state= from a checkpoint).")
         return tops.transform(self.params, jnp.asarray(v, self._dtype), self.cfg)
 
     # -- extras -------------------------------------------------------------

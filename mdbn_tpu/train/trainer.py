@@ -172,11 +172,11 @@ def resolve_dp_engine(cfg: RBMConfig, mesh: Mesh,
         # CPU meshes run the interpreter (slow, test-only); dp x tp GSPMD
         # carries the tensor-parallel collectives the kernel doesn't
         return "xla"
-    from ..ops.cd_epoch_pallas import _resolve_dp_reduce
+    from ..ops.cd_epoch_pallas import _resolve_dp_reduce, dp_local_cfg
 
     ndev = len(mesh.devices.flatten())
-    local_cfg = cfg.replace(batch_size=-(-cfg.batch_size // ndev))
-    return "pallas_dp" if _resolve_dp_reduce(local_cfg, ndev) else "xla"
+    return ("pallas_dp"
+            if _resolve_dp_reduce(dp_local_cfg(cfg, ndev), ndev) else "xla")
 
 
 def _use_pallas(cfg: RBMConfig, mesh: Optional[Mesh]) -> bool:
@@ -284,8 +284,10 @@ def train_rbm(
         # availability is per SHARD: the kernel runs with the local batch
         # (ceil(global batch / ndev); uneven batches pad + mask the tail
         # shards), so probe with that, not the global config
+        from ..ops.cd_epoch_pallas import dp_local_cfg
+
         ndev = len(mesh.devices.flatten())
-        local_cfg = cfg.replace(batch_size=-(-cfg.batch_size // ndev))
+        local_cfg = dp_local_cfg(cfg, ndev)
         if not _pallas_available(local_cfg):
             raise ValueError("model too large for the Pallas VMEM-resident "
                              "kernel even per shard; use engine='xla'")

@@ -136,6 +136,16 @@ def main():
     p9 = bench(ptw, 400, 60)
     x9 = bench(ptw, 400, 10, engine="xla")
 
+    # round 5 (code-review follow-up): local batch 64 at the graded wide
+    # shape — the realistic per-shard DP batch, previously the one
+    # published fused rejection (the chunk tier's W master+read + Gibbs
+    # activations overflow at f32 B=64). The wide-offset W-blocked packing
+    # (vs lanes at 64) now routes it fused, single-chip and under DP.
+    b64 = wide.replace(batch_size=64)
+    assert needs_w_chunking(b64) and not needs_chunk_update(b64)
+    p10 = bench(b64, 640, 60)
+    x10 = bench(b64, 640, 10, engine="xla")
+
     # beyond the middle tier: 28000x400 f32 runs fully W-blocked
     wider = RBMConfig(n_visible=28000, n_hidden=400, visible="gaussian",
                       lr=0.001, batch_size=20, seed=0)
@@ -164,6 +174,8 @@ def main():
           f"pallas {p8:,.0f}/s vs xla {x8:,.0f}/s ({p8 / x8:.1f}x)")
     print(f"SUMMARY 20000x400 bf16 PT M=3 (chunk-update): "
           f"pallas {p9:,.0f}/s vs xla {x9:,.0f}/s ({p9 / x9:.1f}x)")
+    print(f"SUMMARY 20000x400 f32 batch 64 (wide-offset W-blocked): "
+          f"pallas {p10:,.0f}/s vs xla {x10:,.0f}/s ({p10 / x10:.1f}x)")
     print(f"SUMMARY 28000x400 f32 (W-blocked): pallas {p3:,.0f}/s "
           f"vs xla {x3:,.0f}/s ({p3 / x3:.1f}x)")
     print(f"SUMMARY 40000x1000 bf16 (W-blocked): pallas {p2:,.0f}/s "

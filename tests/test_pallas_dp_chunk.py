@@ -24,12 +24,22 @@ from mdbn_tpu.core.state import init_train_state
 from mdbn_tpu.data.synthetic import mnist_like
 from mdbn_tpu.parallel.mesh import make_mesh
 
+from mdbn_tpu.parallel.mesh import interpret_safe_ndev
+
 from test_pallas_dp import (  # noqa: E402
     CFG, DATA, E, UNEVEN_CFG, UNEVEN_DATA, _draw, _host_replay,
     _assert_dp_replay_parity,
 )
 
 pytestmark = pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+
+# Simulated-mesh width for the hbm-state (manual-DMA) tiers: 8, except on
+# single-core hosts where 8 blocking interpret callbacks deadlock XLA:CPU
+# (measured; see parallel/mesh.py:interpret_safe_ndev). The uneven batch
+# keeps 2.5 rows/shard so the tail shard always carries pad rows: the
+# graded 20-on-8, or 10-on-4 on the capped mesh.
+ND = interpret_safe_ndev(8)
+UCFG = UNEVEN_CFG.replace(batch_size=2 * ND + ND // 2)
 
 
 def _force_chunk_tier(chunk_bytes, stream_vel=False, fx_chunked=False):
@@ -74,9 +84,9 @@ def test_dp_chunk_update_exact_parity():
     cfg = CFG.replace(seed=41)
     nb = DATA.shape[0] // cfg.batch_size
     uniforms = _draw(cfg, nb, E)
-    mesh = make_mesh(8)
+    mesh = make_mesh(ND)
     with _force_chunk_tier(32 * 4 * 128):
-        fn = _cached_dp_train_fn(cfg, mesh, mesh.axis_names[0], 8, E,
+        fn = _cached_dp_train_fn(cfg, mesh, mesh.axis_names[0], ND, E,
                                  True, True, False, True)
         state0 = init_train_state(cfg)
         state, errs = fn(state0, jnp.asarray(DATA), uniforms)
@@ -89,12 +99,12 @@ def test_dp_chunk_update_uneven_batch20_exact():
     the chunked update exactly."""
     from mdbn_tpu.ops.cd_epoch_pallas import _cached_dp_train_fn
 
-    cfg = UNEVEN_CFG.replace(seed=42)
+    cfg = UCFG.replace(seed=42)
     nb = UNEVEN_DATA.shape[0] // cfg.batch_size
     uniforms = _draw(cfg, nb, E)
-    mesh = make_mesh(8)
+    mesh = make_mesh(ND)
     with _force_chunk_tier(16 * 4 * 128):
-        fn = _cached_dp_train_fn(cfg, mesh, mesh.axis_names[0], 8, E,
+        fn = _cached_dp_train_fn(cfg, mesh, mesh.axis_names[0], ND, E,
                                  True, True, False, True)
         state0 = init_train_state(cfg)
         state, errs = fn(state0, jnp.asarray(UNEVEN_DATA), uniforms)
@@ -111,9 +121,9 @@ def test_dp_chunk_update_stream_vel_exact():
     cfg = CFG.replace(seed=43)
     nb = DATA.shape[0] // cfg.batch_size
     uniforms = _draw(cfg, nb, E)
-    mesh = make_mesh(8)
+    mesh = make_mesh(ND)
     with _force_chunk_tier(32 * 4 * 128, stream_vel=True):
-        fn = _cached_dp_train_fn(cfg, mesh, mesh.axis_names[0], 8, E,
+        fn = _cached_dp_train_fn(cfg, mesh, mesh.axis_names[0], ND, E,
                                  True, True, False, True)
         state0 = init_train_state(cfg)
         state, errs = fn(state0, jnp.asarray(DATA), uniforms)
@@ -135,9 +145,9 @@ def test_dp_chunk_update_lv_parity():
     data = rng.standard_normal((128, 144)).astype(np.float32)
     nb = data.shape[0] // cfg.batch_size
     uniforms = _draw(cfg, nb, E)
-    mesh = make_mesh(8)
+    mesh = make_mesh(ND)
     with _force_chunk_tier(32 * 4 * 128):
-        fn = _cached_dp_train_fn(cfg, mesh, mesh.axis_names[0], 8, E,
+        fn = _cached_dp_train_fn(cfg, mesh, mesh.axis_names[0], ND, E,
                                  True, True, False, True)
         state0 = init_train_state(cfg)
         state, errs = fn(state0, jnp.asarray(data), uniforms)
@@ -165,9 +175,9 @@ def test_dp_chunk_update_parity_breaks_without_allreduce():
     cfg = CFG.replace(seed=45)
     nb = DATA.shape[0] // cfg.batch_size
     uniforms = _draw(cfg, nb, E)
-    mesh = make_mesh(8)
+    mesh = make_mesh(ND)
     with _force_chunk_tier(32 * 4 * 128):
-        fn = _cached_dp_train_fn(cfg, mesh, mesh.axis_names[0], 8, E,
+        fn = _cached_dp_train_fn(cfg, mesh, mesh.axis_names[0], ND, E,
                                  True, True, True, True)  # _skip_allreduce
         state0 = init_train_state(cfg)
         state, errs = fn(state0, jnp.asarray(DATA), uniforms)
@@ -195,9 +205,9 @@ def test_dp_fxc_exact_parity():
     cfg = CFG.replace(seed=51)
     nb = DATA.shape[0] // cfg.batch_size
     uniforms = _draw(cfg, nb, E)
-    mesh = make_mesh(8)
+    mesh = make_mesh(ND)
     with _force_chunk_tier(32 * 4 * 128, fx_chunked=True):
-        fn = _cached_dp_train_fn(cfg, mesh, mesh.axis_names[0], 8, E,
+        fn = _cached_dp_train_fn(cfg, mesh, mesh.axis_names[0], ND, E,
                                  True, True, False, True)
         state0 = init_train_state(cfg)
         state, errs = fn(state0, jnp.asarray(DATA), uniforms)
@@ -210,12 +220,12 @@ def test_dp_fxc_uneven_batch20_exact():
     statistic the exact global-batch mean."""
     from mdbn_tpu.ops.cd_epoch_pallas import _cached_dp_train_fn
 
-    cfg = UNEVEN_CFG.replace(seed=52)
+    cfg = UCFG.replace(seed=52)
     nb = UNEVEN_DATA.shape[0] // cfg.batch_size
     uniforms = _draw(cfg, nb, E)
-    mesh = make_mesh(8)
+    mesh = make_mesh(ND)
     with _force_chunk_tier(16 * 4 * 128, fx_chunked=True):
-        fn = _cached_dp_train_fn(cfg, mesh, mesh.axis_names[0], 8, E,
+        fn = _cached_dp_train_fn(cfg, mesh, mesh.axis_names[0], ND, E,
                                  True, True, False, True)
         state0 = init_train_state(cfg)
         state, errs = fn(state0, jnp.asarray(UNEVEN_DATA), uniforms)
@@ -231,9 +241,9 @@ def test_dp_fxc_stream_vel_exact():
     cfg = CFG.replace(seed=53)
     nb = DATA.shape[0] // cfg.batch_size
     uniforms = _draw(cfg, nb, E)
-    mesh = make_mesh(8)
+    mesh = make_mesh(ND)
     with _force_chunk_tier(32 * 4 * 128, stream_vel=True, fx_chunked=True):
-        fn = _cached_dp_train_fn(cfg, mesh, mesh.axis_names[0], 8, E,
+        fn = _cached_dp_train_fn(cfg, mesh, mesh.axis_names[0], ND, E,
                                  True, True, False, True)
         state0 = init_train_state(cfg)
         state, errs = fn(state0, jnp.asarray(DATA), uniforms)
@@ -254,9 +264,9 @@ def test_dp_fxc_lv_parity():
     data = rng.standard_normal((128, 144)).astype(np.float32)
     nb = data.shape[0] // cfg.batch_size
     uniforms = _draw(cfg, nb, E)
-    mesh = make_mesh(8)
+    mesh = make_mesh(ND)
     with _force_chunk_tier(32 * 4 * 128, fx_chunked=True):
-        fn = _cached_dp_train_fn(cfg, mesh, mesh.axis_names[0], 8, E,
+        fn = _cached_dp_train_fn(cfg, mesh, mesh.axis_names[0], ND, E,
                                  True, True, False, True)
         state0 = init_train_state(cfg)
         state, errs = fn(state0, jnp.asarray(data), uniforms)
@@ -281,9 +291,9 @@ def test_dp_fxc_parity_breaks_without_allreduce():
     cfg = CFG.replace(seed=55)
     nb = DATA.shape[0] // cfg.batch_size
     uniforms = _draw(cfg, nb, E)
-    mesh = make_mesh(8)
+    mesh = make_mesh(ND)
     with _force_chunk_tier(32 * 4 * 128, fx_chunked=True):
-        fn = _cached_dp_train_fn(cfg, mesh, mesh.axis_names[0], 8, E,
+        fn = _cached_dp_train_fn(cfg, mesh, mesh.axis_names[0], ND, E,
                                  True, True, True, True)  # _skip_allreduce
         state0 = init_train_state(cfg)
         state, errs = fn(state0, jnp.asarray(DATA), uniforms)
@@ -296,11 +306,15 @@ def test_wide_dp_fxc_routing():
     """The round-5 closure probe (VERDICT r4 #3): 20000x400 at REALISTIC
     per-shard batches routes fused under DP — local B 20 in every graded
     variant (plain / momentum / learned-variance, f32), and local B 64 in
-    the bf16 regime the wide guidance recommends. f32 local B 64 is a
-    measured rejection: the W master + whole-W read (82 MB H-padded) plus
-    the [64, 20000] f32 Gibbs activations exceed VMEM in any full-W tier
-    (BENCH_DETAIL.md wide section)."""
+    the bf16 regime the wide guidance recommends. f32 local B 64 exceeds
+    VMEM in any full-W tier (82 MB H-padded W master + whole-W read plus
+    the [64, 20000] f32 Gibbs activations) — it was the one published
+    fused rejection until the round-5 wide-offset W-blocked packing
+    (B <= 64) admitted it; it now routes W-blocked, measured 9.2k/s vs
+    2.4k XLA (BENCH_DETAIL.md wide section)."""
     from mdbn_tpu.ops.cd_epoch_pallas import (chunk_update_fx_chunked,
+                                              needs_chunk_update,
+                                              needs_w_chunking,
                                               pallas_state_mode)
 
     base = dict(n_visible=20000, n_hidden=400, k=1, lr=0.005,
@@ -314,9 +328,12 @@ def test_wide_dp_fxc_routing():
         cfg = RBMConfig(batch_size=lb, **base, **kw)
         assert pallas_state_mode(cfg, ndev=8, dp_reduce="factor") is True, (lb, kw)
         assert chunk_update_fx_chunked(cfg, ndev=8, dp_reduce="factor"), (lb, kw)
-    # the f32 local-64 rejection stays measured-and-documented, not silent
+    # f32 local-64: every full-W tier still rejects it, and the round-5
+    # wide-offset W-blocked tier is what admits it fused
     cfg64 = RBMConfig(batch_size=64, **base)
-    assert pallas_state_mode(cfg64, ndev=8, dp_reduce="factor") is None
+    assert not needs_chunk_update(cfg64, 8, "factor")
+    assert needs_w_chunking(cfg64, 8, "factor")
+    assert pallas_state_mode(cfg64, ndev=8, dp_reduce="factor") is True
 
 
 # ---------------------------------------------------------------------------
@@ -335,9 +352,9 @@ def test_dp_chunk_enhanced_exact_parity():
                       sparsity_cost=0.05)
     nb = DATA.shape[0] // cfg.batch_size
     uniforms = _draw(cfg, nb, E)
-    mesh = make_mesh(8)
+    mesh = make_mesh(ND)
     with _force_chunk_tier(32 * 4 * 128):
-        fn = _cached_dp_train_fn(cfg, mesh, mesh.axis_names[0], 8, E,
+        fn = _cached_dp_train_fn(cfg, mesh, mesh.axis_names[0], ND, E,
                                  True, True, False, True)
         state0 = init_train_state(cfg)
         state, errs = fn(state0, jnp.asarray(DATA), uniforms)
@@ -350,12 +367,12 @@ def test_dp_fxc_enhanced_uneven_exact():
     masked pad rows stay out of every offset — exact vs the host replay."""
     from mdbn_tpu.ops.cd_epoch_pallas import _cached_dp_train_fn
 
-    cfg = UNEVEN_CFG.replace(seed=62, gradient="enhanced")
+    cfg = UCFG.replace(seed=62, gradient="enhanced")
     nb = UNEVEN_DATA.shape[0] // cfg.batch_size
     uniforms = _draw(cfg, nb, E)
-    mesh = make_mesh(8)
+    mesh = make_mesh(ND)
     with _force_chunk_tier(16 * 4 * 128, fx_chunked=True):
-        fn = _cached_dp_train_fn(cfg, mesh, mesh.axis_names[0], 8, E,
+        fn = _cached_dp_train_fn(cfg, mesh, mesh.axis_names[0], ND, E,
                                  True, True, False, True)
         state0 = init_train_state(cfg)
         state, errs = fn(state0, jnp.asarray(UNEVEN_DATA), uniforms)
@@ -377,9 +394,9 @@ def test_dp_chunk_pt_exact_parity():
     data = mnist_like(128, n_features=96, seed=3)
     nb = data.shape[0] // cfg.batch_size
     uniforms = _draw_pt(cfg, nb, E)
-    mesh = make_mesh(8)
+    mesh = make_mesh(ND)
     with _force_chunk_tier(32 * 4 * 128):
-        fn = _cached_dp_train_fn(cfg, mesh, mesh.axis_names[0], 8, E,
+        fn = _cached_dp_train_fn(cfg, mesh, mesh.axis_names[0], ND, E,
                                  True, True, False, True)
         state0 = init_train_state(cfg)
         state, errs = fn(state0, jnp.asarray(data), uniforms)
@@ -409,9 +426,9 @@ def test_dp_fxc_pt_uneven_exact():
     data = mnist_like(40, n_features=96, seed=9)
     nb = data.shape[0] // cfg.batch_size
     uniforms = _draw_pt(cfg, nb, E)
-    mesh = make_mesh(8)
+    mesh = make_mesh(ND)
     with _force_chunk_tier(32 * 4 * 128, fx_chunked=True):
-        fn = _cached_dp_train_fn(cfg, mesh, mesh.axis_names[0], 8, E,
+        fn = _cached_dp_train_fn(cfg, mesh, mesh.axis_names[0], ND, E,
                                  True, True, False, True)
         state0 = init_train_state(cfg)
         state, errs = fn(state0, jnp.asarray(data), uniforms)

@@ -1288,3 +1288,111 @@ def test_dp_wblocked_selfloop_on_hardware():
     out = jax.jit(run)(*args)
     for t in out:
         assert np.isfinite(np.asarray(t, np.float32)).all()
+
+
+def test_dp_wblocked_wide_offset_selfloop_on_hardware():
+    """Round 5: the wide-offset W-blocked DP kernel (local batch 64 — vs
+    lanes packed at offset 64, 128 structural h-matrix rows gathered per
+    update) compiles AND trains on the chip at 20000x400 f32, the
+    previously-rejected realistic per-shard batch at the graded wide
+    shape."""
+    from jax.sharding import PartitionSpec as P
+
+    from mdbn_tpu.core.state import init_train_state
+    from mdbn_tpu.ops.cd_epoch_pallas import (_build_wblocked_call,
+                                              needs_w_chunking,
+                                              w_chunk_padded_cfg,
+                                              w_chunk_rows_for)
+
+    ndev = 8
+    lB = 64
+    gB = lB * ndev
+    cfg = RBMConfig(n_visible=20000, n_hidden=400, visible="gaussian",
+                    lr=0.001, batch_size=gB, seed=0, sample_visible=False)
+    local_cfg = cfg.replace(batch_size=lB)
+    assert needs_w_chunking(local_cfg, ndev, "factor")
+    kcfg = w_chunk_padded_cfg(local_cfg)
+    rows = w_chunk_rows_for(kcfg, ndev)
+    nb = 2
+    call = _build_wblocked_call(kcfg, 1, nb, 1, False, False, False, rows,
+                                h_real=cfg.n_hidden, ndev=ndev, global_b=gB,
+                                _self_loop=True)
+    seed = jnp.asarray([19, 23, 0, 0, 0, 0], jnp.int32)  # my = 0
+    perm = jnp.zeros((1, nb), jnp.int32) + jnp.arange(nb, dtype=jnp.int32)
+    rng = np.random.default_rng(0)
+    batches = jnp.asarray(
+        rng.standard_normal((nb, 1, lB, cfg.n_visible)), jnp.float32)
+    st = init_train_state(local_cfg)
+    p, vel = st.params, st.velocity
+    Hp = kcfg.n_hidden
+    hpad = Hp - cfg.n_hidden
+
+    def _pad_h(a):
+        if not hpad:
+            return a
+        return jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, hpad)])
+
+    bB = jnp.broadcast_to(p.b.reshape(-1, 1), (cfg.n_visible, 128))
+    vbB = jnp.broadcast_to(vel.b.reshape(-1, 1), (cfg.n_visible, 128))
+    args = [seed, perm, batches, _pad_h(p.W), bB,
+            _pad_h(p.c.reshape(1, -1)), _pad_h(vel.W), vbB,
+            _pad_h(vel.c.reshape(1, -1)), _pad_h(st.chain_h)]
+    run = jax.shard_map(lambda *a: call(*a), mesh=_one_dev_mesh(),
+                        in_specs=P(), out_specs=P(), check_vma=False)
+    out = jax.jit(run)(*args)
+    for t in out:
+        assert np.isfinite(np.asarray(t, np.float32)).all()
+
+
+def test_dp_wblocked_fullsize_chunks_selfloop_on_hardware():
+    """Code-review r5 finding #2 hardware closure: 28000x400 f32 under DP
+    now keeps the FULL ~2 MB chunk granularity (800 rows vs the old halved
+    224 — 3.6x fewer sfx ring gathers per update), and the real W-blocked
+    DP kernel at that granularity compiles AND trains on the chip under
+    the 112 MB Mosaic cap."""
+    from jax.sharding import PartitionSpec as P
+
+    from mdbn_tpu.core.state import init_train_state
+    from mdbn_tpu.ops.cd_epoch_pallas import (_build_wblocked_call,
+                                              needs_w_chunking,
+                                              w_chunk_padded_cfg,
+                                              w_chunk_rows_for)
+
+    ndev, gB = 8, 20
+    cfg = RBMConfig(n_visible=28000, n_hidden=400, visible="gaussian",
+                    lr=0.001, batch_size=gB, seed=0, sample_visible=False)
+    local_cfg = cfg.replace(batch_size=-(-gB // ndev))
+    assert needs_w_chunking(local_cfg, ndev, "factor")
+    kcfg = w_chunk_padded_cfg(local_cfg)
+    rows = w_chunk_rows_for(kcfg, ndev)
+    assert rows == 800  # the full-size chunk the fit test now admits
+    nb = 2
+    call = _build_wblocked_call(kcfg, 1, nb, 1, False, False, False, rows,
+                                h_real=cfg.n_hidden, ndev=ndev, global_b=gB,
+                                _self_loop=True)
+    seed = jnp.asarray([13, 17, 0, 0, 0, 0], jnp.int32)  # my = 0
+    perm = jnp.zeros((1, nb), jnp.int32) + jnp.arange(nb, dtype=jnp.int32)
+    rng = np.random.default_rng(0)
+    lb = local_cfg.batch_size
+    batches = jnp.asarray(
+        rng.standard_normal((nb, 1, lb, cfg.n_visible)), jnp.float32)
+    st = init_train_state(local_cfg)
+    p, vel = st.params, st.velocity
+    Hp = kcfg.n_hidden
+    hpad = Hp - cfg.n_hidden
+
+    def _pad_h(a):
+        if not hpad:
+            return a
+        return jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, hpad)])
+
+    bB = jnp.broadcast_to(p.b.reshape(-1, 1), (cfg.n_visible, 128))
+    vbB = jnp.broadcast_to(vel.b.reshape(-1, 1), (cfg.n_visible, 128))
+    args = [seed, perm, batches, _pad_h(p.W), bB,
+            _pad_h(p.c.reshape(1, -1)), _pad_h(vel.W), vbB,
+            _pad_h(vel.c.reshape(1, -1)), _pad_h(st.chain_h)]
+    run = jax.shard_map(lambda *a: call(*a), mesh=_one_dev_mesh(),
+                        in_specs=P(), out_specs=P(), check_vma=False)
+    out = jax.jit(run)(*args)
+    for t in out:
+        assert np.isfinite(np.asarray(t, np.float32)).all()

@@ -82,8 +82,13 @@ def test_dp_hbm_state_exact_parity():
     data = mnist_like(128, n_features=144, seed=3)
     nb = data.shape[0] // cfg.batch_size
     uniforms = _draw(cfg, nb, 2)
-    mesh = make_mesh(8)
-    fn = _cached_dp_train_fn(cfg, mesh, mesh.axis_names[0], 8, 2,
+    # manual-DMA interpret mesh width: 8, capped to 4 on single-core hosts
+    # (measured XLA:CPU callback deadlock — parallel/mesh.py helper)
+    from mdbn_tpu.parallel.mesh import interpret_safe_ndev
+
+    nd = interpret_safe_ndev(8)
+    mesh = make_mesh(nd)
+    fn = _cached_dp_train_fn(cfg, mesh, mesh.axis_names[0], nd, 2,
                              True, True, False, True)  # hbm_state=True
     state0 = init_train_state(cfg)
     state, errs = fn(state0, jnp.asarray(data), uniforms)
@@ -188,6 +193,46 @@ def test_bf16_storage_bitmatches_xla_recipe(momentum, hbm):
     np.testing.assert_array_equal(np.asarray(s.velocity.W, np.float32),
                                   np.asarray(vel.W, np.float32))
     np.testing.assert_allclose(np.asarray(e), exp, rtol=2e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("batch_size", [40, 64])
+def test_w_blocked_wide_offset_matches_hbm(batch_size):
+    """Round 5: batch 33-64 routes the W-blocked kernel through the
+    WIDE-offset packing (vs lanes at 64, 128 structural rows) — must match
+    the full-W HBM-state kernel on identical injected uniforms exactly
+    like the B <= 32 layout does."""
+    import mdbn_tpu.ops.cd_epoch_pallas as cep
+
+    cfg = RBMConfig(n_visible=64, n_hidden=100, batch_size=batch_size, k=1,
+                    epochs=2, momentum=0.5, persistent=True,
+                    sample_visible=False, l2=1e-4, lr=0.05, grad_clip=0.5,
+                    seed=5 + batch_size)
+    st = init_train_state(cfg)
+    data = (jax.random.uniform(jax.random.PRNGKey(1),
+                               (2 * batch_size, 64)) > 0.5).astype(jnp.float32)
+    u = draw_uniform_blocks(cfg, jax.random.PRNGKey(2), 2, 2)
+    ref, eref = _cached_train_fn(cfg, 2, True, True, True)(st, data, u)
+
+    cfg2 = cfg.replace(seed=6 + batch_size)
+    orig = cep.needs_w_chunking
+    cep.needs_w_chunking = lambda c, ndev=1, dp_reduce="factor": True
+    try:
+        out, eout = _cached_train_fn(cfg2, 2, True, True, True)(st, data, u)
+    finally:
+        cep.needs_w_chunking = orig
+    np.testing.assert_allclose(np.asarray(out.params.W),
+                               np.asarray(ref.params.W), rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(out.params.b),
+                               np.asarray(ref.params.b), rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(out.params.c),
+                               np.asarray(ref.params.c), rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(out.velocity.W),
+                               np.asarray(ref.velocity.W), rtol=2e-4,
+                               atol=2e-6)
+    np.testing.assert_allclose(np.asarray(out.chain_h),
+                               np.asarray(ref.chain_h), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(eout), np.asarray(eref),
+                               rtol=2e-4, atol=1e-6)
 
 
 @pytest.mark.parametrize("momentum,metric,visible,persistent", [
@@ -310,12 +355,14 @@ def test_w_chunked_mode_selection():
     assert not needs_w_chunking(bf.replace(sample_visible=True))
     assert not needs_w_chunking(bf.replace(visible="bernoulli",
                                            error_metric="pseudo"))
-    # batch > 32 can't pack the transposed phase factors into the one
-    # (V, 128) scratch the tier uses — must degrade to XLA, not assert
-    # inside the kernel builder
+    # batch 33-64 packs via the round-5 wide-offset layout (vs lanes at
+    # 64), but at THIS shape the [64, 40000] activations + masters overflow
+    # the tier budget (est ~120 MB > 110) — must degrade to XLA, not
+    # assert inside the kernel builder; batch > 64 is out of packing scope
     big_b = bf.replace(batch_size=64)
     assert not needs_w_chunking(big_b)
     assert pallas_state_mode(big_b) is None
+    assert not needs_w_chunking(bf.replace(batch_size=65))  # packing scope
 
 
 # ---------------------------------------------------------------------------

@@ -382,10 +382,15 @@ def test_auto_engine_resolves_dp_mega_kernel():
                              backend="tpu") == "xla"
     assert resolve_dp_engine(c1.replace(engine="pallas"), mesh,
                              backend="tpu") == "pallas_dp"
-    # a shape no DP scheme fits (f32 wide at local batch 64) falls back
+    # f32 wide at local batch 64: was the auto fallback until the round-5
+    # wide-offset W-blocked tier admitted it
     wide = RBMConfig(n_visible=20000, n_hidden=400, batch_size=512,
                      visible="gaussian", lr=0.005, engine="auto")
-    assert resolve_dp_engine(wide, mesh, backend="tpu") == "xla"
+    assert resolve_dp_engine(wide, mesh, backend="tpu") == "pallas_dp"
+    # a shape no DP scheme fits (local batch 128 is past the wide-offset
+    # packing scope of 64) falls back
+    assert resolve_dp_engine(wide.replace(batch_size=1024), mesh,
+                             backend="tpu") == "xla"
     # wide at the graded global batch DOES route fused under auto (round 5)
     wide20 = wide.replace(batch_size=160)
     assert resolve_dp_engine(wide20, mesh, backend="tpu") == "pallas_dp"
