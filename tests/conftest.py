@@ -7,7 +7,7 @@ run through their interpret path on CPU. Bench runs on the real TPU.
 Single-core hosts: interpret-mode runs of the manual-DMA (hbm-state/chunk/
 W-blocked) DP tiers deadlock XLA:CPU at 8 simulated devices (measured,
 round 5); the affected modules size their meshes through
-``mdbn_tpu.parallel.mesh.interpret_safe_ndev`` (8 normally, 4 when
+``mdbn_tpu.parallel.mesh.interpret_safe_ndev`` (8 normally, 2 when
 ``os.cpu_count() == 1``).
 
 Note: the sandbox's sitecustomize registers the axon TPU plugin at interpreter
